@@ -1,0 +1,84 @@
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+# Reference implementation (read-only) — imported ONLY as a test oracle for
+# semantic parity checks; never imported by delm_spark itself.
+REFERENCE_SRC = Path("/root/reference/src")
+
+TESTDATA = Path(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"))
+
+
+def _load_ref_module(name: str, path: Path):
+    """Load a reference module by file path, bypassing delm/__init__.py
+    (which imports unavailable heavy deps like tiktoken/instructor)."""
+    import importlib.util
+    import types
+
+    # Stub parent packages so intra-package imports resolve.
+    for pkg in ("delm", "delm.schemas", "delm.utils", "delm.strategies"):
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = [str(REFERENCE_SRC / pkg.replace(".", "/"))]
+            sys.modules[pkg] = mod
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="session")
+def ref_delm():
+    """Import the reference `delm` pure modules as the semantic oracle."""
+    if not REFERENCE_SRC.exists():
+        pytest.skip("reference repo not available")
+    base = REFERENCE_SRC / "delm"
+    _load_ref_module("delm.constants", base / "constants.py")
+    _load_ref_module("delm.models", base / "models.py")
+    _load_ref_module("delm.exceptions", base / "exceptions.py")
+    ref_schemas = _load_ref_module("delm.schemas.schemas", base / "schemas/schemas.py")
+    # schema_manager does `from delm.schemas import SchemaRegistry, BaseSchema`;
+    # surface those names on the stub package.
+    pkg = sys.modules["delm.schemas"]
+    for attr in ("SchemaRegistry", "BaseSchema", "SimpleSchema", "NestedSchema",
+                 "MultipleSchema"):
+        setattr(pkg, attr, getattr(ref_schemas, attr))
+    sys.modules["delm.models"].ExtractionVariable  # sanity
+    ref_schemas.ExtractionVariable = sys.modules["delm.models"].ExtractionVariable
+    # post_processing imports SchemaManager only for the load-from-path case,
+    # which these tests never use; stub it to avoid config.py's heavy imports.
+    import types as _types
+
+    sm = _types.ModuleType("delm.schemas.schema_manager")
+    sm.SchemaManager = type("SchemaManager", (), {})
+    sys.modules["delm.schemas.schema_manager"] = sm
+    ref_post = _load_ref_module(
+        "delm.utils.post_processing", base / "utils/post_processing.py"
+    )
+    ref_split = _load_ref_module(
+        "delm.strategies.splitting_strategies", base / "strategies/splitting_strategies.py"
+    )
+    ref_score = _load_ref_module(
+        "delm.strategies.scoring_strategies", base / "strategies/scoring_strategies.py"
+    )
+    yield {
+        "schemas": ref_schemas,
+        "post": ref_post,
+        "splitting": ref_split,
+        "scoring": ref_score,
+    }
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from delm_spark.session import get_spark
+
+    s = get_spark(app_name="delm-spark-tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()
