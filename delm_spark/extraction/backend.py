@@ -1,0 +1,97 @@
+"""Extractor backends.
+
+The reference calls an LLM through Instructor with a dynamically generated
+Pydantic response model (/root/reference/src/delm/core/extraction_manager.py:296-332).
+No network or `instructor` exists in this sandbox, so the default backend is
+a deterministic, schema-guided rule engine: regex patterns per predicate
+emit raw (subj, pred, obj) items in document order. Raw output then flows
+through the SAME cleaning rules the reference applies
+(delm_spark.schemas.clean), so fidelity is defined by the cleaning kernel,
+not the backend.
+
+A real LLM backend plugs in by implementing `extract_raw(text) -> dict`;
+the Spark plumbing (mapInPandas batching, cache dedup, retry) is identical.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Protocol
+
+from delm_spark.schemas.spec import NestedSpec, SchemaSpec
+
+#: entity mention: capitalized word sequence (no embedded '.')
+ENTITY_RE = r"[A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)*"
+
+#: phrase -> emitted predicate label. Includes deliberately *disallowed*
+#: predicates (e.g. "dislikes") so the allowed-values cleaning rule is
+#: exercised end-to-end.
+DEFAULT_PREDICATE_PHRASES: list[tuple[str, str]] = [
+    (r" works at ", "works_at"),
+    (r" uses the ", "uses_tool"),
+    (r" is located in ", "located_in"),
+    (r" reports to ", "reports_to"),
+    (r" created ", "created"),
+    (r" dislikes ", "dislikes"),
+]
+
+
+class ExtractorBackend(Protocol):
+    def extract_raw(self, text: str) -> Optional[dict[str, Any]]:
+        """Raw (pre-cleaning) extraction for one chunk; None/raise on failure."""
+        ...
+
+
+class RuleTripleExtractor:
+    """Deterministic triple extractor for a nested (subj, pred, obj) spec.
+
+    Emits items in document order (match start offset), which downstream
+    merge relies on the same way the reference relies on chunk/input order
+    (post_processing.py:32-38, 99-110).
+    """
+
+    def __init__(
+        self,
+        spec: SchemaSpec,
+        predicate_phrases: Optional[list[tuple[str, str]]] = None,
+    ):
+        if not isinstance(spec, NestedSpec):
+            raise TypeError("RuleTripleExtractor requires a nested triple spec")
+        self.spec = spec
+        phrases = predicate_phrases or DEFAULT_PREDICATE_PHRASES
+        self._patterns = [
+            (
+                pred,
+                re.compile(
+                    rf"(?P<subj>{ENTITY_RE}){phrase}(?P<obj>{ENTITY_RE})(?=[.!?])"
+                ),
+            )
+            for phrase, pred in phrases
+        ]
+
+    def extract_raw(self, text: str) -> dict[str, Any]:
+        if not text:
+            return {self.spec.container_name: []}
+        hits: list[tuple[int, dict[str, Any]]] = []
+        for pred, pat in self._patterns:
+            for m in pat.finditer(text):
+                hits.append(
+                    (m.start(), {"subj": m.group("subj"), "pred": pred,
+                                 "obj": m.group("obj")})
+                )
+        hits.sort(key=lambda x: x[0])
+        return {self.spec.container_name: [h[1] for h in hits]}
+
+
+class FailingBackend:
+    """Test backend that fails on texts matching a pattern — exercises the
+    error-safe path (reference extraction_manager.py:244-269)."""
+
+    def __init__(self, inner: ExtractorBackend, fail_pattern: str):
+        self.inner = inner
+        self.fail_re = re.compile(fail_pattern)
+
+    def extract_raw(self, text: str):
+        if text and self.fail_re.search(text):
+            raise RuntimeError(f"simulated extraction failure")
+        return self.inner.extract_raw(text)

@@ -1,0 +1,254 @@
+"""The staged KG-construction pipeline (north-rule stages 1-8).
+
+    transcripts -> chunk -> score/filter -> extract -> triples
+               -> link -> canonicalize -> nodes/edges
+
+Each stage can be checkpointed to a staging parquet directory with
+per-partition lineage (`delm_part_id`); a rerun reuses every committed
+stage (atomic via Spark's _SUCCESS marker), which replaces the reference's
+feather-batch checkpoint/resume with corruption repair
+(/root/reference/src/delm/core/extraction_manager.py:109-167,
+experiment_manager.py:385-484): a partially-written stage has no _SUCCESS
+file and is rebuilt from the previous committed stage, so restarts are
+idempotent by construction.
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from delm_spark.constants import (
+    CHUNK_COL,
+    CHUNK_POS_COL,
+    ERRORS_COL,
+    EXTRACTED_JSON_COL,
+    PART_ID_COL,
+    SCORE_COL,
+)
+from delm_spark.data.synthetic import FACT_KEYWORDS, TRIPLE_SCHEMA_CFG
+from delm_spark.extraction.backend import ExtractorBackend, RuleTripleExtractor
+from delm_spark.extraction.extract import extract_chunks
+from delm_spark.kg.canonicalize import canonical_labels
+from delm_spark.kg.linking import link_mentions
+from delm_spark.operators.scoring import keyword_score_expr
+from delm_spark.operators.splitting import paragraph_split_expr
+from delm_spark.schemas.compile import spark_schema_for
+from delm_spark.schemas.spec import NestedSpec, SchemaSpec, spec_from_dict
+
+
+class StageRunner:
+    """Checkpointed stage execution with resume.
+
+    `stage(name, build)` returns the committed staging table if present,
+    else builds, writes (adding `delm_part_id` lineage if missing), and
+    re-reads it. Without a checkpoint dir it is a passthrough (pure lazy
+    plan; Catalyst fuses stages).
+    """
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: Optional[str] = None):
+        self.spark = spark
+        self.dir = Path(checkpoint_dir) if checkpoint_dir else None
+        self.resumed: list[str] = []
+        self.built: list[str] = []
+
+    def _path(self, name: str) -> Path:
+        assert self.dir is not None
+        return self.dir / name
+
+    def is_committed(self, name: str) -> bool:
+        return self.dir is not None and (self._path(name) / "_SUCCESS").exists()
+
+    def invalidate(self, name: str) -> None:
+        if self.dir is not None and self._path(name).exists():
+            shutil.rmtree(self._path(name))
+
+    def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
+        if self.dir is None:
+            return build()
+        p = self._path(name)
+        if self.is_committed(name):
+            self.resumed.append(name)
+            return self.spark.read.parquet(str(p))
+        if p.exists():  # partial write from a killed run — rebuild atomically
+            shutil.rmtree(p)
+        df = build()
+        if PART_ID_COL not in df.columns:
+            df = df.withColumn(PART_ID_COL, F.spark_partition_id().cast("long"))
+        df.write.mode("overwrite").parquet(str(p))
+        self.built.append(name)
+        return self.spark.read.parquet(str(p))
+
+
+@dataclass
+class PipelineConfig:
+    schema_cfg: dict = field(default_factory=lambda: TRIPLE_SCHEMA_CFG)
+    keywords: list = field(default_factory=lambda: list(FACT_KEYWORDS))
+    score_threshold: float = 1.0
+    checkpoint_dir: Optional[str] = None
+    dedup_extraction: bool = True
+    #: repartition width for the extraction stage; None = leave to AQE.
+    #: Salting hot conversations: chunk rows already carry (conv_id,
+    #: turn_idx, chunk_pos) composite keys, so a round-robin repartition
+    #: spreads hot conversations across all tasks without key skew.
+    extract_partitions: Optional[int] = None
+
+
+@dataclass
+class PipelineResult:
+    chunks: DataFrame
+    extracted: DataFrame
+    triples: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    runner: StageRunner
+
+
+def chunk_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Stages 1-2: stable per-turn ordering keys + paragraph chunking.
+
+    The per-row invariant (per-turn text equality under (conv_id, turn_idx))
+    is carried as explicit columns; `posexplode` makes chunk position an
+    explicit key (reference's positional chunk id, data_processor.py:126,133).
+    """
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        F.posexplode(paragraph_split_expr(F.col("text"))).alias(
+            CHUNK_POS_COL, CHUNK_COL
+        ),
+    )
+
+
+def score_and_filter(
+    chunks: DataFrame, keywords: list, threshold: float
+) -> DataFrame:
+    """Stage 3: native keyword relevance scoring + filter (reference
+    data_processor.py:144-151). Prunes LLM work before the expensive stage;
+    predicate stays in whole-stage codegen."""
+    return chunks.withColumn(
+        SCORE_COL, keyword_score_expr(F.col(CHUNK_COL), keywords)
+    ).filter(F.col(SCORE_COL) >= threshold)
+
+
+def triples_from_extracted(extracted: DataFrame, spec: SchemaSpec) -> DataFrame:
+    """Stage 5: JSON -> typed rows, natively (from_json + posexplode)."""
+    assert isinstance(spec, NestedSpec)
+    schema: StructType = spark_schema_for(spec)
+    parsed = extracted.withColumn(
+        "__parsed", F.from_json(F.col(EXTRACTED_JSON_COL), schema)
+    )
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        CHUNK_POS_COL,
+        F.posexplode(F.col(f"__parsed.{spec.container_name}")).alias(
+            "item_pos", "__item"
+        ),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        CHUNK_POS_COL,
+        "item_pos",
+        F.col("__item.subj").alias("subj"),
+        F.col("__item.pred").alias("pred"),
+        F.col("__item.obj").alias("obj"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    config: Optional[PipelineConfig] = None,
+    backend: Optional[ExtractorBackend] = None,
+) -> PipelineResult:
+    config = config or PipelineConfig()
+    spec = spec_from_dict(config.schema_cfg)
+    backend = backend or RuleTripleExtractor(spec)
+    runner = StageRunner(spark, config.checkpoint_dir)
+
+    chunks = runner.stage(
+        "s1_chunks",
+        lambda: score_and_filter(
+            chunk_transcripts(transcripts), config.keywords, config.score_threshold
+        ),
+    )
+
+    def build_extracted():
+        df = chunks
+        if config.extract_partitions:
+            # round-robin spread of the Python-heavy stage; composite keys
+            # make this safe (no per-partition ordering assumptions)
+            df = df.repartition(config.extract_partitions)
+        return extract_chunks(
+            df, spec, backend, dedup=config.dedup_extraction
+        )
+
+    extracted = runner.stage("s2_extracted", build_extracted)
+
+    triples = runner.stage(
+        "s3_triples",
+        lambda: link_mentions(triples_from_extracted(extracted, spec), dictionary),
+    )
+
+    def build_nodes():
+        labels = canonical_labels(triples, dictionary)
+        # prefer a non-mention canonical id as the component representative
+        repr_ = labels.groupBy("component").agg(
+            F.min(F.when(~F.col("node").startswith("mention:"), F.col("node"))).alias(
+                "__repr"
+            )
+        )
+        return (
+            labels.join(repr_, "component")
+            .select(
+                F.col("node").alias("entity_id"),
+                F.coalesce(F.col("__repr"), F.col("component")).alias("canonical_id"),
+            )
+        )
+
+    nodes = runner.stage("s4_nodes", build_nodes)
+
+    def build_edges():
+        n_s = nodes.select(
+            F.col("entity_id").alias("subj_id"), F.col("canonical_id").alias("subj_canonical")
+        )
+        n_o = nodes.select(
+            F.col("entity_id").alias("obj_id"), F.col("canonical_id").alias("obj_canonical")
+        )
+        # node table is small relative to triples: broadcast both lookups
+        return (
+            triples.join(F.broadcast(n_s), "subj_id", "left")
+            .join(F.broadcast(n_o), "obj_id", "left")
+            .select(
+                "conv_id",
+                "turn_idx",
+                CHUNK_POS_COL,
+                "item_pos",
+                "subj",
+                "pred",
+                "obj",
+                F.coalesce("subj_canonical", F.col("subj_id")).alias("subj_canonical"),
+                F.coalesce("obj_canonical", F.col("obj_id")).alias("obj_canonical"),
+            )
+        )
+
+    edges = runner.stage("s5_edges", build_edges)
+
+    return PipelineResult(
+        chunks=chunks,
+        extracted=extracted,
+        triples=triples,
+        nodes=nodes,
+        edges=edges,
+        runner=runner,
+    )

@@ -1,0 +1,198 @@
+"""Deduplication operators for large text corpora.
+
+Beyond the reference's exact-match cache dedup (semantic_cache.py:81-103),
+these are the standard training-data-pipeline dedup family, all expressed
+as native DataFrame programs (no Python in the hot path):
+
+  * exact_dedup        — hash-groupBy, keep first by a deterministic order
+  * minhash_signature  — k permutation-free min-hashes over shingles
+                         (md5-based so an external SQL oracle can reproduce)
+  * minhash_lsh_pairs  — band the signature, bucket-join to candidate pairs
+  * simhash            — 64-bit sign-aggregated token hash
+  * ngram_jaccard      — exact Jaccard over shingle sets for candidate pairs
+
+Scale notes: the LSH band join shuffles on (band_id, band_hash) — bucket
+counts are bounded by band width, and the pair join is an equi-join AQE
+can re-plan; exact Jaccard runs only on LSH survivors, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Keep one row per distinct normalized text: the row with the smallest
+    id (deterministic). Single shuffle on the content hash."""
+    keyed = df.withColumn("__k", F.sha2(normalize_text(F.col(text_col)), 256))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__k").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__k", "__rn")
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text (array<string>, distinct)."""
+    words = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
+    """k-wide MinHash signature (array<string>).
+
+    Hash family: md5(salt_i || shingle); the minimum is taken in
+    lexicographic order of the hex digest. md5+string-min keeps the
+    construction reproducible in any SQL engine (the correctness oracle),
+    unlike engine-specific 64-bit hashes.
+    """
+    sh = shingles(col, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"salt{i}|"), s)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Signature is banded into `bands` groups of k/bands rows; each band is
+    hashed to a bucket; a self-equi-join on (band, bucket) yields the
+    candidates. Shuffle key is the bucket hash — uniformly distributed.
+    """
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), k, n).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                            "|",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs.
+
+    With `candidates` (e.g. from minhash_lsh_pairs) only those pairs are
+    scored — the scale path. Without, scores all pairs (test scale only).
+    Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
+    )
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.join(b, F.col("a.__id") < F.col("b.__id"))
+    else:
+        pairs = (
+            candidates.join(sh.alias("a"), candidates["id_a"] == F.col("a.__id"))
+            .join(sh.alias("b"), candidates["id_b"] == F.col("b.__id"))
+        )
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    return (
+        pairs.select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (inter / F.greatest(union, F.lit(1))).cast("double").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(col: Column, ngram: int = 1) -> Column:
+    """64-bit SimHash over word tokens: sum +/-1 per bit weighted by token
+    hash sign, natively via bit arithmetic on xxhash64."""
+    words = F.array_distinct(F.split(normalize_text(col), " "))
+    hashes = F.transform(words, lambda t: F.xxhash64(t))
+    bits = []
+    for b in range(64):
+        # for each bit: (#tokens with bit set) - (#tokens with bit clear)
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0)
+        )
+        total = F.size(hashes)
+        bits.append(F.when(ones * 2 >= total, F.lit(1)).otherwise(F.lit(0)))
+    # assemble the 64-bit value as sum of bit*2^b (as decimal string-safe bigint)
+    acc = F.lit(0).cast("long")
+    for b, bit in enumerate(bits[:63]):  # keep sign bit clear
+        acc = acc + bit.cast("long") * F.lit(1 << b)
+    return acc
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
+    the top 16 bits (rotating-block trick would widen recall; one block keeps
+    the demo cheap). Returns (id_a, id_b, hamming)."""
+    sig = df.select(
+        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh")
+    ).withColumn("__blk", F.shiftrightunsigned("__sh", 48))
+    a, b = sig.alias("a"), sig.alias("b")
+    xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+    return (
+        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

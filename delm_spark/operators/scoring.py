@@ -1,0 +1,103 @@
+"""Relevance scoring operators.
+
+Reference strategies (/root/reference/src/delm/strategies/scoring_strategies.py):
+  * KeywordScorer (:59-88): 1.0 if ANY lowercase keyword is a substring
+    of the lowercase chunk, else 0.0 — fully native here (exists+contains,
+    whole-stage codegen; no UDF).
+  * FuzzyScorer (:91-124): max over keywords of
+    rapidfuzz.fuzz.partial_ratio(lower(text), kw)/100 — rapidfuzz is not
+    available in this environment (the reference itself raises ImportError
+    without it, scoring_strategies.py:96-98), so the pandas UDF below
+    implements the classic partial-ratio definition (best sliding-window
+    SequenceMatcher ratio of the shorter string against the longer) as a
+    documented stand-in with the same 0-1 range and keyword-max shape.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def keyword_score_expr(col: Column, keywords: Sequence[str]) -> Column:
+    """Native KeywordScorer.score (scoring_strategies.py:70-75)."""
+    if not keywords:
+        raise ValueError("KeywordScorer requires a non-empty keyword list")
+    kw_arr = F.array(*[F.lit(k.lower()) for k in keywords])
+    lowered = F.lower(col)
+    return F.exists(kw_arr, lambda kw: lowered.contains(kw)).cast("double")
+
+
+def _partial_ratio(text: str, keyword: str) -> float:
+    """Best sliding-window similarity of `keyword` against `text`, 0-1."""
+    if not keyword or not text:
+        return 0.0
+    short, long_ = (keyword, text) if len(keyword) <= len(text) else (text, keyword)
+    m = len(short)
+    if m == 0:
+        return 0.0
+    best = 0.0
+    sm = SequenceMatcher(a=short, autojunk=False)
+    # Coarse stride keeps this O(len/4) windows; exact alignment refined by
+    # SequenceMatcher inside the window.
+    step = max(1, m // 4)
+    for start in range(0, max(1, len(long_) - m + 1), step):
+        sm.set_seq2(long_[start : start + m])
+        r = sm.ratio()
+        if r > best:
+            best = r
+            if best >= 0.995:
+                break
+    return best
+
+
+def fuzzy_score_udf(keywords: Sequence[str]):
+    """Arrow-batched pandas UDF: Series[str] -> Series[double], the
+    vectorized analog of FuzzyScorer.score (scoring_strategies.py:106-111)."""
+    if not keywords:
+        raise ValueError("FuzzyScorer requires a non-empty keyword list")
+    kws = [k.lower() for k in keywords]
+
+    @F.pandas_udf(DoubleType())
+    def _score(texts: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                return 0.0
+            lowered = text.lower()
+            return max(_partial_ratio(lowered, kw) for kw in kws)
+
+        return texts.map(one)
+
+    return _score
+
+
+def score_strategy_expr(strategy: dict, col: Column) -> Column:
+    """Config-driven dispatch mirroring SCORER_REGISTRY
+    (scoring_strategies.py:128-131)."""
+    typ = strategy.get("type", "KeywordScorer")
+    if typ == "KeywordScorer":
+        return keyword_score_expr(col, strategy["keywords"])
+    if typ == "FuzzyScorer":
+        return fuzzy_score_udf(strategy["keywords"])(col)
+    raise ValueError(f"Unknown scorer type: {typ}")
+
+
+def validate_score_filter(filter_expr: str) -> str:
+    """Validate a score-filter predicate (reference accepts pandas-query
+    strings like "delm_score >= 0.7", config.py:315-328; the comparison
+    subset coincides with SQL). Whitelisted shape only — never eval'd."""
+    import re
+
+    if not re.fullmatch(
+        r"\s*delm_score\s*(>=|<=|>|<|==|!=)\s*[0-9]*\.?[0-9]+\s*", filter_expr
+    ):
+        raise ValueError(
+            f"Unsupported score filter {filter_expr!r}; expected "
+            "'delm_score <op> <number>'"
+        )
+    return filter_expr.replace("==", "=")

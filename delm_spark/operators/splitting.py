@@ -1,0 +1,112 @@
+"""Text splitting operators (chunking).
+
+Reference strategies (/root/reference/src/delm/strategies/splitting_strategies.py):
+  * ParagraphSplit (regex `\\r?\\n\\s*\\r?\\n`, strip, drop empties) — :56-75
+  * FixedWindowSplit (sentence split + sliding windows) — :78-108
+  * RegexSplit (user regex, strip, drop empties) — :111-136
+
+Paragraph/regex splits are fully native Catalyst expressions
+(split -> transform(trim) -> filter non-empty); only the sliding-window
+splitter needs a pandas UDF (variable-stride windowing has no native
+higher-order form). Chunk explosion uses `posexplode` so the chunk
+position is an explicit column — the reference's positional chunk id
+(data_processor.py:126,133) becomes the composite key
+(conv_id, turn_idx, chunk_pos), which distributes (no global ordinal).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from delm_spark.constants import (
+    CHUNK_COL,
+    CHUNK_POS_COL,
+    DEFAULT_FIXED_WINDOW_SIZE,
+    PARAGRAPH_SPLIT_REGEX,
+    SENTENCE_SPLIT_REGEX,
+)
+
+
+def regex_split_expr(col: Column, pattern: str) -> Column:
+    """Native equivalent of RegexSplit.split: split on `pattern`, trim each
+    piece, drop empties. Runs inside whole-stage codegen (no Python)."""
+    return F.filter(
+        F.transform(F.split(col, pattern), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def paragraph_split_expr(col: Column) -> Column:
+    """Native ParagraphSplit (reference splitting_strategies.py:56-75)."""
+    return regex_split_expr(col, PARAGRAPH_SPLIT_REGEX)
+
+
+def sentence_split_expr(col: Column) -> Column:
+    """Split into sentences on `(?<=[.!?])\\s+` (Java regex supports the
+    lookbehind), trim, drop empties."""
+    return regex_split_expr(col, SENTENCE_SPLIT_REGEX)
+
+
+def fixed_window_split_udf(window: int = DEFAULT_FIXED_WINDOW_SIZE,
+                           stride: Optional[int] = None):
+    """Arrow-batched pandas UDF for FixedWindowSplit
+    (reference splitting_strategies.py:85-96): sentence-split then join
+    sliding windows of `window` sentences advancing by `stride`."""
+    stride = stride or window
+    sent_re = re.compile(SENTENCE_SPLIT_REGEX)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _split(texts: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                return []
+            sentences = sent_re.split(text)
+            chunks, i = [], 0
+            while i < len(sentences):
+                chunk = " ".join(sentences[i : i + window]).strip()
+                chunks.append(chunk)
+                i += stride
+            return [c for c in chunks if c]
+
+        return texts.map(one)
+
+    return _split
+
+
+def explode_chunks(
+    df: DataFrame,
+    chunks_col: Column,
+    keep_cols: Optional[list] = None,
+) -> DataFrame:
+    """posexplode chunk arrays into (chunk_pos, delm_text_chunk) rows.
+
+    Replaces the reference's pandas explode + positional chunk id
+    (data_processor.py:125-133) — position is per-record and explicit,
+    so ordering survives any shuffle.
+    """
+    cols = [F.col(c) for c in (keep_cols or df.columns)]
+    return df.select(
+        *cols, F.posexplode(chunks_col).alias(CHUNK_POS_COL, CHUNK_COL)
+    )
+
+
+def split_strategy_expr(strategy: dict, col: Column):
+    """Config-driven dispatch mirroring SPLITTER_REGISTRY
+    (splitting_strategies.py:140-144). Returns a Column of array<string>."""
+    typ = strategy.get("type", "ParagraphSplit")
+    if typ == "ParagraphSplit":
+        return paragraph_split_expr(col)
+    if typ == "RegexSplit":
+        return regex_split_expr(col, strategy["pattern"])
+    if typ == "FixedWindowSplit":
+        udf = fixed_window_split_udf(
+            strategy.get("window", DEFAULT_FIXED_WINDOW_SIZE), strategy.get("stride")
+        )
+        return udf(col)
+    raise ValueError(f"Unknown splitter type: {typ}")
