@@ -1,38 +1,600 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship KG-construction pipeline (synthetic
+transcript corpus per BASELINE.json input_hint — deterministically
+generated, see delm_spark/data/synthetic.py) and returns the canonical
+edge table. `queries()` exposes the operator inventory from SURVEY.md §2
+against the driver-provided testdata tables; `oracle_sql()` gives the
+DuckDB-equivalent SQL for every SQL-expressible operator.
+
+Column aliases are kept identical between the Spark builders and the
+oracle SQL (the driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from delm_spark.data.synthetic import entity_dictionary, generate_transcripts
+from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
+from delm_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_dedup_pairs,
+)
+from delm_spark.operators.scoring import fuzzy_score_udf, keyword_score_expr
+from delm_spark.operators.similarity import brute_force_topk
+from delm_spark.operators.splitting import (
+    fixed_window_split_udf,
+    regex_split_expr,
+)
+from delm_spark.operators.text import whitespace_token_count
+from delm_spark.operators.merge import majority_vote_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _n_convs_for(sf_dir: str) -> int:
+    name = Path(sf_dir).name
+    return {"sf0.001": 150, "sf0.01": 600, "sf0.1": 3000}.get(name, 150)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts -> chunks -> extract -> triples -> linked,
+    canonicalized KG edges. Deterministic synthetic corpus (the testdata
+    star schema has no transcript table; BASELINE.json input_hint defines
+    the shape, synthesized at small scale)."""
+    transcripts = generate_transcripts(spark, n_convs=150, n_hot=2)
+    res = run_pipeline(spark, transcripts, entity_dictionary(spark), PipelineConfig())
+    return res.edges
+
+
+# ---------------------------------------------------------------------------
+# queries — one entry per implemented operator (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """A5/A7/W2: wide aggregation with exact integer-cents money sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price_cents"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    """J2 + A5 + W4: 3-way join, revenue agg, top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def broadcast_brand_revenue(spark, sf_dir):
+    """J5-analog: explicit broadcast of a small dimension into a fact agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+def semi_join_orders(spark, sf_dir):
+    """P6/J3: left-semi filter of orders by European customers."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_cust = (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey")
+    )
+    return (
+        orders.join(euro_cust, orders["o_custkey"] == euro_cust["c_custkey"], "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def anti_join_customers(spark, sf_dir):
+    """E8 resume pattern: anti-join (customers with no orders)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def left_join_order_customer(spark, sf_dir):
+    """J1: results <- metadata left join."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    )
+
+
+def window_top_orders_per_customer(spark, sf_dir):
+    """W1: row_number per key, top-3."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def distinct_counts(spark, sf_dir):
+    """A7: distinct counts."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def union_nation_counts(spark, sf_dir):
+    """W5: unionByName of two keyed aggregates."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    a = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("side", F.lit("customer"))
+    b = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("side", F.lit("supplier"))
+    return a.unionByName(b).orderBy("side", "nationkey")
+
+
+def regex_split_chunks(spark, sf_dir):
+    """T3+T4: RegexSplit semantics (split, trim, drop empties) + posexplode."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = regex_split_expr(F.col("text"), r"\s+the\s+")
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_pos", "chunk")
+    ).orderBy("doc_id", "chunk_pos")
+
+
+def keyword_score_filter(spark, sf_dir):
+    """R1+P5: native keyword scoring + score filter + count by lang."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "delm_score", keyword_score_expr(F.col("text"), ["spark", "vector"])
+    )
+    return (
+        scored.filter(F.col("delm_score") >= 1.0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_relevant"))
+        .orderBy("lang")
+    )
+
+
+def majority_vote_lang(spark, sf_dir):
+    """A1: majority vote with the reference's first-encounter tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    votes = majority_vote_df(
+        docs.select(
+            F.col("source").alias("record_id"),
+            F.col("lang").alias("value"),
+            F.col("doc_id").alias("pos"),
+        )
+    )
+    return votes.select(
+        F.col("record_id").alias("source"), F.col("value").alias("major_lang")
+    ).orderBy("source")
+
+
+def exact_dedup_docs(spark, sf_dir):
+    """Exact dedup: normalized-text hash, keep min id."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+def token_count_by_lang(spark, sf_dir):
+    """F8: whitespace token counting, aggregated."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tokens", whitespace_token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("sum_tokens"),
+            (F.sum("tokens") / F.count(F.lit(1))).cast("double").alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def doc_fingerprint(spark, sf_dir):
+    """F6/F7: canonical-text md5 fingerprint per document."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint")).orderBy("doc_id")
+
+
+def embedding_topk_cosine(spark, sf_dir):
+    """Similarity search baseline: exact cosine top-10 for 3 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        brute_force_topk(emb, queries, k=10)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch analog of the streaming path)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def events_sessionize(spark, sf_dir):
+    """W-ops: lag + cumulative sum sessionization (30-min gap)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def dedup_events_first(spark, sf_dir):
+    """dropDuplicates-with-order: earliest event per (user, type)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+# --- rows-only queries (no SQL-expressible oracle) -------------------------
+
+def kg_triples_pipeline(spark, sf_dir):
+    """Flagship KG pipeline; sf-scaled synthetic transcript corpus."""
+    t = generate_transcripts(spark, n_convs=_n_convs_for(sf_dir), n_hot=2)
+    res = run_pipeline(spark, t, entity_dictionary(spark), PipelineConfig())
+    return res.triples.orderBy("conv_id", "turn_idx", "chunk_pos", "item_pos")
+
+
+def kg_nodes_canonical(spark, sf_dir):
+    """Entity canonicalization (broadcast dict link + connected components)."""
+    t = generate_transcripts(spark, n_convs=_n_convs_for(sf_dir), n_hot=2)
+    res = run_pipeline(spark, t, entity_dictionary(spark), PipelineConfig())
+    return res.nodes.orderBy("entity_id")
+
+
+def connected_components_demo(spark, sf_dir):
+    """J6: iterative min-label propagation over the alias-edge table."""
+    from delm_spark.kg.canonicalize import connected_components
+
+    d = entity_dictionary(spark)
+    edges = d.select(
+        F.concat(F.lit("mention:"), F.col("surface")).alias("src"),
+        F.col("canonical_id").alias("dst"),
+    )
+    return connected_components(edges).orderBy("node")
+
+
+def minhash_lsh_pairs_docs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def simhash_pairs_docs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3, 16-bit blocking)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+def fuzzy_score_docs(spark, sf_dir):
+    """R2: pandas-UDF fuzzy scoring (rapidfuzz-equivalent partial ratio)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    udf = fuzzy_score_udf(["spark table", "vector join"])
+    return (
+        docs.select("doc_id", udf(F.col("text")).alias("delm_score"))
+        .filter(F.col("delm_score") >= 0.8)
+        .orderBy("doc_id")
+    )
+
+
+def fixed_window_chunks(spark, sf_dir):
+    """T2: pandas-UDF sentence-window splitter."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    udf = fixed_window_split_udf(window=2, stride=2)
+    return docs.select(
+        "doc_id", F.posexplode(udf(F.col("text"))).alias("chunk_pos", "chunk")
+    ).orderBy("doc_id", "chunk_pos")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "broadcast_brand_revenue": broadcast_brand_revenue,
+        "semi_join_orders": semi_join_orders,
+        "anti_join_customers": anti_join_customers,
+        "left_join_order_customer": left_join_order_customer,
+        "window_top_orders_per_customer": window_top_orders_per_customer,
+        "distinct_counts": distinct_counts,
+        "union_nation_counts": union_nation_counts,
+        "regex_split_chunks": regex_split_chunks,
+        "keyword_score_filter": keyword_score_filter,
+        "majority_vote_lang": majority_vote_lang,
+        "exact_dedup_docs": exact_dedup_docs,
+        "token_count_by_lang": token_count_by_lang,
+        "doc_fingerprint": doc_fingerprint,
+        "embedding_topk_cosine": embedding_topk_cosine,
+        "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
+        "dedup_events_first": dedup_events_first,
+        "kg_triples_pipeline": kg_triples_pipeline,
+        "kg_nodes_canonical": kg_nodes_canonical,
+        "connected_components_demo": connected_components_demo,
+        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "fuzzy_score_docs": fuzzy_score_docs,
+        "fixed_window_chunks": fixed_window_chunks,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity)::DOUBLE AS sum_qty,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+                   (SUM(l_quantity) / COUNT(*))::DOUBLE AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "broadcast_brand_revenue": """
+            SELECT p_brand,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "semi_join_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE')
+            ORDER BY o_orderkey
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "left_join_order_customer": """
+            SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "window_top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+        "distinct_counts": """
+            SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(DISTINCT o_orderstatus) AS n_statuses,
+                   COUNT(*) AS n_orders
+            FROM orders
+        """,
+        "union_nation_counts": """
+            SELECT * FROM (
+                SELECT c_nationkey AS nationkey, COUNT(*) AS n, 'customer' AS side
+                FROM customer GROUP BY c_nationkey
+                UNION ALL
+                SELECT s_nationkey AS nationkey, COUNT(*) AS n, 'supplier' AS side
+                FROM supplier GROUP BY s_nationkey)
+            ORDER BY side, nationkey
+        """,
+        "regex_split_chunks": """
+            SELECT doc_id,
+                   generate_subscripts(l, 1) - 1 AS chunk_pos,
+                   unnest(l) AS chunk
+            FROM (SELECT doc_id,
+                         list_filter(list_transform(
+                             regexp_split_to_array(text, '\\s+the\\s+'),
+                             x -> trim(x)), x -> x <> '') AS l
+                  FROM documents)
+            ORDER BY doc_id, chunk_pos
+        """,
+        "keyword_score_filter": """
+            SELECT lang, COUNT(*) AS n_relevant
+            FROM documents
+            WHERE (CASE WHEN contains(lower(text), 'spark')
+                          OR contains(lower(text), 'vector')
+                   THEN 1.0 ELSE 0.0 END) >= 1.0
+            GROUP BY lang ORDER BY lang
+        """,
+        "majority_vote_lang": """
+            SELECT source, lang AS major_lang FROM (
+                SELECT source, lang,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, first_pos ASC) AS rn
+                FROM (SELECT source, lang, COUNT(*) AS cnt, MIN(doc_id) AS first_pos
+                      FROM documents GROUP BY source, lang))
+            WHERE rn = 1 ORDER BY source
+        """,
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+            ORDER BY doc_id
+        """,
+        "token_count_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS sum_tokens,
+                   (SUM(len(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
+                    / COUNT(*)) AS avg_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "embedding_topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 3),
+                 e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+                 scored AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_sum(list_transform(generate_series(1, len(ee)),
+                                                  i -> ee[i] * qe[i]))
+                          / greatest(
+                              sqrt(list_sum(list_transform(generate_series(1, len(ee)),
+                                                           i -> ee[i] * ee[i])))
+                            * sqrt(list_sum(list_transform(generate_series(1, len(qe)),
+                                                           i -> qe[i] * qe[i]))),
+                              1e-12) AS score
+                   FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id ASC) AS rank
+                FROM scored)
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM sess GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "dedup_events_first": """
+            SELECT user_id, event_type, event_id, ts FROM (
+                SELECT user_id, event_type, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS rn
+                FROM events)
+            WHERE rn = 1 ORDER BY user_id, event_type
+        """,
+    }

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "triples_per_sec", "value": N, "unit": "triples/sec",
+   "queries": {name: sec, ...}, "sf": ..., "n_triples": ..., "cores": ...}
+
+The headline metric is KG-pipeline throughput (triples/sec) on the
+sf-scaled synthetic transcript corpus — the BASELINE.json target metric.
+Run scaling evidence (local[8] vs local[32]) via bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: transcript corpus size per scale factor (approx 11 turns/conv + hot head)
+N_CONVS = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from delm_spark.data.synthetic import entity_dictionary, generate_transcripts
+    from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
+    from delm_spark.session import get_spark
+
+    sf_name = Path(SF_DIR).name
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+    spark = get_spark(app_name="delm-spark-bench", cores=CORES)
+    spark.range(1).count()  # JVM warmup outside timed sections
+
+    timings: dict[str, float] = {}
+
+    # --- headline: KG pipeline throughput ---------------------------------
+    n_convs = N_CONVS.get(sf_name, max(500, int(500_000 * sf)))
+    t0 = time.perf_counter()
+    transcripts = generate_transcripts(spark, n_convs=n_convs, n_hot=max(2, n_convs // 1000))
+    res = run_pipeline(
+        spark, transcripts, entity_dictionary(spark), PipelineConfig()
+    )
+    n_triples = res.edges.count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
+
+    # --- operator suite on driver testdata --------------------------------
+    suite = [
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "broadcast_brand_revenue",
+        "window_top_orders_per_customer",
+        "events_sessionize",
+        "exact_dedup_docs",
+        "minhash_lsh_pairs_docs",
+        "embedding_topk_cosine",
+        "regex_split_chunks",
+        "majority_vote_lang",
+    ]
+    qs = entry_mod.queries()
+    for name in suite:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "triples_per_sec",
+                "value": round(triples_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "total_sec": total,
+                "n_triples": n_triples,
+                "n_convs": n_convs,
+                "cores": CORES,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
