@@ -127,6 +127,10 @@ def extract_chunks(
                 }
             )
 
+    if PART_ID_COL in df.columns:
+        # upstream stage lineage was materialized already; this stage emits
+        # its own task lineage
+        df = df.drop(PART_ID_COL)
     keyed = df.withColumn(CACHE_KEY_COL, F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
     if dedup:
         unique = keyed.select(F.col(CACHE_KEY_COL), F.col(text_col).alias("__text")) \

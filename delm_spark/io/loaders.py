@@ -1,0 +1,122 @@
+"""Source loaders (SURVEY §2.1 S1-S10).
+
+The reference dispatches file extensions to pandas loaders and unions
+directory contents row by row (/root/reference/src/delm/strategies/
+data_loaders.py:239-383). Here every format maps to a Spark reader —
+directory loading, recursive glob, and union are native reader features
+(`pathGlobFilter`, `recursiveFileLookup`), so S9/S14's manual unions
+disappear.
+
+Formats needing Python libs absent in this sandbox (docx/pdf/xlsx) are
+registered but gated: the Spark-side plumbing (binaryFile source + Arrow
+UDF signature) is real; the decode raises NotImplementedError until the
+lib is provided.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delm_spark.constants import FILE_NAME_COL, RAW_DATA_COL
+
+
+def load_text(spark: SparkSession, path: str, recursive: bool = True) -> DataFrame:
+    """S1: whole-file text (.txt/.md) -> (delm_file_name, delm_raw_data)."""
+    return (
+        spark.read.option("wholetext", "true")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .text(path)
+        .select(
+            F.input_file_name().alias(FILE_NAME_COL),
+            F.col("value").alias(RAW_DATA_COL),
+        )
+    )
+
+
+def load_html(spark: SparkSession, path: str) -> DataFrame:
+    """S2: HTML -> visible text. Tag stripping is a native regexp chain
+    (script/style blocks removed, tags dropped, entities unescaped for the
+    common five) — the reference uses BeautifulSoup (data_loaders.py:60-82),
+    unavailable here; for tag-soup documents plug a bs4 pandas UDF in."""
+    raw = load_text(spark, path)
+    txt = F.col(RAW_DATA_COL)
+    txt = F.regexp_replace(txt, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    txt = F.regexp_replace(txt, r"(?s)<[^>]+>", " ")
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    txt = F.regexp_replace(txt, r"\s+", " ")
+    return raw.select(FILE_NAME_COL, F.trim(txt).alias(RAW_DATA_COL))
+
+
+def load_csv(
+    spark: SparkSession, path: str, target_column: Optional[str] = None
+) -> DataFrame:
+    """S5: CSV with header; validates target_column like the reference
+    (data_loaders.py:155-166)."""
+    df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    if target_column is not None and target_column not in df.columns:
+        raise ValueError(
+            f"target_column {target_column!r} not in CSV columns {df.columns}"
+        )
+    return df
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S6: parquet (also the feather replacement S7 — Spark has no feather
+    source; persisted artifacts use parquet throughout)."""
+    return spark.read.parquet(path)
+
+
+def load_json(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.json(path)
+
+
+def load_binary_with_udf(spark: SparkSession, path: str, decode_udf=None) -> DataFrame:
+    """S3/S4/S8 scaffold: binaryFile source + a decode pandas UDF
+    (docx/pdf/xlsx). Without a decoder this raises on use, matching the
+    'stub behind NotImplementedError' contract."""
+    df = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("path").alias(FILE_NAME_COL), F.col("content"))
+    )
+    if decode_udf is None:
+        raise NotImplementedError(
+            "docx/pdf/xlsx decoding requires python-docx/marker/openpyxl; "
+            "provide decode_udf (Series[bytes] -> Series[str])"
+        )
+    return df.select(FILE_NAME_COL, decode_udf(F.col("content")).alias(RAW_DATA_COL))
+
+
+_EXT_DISPATCH = {
+    ".txt": load_text,
+    ".md": load_text,
+    ".html": load_html,
+    ".csv": load_csv,
+    ".parquet": load_parquet,
+    ".json": load_json,
+    ".jsonl": load_json,
+}
+
+#: formats that require a target column (reference data_loaders.py:304-329)
+REQUIRES_TARGET_COLUMN = {".csv", ".parquet", ".json", ".jsonl"}
+
+
+def load_path(
+    spark: SparkSession, path: str, target_column: Optional[str] = None
+) -> DataFrame:
+    """S10: extension dispatch. Directories are handled by the reader's own
+    glob — pass `dir/*.txt` style paths (S9); mixed-extension validation
+    stays a driver-side concern."""
+    ext = Path(path).suffix.lower().lstrip("*")
+    loader = _EXT_DISPATCH.get(ext)
+    if loader is None:
+        raise ValueError(f"Unsupported extension {ext!r} for {path}")
+    if ext == ".csv":
+        return load_csv(spark, path, target_column)
+    return loader(spark, path)

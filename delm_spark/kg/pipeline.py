@@ -69,9 +69,17 @@ class StageRunner:
         if self.dir is not None and self._path(name).exists():
             shutil.rmtree(self._path(name))
 
+    #: stages worth caching when running without a checkpoint dir — they are
+    #: consumed by several downstream actions (CC iterations, nodes, edges)
+    #: and sit above the Python-heavy extraction stage.
+    PERSISTED_STAGES = {"s2_extracted", "s3_triples", "s4_nodes"}
+
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         if self.dir is None:
-            return build()
+            df = build()
+            if name in self.PERSISTED_STAGES:
+                df = df.persist()
+            return df
         p = self._path(name)
         if self.is_committed(name):
             self.resumed.append(name)

@@ -33,11 +33,17 @@ from delm_spark.constants import (
 )
 
 
+def _strip(x: Column) -> Column:
+    """Python str.strip() equivalent: removes ALL whitespace at both ends
+    (Spark's trim() removes only spaces, which diverges on \\n/\\t)."""
+    return F.regexp_replace(F.regexp_replace(x, r"^\s+", ""), r"\s+$", "")
+
+
 def regex_split_expr(col: Column, pattern: str) -> Column:
-    """Native equivalent of RegexSplit.split: split on `pattern`, trim each
+    """Native equivalent of RegexSplit.split: split on `pattern`, strip each
     piece, drop empties. Runs inside whole-stage codegen (no Python)."""
     return F.filter(
-        F.transform(F.split(col, pattern), lambda x: F.trim(x)),
+        F.transform(F.split(col, pattern), lambda x: _strip(x)),
         lambda x: x != F.lit(""),
     )
 

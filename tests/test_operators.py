@@ -1,0 +1,186 @@
+"""Operator-level golden tests vs the reference's strategies, plus
+distributed-vs-pure merge equivalence and dedup/similarity sanity."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from delm_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
+from delm_spark.operators.explode import explode_json_results
+from delm_spark.operators.merge import majority_vote_df, merge_nested_records
+from delm_spark.operators.scoring import keyword_score_expr, validate_score_filter
+from delm_spark.operators.similarity import brute_force_topk, lsh_topk
+from delm_spark.operators.splitting import (
+    fixed_window_split_udf,
+    paragraph_split_expr,
+    regex_split_expr,
+)
+from delm_spark.schemas import majority_vote, spec_from_dict
+
+TEXTS = [
+    "Para one.\n\nPara two line.\n \nPara three",
+    "single paragraph no breaks",
+    "  \n\n  leading sep \n\ntrailing\n\n",
+    "One. Two! Three? Four. Five. Six. Seven.",
+    "",
+    "a.b sentence without spaces. Next one! And?  Last",
+]
+
+
+def _spark_split(spark, expr_builder, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    rows = df.select("i", expr_builder(F.col("t")).alias("chunks")).orderBy("i").collect()
+    return [r["chunks"] for r in rows]
+
+
+def test_paragraph_split_matches_reference(spark, ref_delm):
+    ref = ref_delm["splitting"].ParagraphSplit()
+    got = _spark_split(spark, paragraph_split_expr, TEXTS)
+    for text, chunks in zip(TEXTS, got):
+        assert chunks == ref.split(text), f"text={text!r}"
+
+
+def test_regex_split_matches_reference(spark, ref_delm):
+    pattern = r"(?<=[.!?])\s+"
+    ref = ref_delm["splitting"].RegexSplit(pattern)
+    got = _spark_split(spark, lambda c: regex_split_expr(c, pattern), TEXTS)
+    for text, chunks in zip(TEXTS, got):
+        assert chunks == ref.split(text), f"text={text!r}"
+
+
+@pytest.mark.parametrize("window,stride", [(2, 2), (3, 1), (5, 5)])
+def test_fixed_window_split_matches_reference(spark, ref_delm, window, stride):
+    ref = ref_delm["splitting"].FixedWindowSplit(window=window, stride=stride)
+    udf = fixed_window_split_udf(window=window, stride=stride)
+    got = _spark_split(spark, lambda c: udf(c), TEXTS)
+    for text, chunks in zip(TEXTS, got):
+        assert chunks == ref.split(text), f"text={text!r} w={window} s={stride}"
+
+
+def test_keyword_score_matches_reference(spark, ref_delm):
+    kws = ["para", "SIX", "missing-kw"]
+    ref = ref_delm["scoring"].KeywordScorer(kws)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "i int, t string")
+    rows = (
+        df.select("i", keyword_score_expr(F.col("t"), kws).alias("s"))
+        .orderBy("i").collect()
+    )
+    for text, r in zip(TEXTS, rows):
+        assert r["s"] == ref.score(text), f"text={text!r}"
+
+
+def test_score_filter_validation():
+    assert validate_score_filter("delm_score >= 0.7") == "delm_score >= 0.7"
+    with pytest.raises(ValueError):
+        validate_score_filter("__import__('os')")
+
+
+def test_majority_vote_df_matches_pure(spark):
+    # records with ties and order-dependent winners
+    data = [
+        ("r1", "a", 0), ("r1", "b", 1), ("r1", "b", 2), ("r1", "a", 3),
+        ("r2", "x", 0), ("r2", "y", 1), ("r2", "y", 2),
+        ("r3", "only", 5),
+    ]
+    df = spark.createDataFrame(data, "record_id string, value string, pos int")
+    got = {
+        r["record_id"]: r["value"] for r in majority_vote_df(df).collect()
+    }
+    for rid in ("r1", "r2", "r3"):
+        ordered = [v for r, v, p in sorted(data, key=lambda x: x[2]) if r == rid]
+        assert got[rid] == majority_vote(ordered), rid
+
+
+def test_merge_nested_records_orders_items(spark):
+    rows = [
+        ("c1", 1, 0, 1, "s2", "p", "o2"),
+        ("c1", 0, 0, 0, "s1", "p", "o1"),
+        ("c1", 1, 0, 0, "s15", "p", "o15"),
+        ("c2", 0, 0, 0, "x", "q", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, chunk_pos int, item_pos int, "
+        "subj string, pred string, obj string",
+    )
+    got = {r["conv_id"]: r["items"] for r in merge_nested_records(df).collect()}
+    assert [i["subj"] for i in got["c1"]] == ["s1", "s15", "s2"]
+    assert [i["subj"] for i in got["c2"]] == ["x"]
+
+
+def test_explode_json_results_matches_reference(spark, ref_delm):
+    import pandas as pd
+
+    cfg = {
+        "schema_type": "nested",
+        "container_name": "books",
+        "variables": [
+            {"name": "title", "description": "d", "data_type": "string"},
+            {"name": "price", "description": "d", "data_type": "number"},
+            {"name": "tags", "description": "d", "data_type": "[string]"},
+        ],
+    }
+    jsons = [
+        json.dumps({"books": [
+            {"title": "A", "price": 1.5, "tags": ["x", "y"]},
+            {"title": "B", "price": None, "tags": []},
+        ]}),
+        json.dumps({"books": [{"title": "C", "price": 3.0, "tags": ["z"]}]}),
+        "{}",
+    ]
+    spec = spec_from_dict(cfg)
+    df = spark.createDataFrame(
+        [(i, j) for i, j in enumerate(jsons)], "chunk_id int, delm_extracted_data_json string"
+    )
+    got = explode_json_results(df, spec).orderBy("chunk_id", "title").toPandas()
+
+    schema = ref_delm["schemas"].SchemaRegistry().create(cfg)
+    pdf = pd.DataFrame({"chunk_id": range(len(jsons)), "json": jsons})
+    ref = ref_delm["post"].explode_json_results(pdf, schema, json_column="json")
+    ref = ref.sort_values(["chunk_id", "title"]).reset_index(drop=True)
+    assert got["title"].tolist() == ref["title"].tolist()
+    assert got["chunk_id"].tolist() == ref["chunk_id"].tolist()
+    assert [list(t) for t in got["tags"]] == [list(t) for t in ref["tags"]]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "Hello  World"), (1, "hello world"), (2, "different"), (5, " hello world ")],
+        "id int, text string",
+    )
+    kept = sorted(r["id"] for r in exact_dedup(df, "text", "id").collect())
+    assert kept == [1, 2]
+
+
+def test_minhash_and_jaccard_find_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated text about spark dataframes and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id int, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(df, "text", "id", k=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(df, "text", "id", threshold=0.5).collect()}
+    assert (1, 2) in jac and jac[(1, 2)] > 0.5
+
+
+def test_brute_force_topk_self_first(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(df, q, k=3).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["score"] - 1.0) < 1e-9
+    # LSH path returns a subset containing the self-match
+    lsh = lsh_topk(df, q, dim=8, k=3, n_planes=4).orderBy("rank").collect()
+    assert lsh[0]["vec_id"] == 0
