@@ -8,10 +8,14 @@ plays the role of a DELM batch (`spark.sql.execution.arrow.maxRecordsPerBatch`
 safety (extraction_manager.py:244-269) is a try/except inside the UDF that
 emits a `delm_errors` column instead of throwing.
 
-Cache-style dedup: identical chunk texts are extracted once
-(`dropDuplicates` on a sha2 cache key, reference semantic_cache.py:81-103)
-and fanned back out with a join — dedup-before-work is strictly better
-than the reference's per-call cache lookup at scale.
+Two execution modes:
+  * dedup=True  — identical chunk texts are extracted once (`dropDuplicates`
+    on a sha2 cache key, the run-internal equivalent of the reference's
+    exact-match semantic cache, semantic_cache.py:81-103) and fanned back
+    out with a join. Wins whenever the corpus repeats text.
+  * dedup=False — inline: the UDF carries every input column through and
+    appends the extraction columns. Zero shuffle; required for Structured
+    Streaming (no stream-stream join) and best when texts are unique.
 """
 
 from __future__ import annotations
@@ -22,12 +26,7 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from delm_spark.constants import (
     CACHE_KEY_COL,
@@ -44,12 +43,49 @@ from delm_spark.schemas.spec import SchemaSpec
 IN_TOKENS_COL = "delm_input_tokens"
 OUT_TOKENS_COL = "delm_output_tokens"
 
+_EXTRA_FIELDS = [
+    StructField(EXTRACTED_JSON_COL, StringType()),
+    StructField(ERRORS_COL, StringType()),
+    StructField(IN_TOKENS_COL, LongType()),
+    StructField(OUT_TOKENS_COL, LongType()),
+    StructField(PART_ID_COL, LongType()),
+]
+
 
 def _token_estimate(s: str) -> int:
     """Documented tiktoken stand-in: ~4 chars/token (reference counts real
     tokens via tiktoken cl100k_base, cost_tracker.py:59-62; unavailable
     here)."""
     return (len(s) + 3) // 4
+
+
+def _extract_series(
+    texts, spec: SchemaSpec, backend: ExtractorBackend, max_retries: int
+):
+    jsons, errors, in_toks, out_toks = [], [], [], []
+    for text in texts:
+        text = text or ""
+        raw, err = None, None
+        for _ in range(max_retries + 1):
+            try:
+                raw = backend.extract_raw(text)
+                err = None
+                break
+            except Exception as e:  # error-safe per chunk
+                err = f"{type(e).__name__}: {e}"
+        if err is not None:
+            jsons.append(None)
+            errors.append(json.dumps({"error": err}))
+            in_toks.append(_token_estimate(text))
+            out_toks.append(0)
+            continue
+        cleaned = clean_response(raw, spec, text)
+        j = json.dumps(cleaned, sort_keys=False)
+        jsons.append(j)
+        errors.append(None)
+        in_toks.append(_token_estimate(text))
+        out_toks.append(_token_estimate(j))
+    return jsons, errors, in_toks, out_toks
 
 
 def extract_chunks(
@@ -62,88 +98,67 @@ def extract_chunks(
 ) -> DataFrame:
     """Run schema-guided extraction over `df[text_col]`.
 
-    Returns `df` plus columns:
-      delm_extracted_data_json (string, cleaned JSON),
-      delm_errors (string or null),
-      delm_input_tokens / delm_output_tokens (long),
-      delm_part_id (lineage: which task produced the row).
-
-    With `dedup=True`, distinct texts are extracted once and re-joined on a
-    sha2 cache key — the run-internal equivalent of the reference's
-    exact-match semantic cache (semantic_cache.py:81-103).
+    Returns `df` plus delm_extracted_data_json (cleaned JSON string),
+    delm_errors (string or null), delm_input_tokens / delm_output_tokens,
+    and delm_part_id task lineage.
     """
-    out_fields = StructType(
-        [
-            StructField(CACHE_KEY_COL, StringType()),
-            StructField(EXTRACTED_JSON_COL, StringType()),
-            StructField(ERRORS_COL, StringType()),
-            StructField(IN_TOKENS_COL, LongType()),
-            StructField(OUT_TOKENS_COL, LongType()),
-            StructField(PART_ID_COL, LongType()),
-        ]
-    )
-
-    def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
-        for pdf in batches:
-            texts = pdf["__text"]
-            keys = pdf[CACHE_KEY_COL]
-            jsons: list[Optional[str]] = []
-            errors: list[Optional[str]] = []
-            in_toks: list[int] = []
-            out_toks: list[int] = []
-            for text in texts:
-                text = text or ""
-                raw, err = None, None
-                for attempt in range(max_retries + 1):
-                    try:
-                        raw = backend.extract_raw(text)
-                        err = None
-                        break
-                    except Exception as e:  # error-safe per chunk
-                        err = f"{type(e).__name__}: {e}"
-                if err is not None:
-                    jsons.append(None)
-                    errors.append(json.dumps({"error": err}))
-                    in_toks.append(_token_estimate(text))
-                    out_toks.append(0)
-                    continue
-                cleaned = clean_response(raw, spec, text)
-                j = json.dumps(cleaned, sort_keys=False)
-                jsons.append(j)
-                errors.append(None)
-                in_toks.append(_token_estimate(text))
-                out_toks.append(_token_estimate(j))
-            yield pd.DataFrame(
-                {
-                    CACHE_KEY_COL: keys,
-                    EXTRACTED_JSON_COL: jsons,
-                    ERRORS_COL: errors,
-                    IN_TOKENS_COL: in_toks,
-                    OUT_TOKENS_COL: out_toks,
-                    PART_ID_COL: part_id,
-                }
-            )
-
     if PART_ID_COL in df.columns:
         # upstream stage lineage was materialized already; this stage emits
         # its own task lineage
         df = df.drop(PART_ID_COL)
-    keyed = df.withColumn(CACHE_KEY_COL, F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
-    if dedup:
-        unique = keyed.select(F.col(CACHE_KEY_COL), F.col(text_col).alias("__text")) \
-            .dropDuplicates([CACHE_KEY_COL])
-    else:
-        unique = keyed.select(F.col(CACHE_KEY_COL), F.col(text_col).alias("__text"))
 
-    extracted = unique.mapInPandas(run_batches, schema=out_fields)
-    joined = keyed.join(extracted, on=CACHE_KEY_COL, how="left")
+    def _part_id():
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        return ctx.partitionId() if ctx else -1
+
     if not dedup:
-        # without dedup the join would fan out on duplicate keys; dedup the
-        # extraction side defensively
-        joined = keyed.join(
-            extracted.dropDuplicates([CACHE_KEY_COL]), on=CACHE_KEY_COL, how="left"
-        )
-    return joined
+        # inline mode: pass every column through, append extraction columns
+        out_schema = StructType(list(df.schema.fields) + _EXTRA_FIELDS)
+
+        def run_inline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid = _part_id()
+            for pdf in batches:
+                jsons, errors, itk, otk = _extract_series(
+                    pdf[text_col], spec, backend, max_retries
+                )
+                out = pdf.copy()
+                out[EXTRACTED_JSON_COL] = jsons
+                out[ERRORS_COL] = errors
+                out[IN_TOKENS_COL] = itk
+                out[OUT_TOKENS_COL] = otk
+                out[PART_ID_COL] = pid
+                yield out
+
+        return df.mapInPandas(run_inline, schema=out_schema)
+
+    # dedup mode: extract distinct texts once, join back on the cache key
+    out_schema = StructType([StructField(CACHE_KEY_COL, StringType())] + _EXTRA_FIELDS)
+
+    def run_unique(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = _part_id()
+        for pdf in batches:
+            jsons, errors, itk, otk = _extract_series(
+                pdf["__text"], spec, backend, max_retries
+            )
+            yield pd.DataFrame(
+                {
+                    CACHE_KEY_COL: pdf[CACHE_KEY_COL],
+                    EXTRACTED_JSON_COL: jsons,
+                    ERRORS_COL: errors,
+                    IN_TOKENS_COL: itk,
+                    OUT_TOKENS_COL: otk,
+                    PART_ID_COL: pid,
+                }
+            )
+
+    keyed = df.withColumn(
+        CACHE_KEY_COL, F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    )
+    unique = (
+        keyed.select(CACHE_KEY_COL, F.col(text_col).alias("__text"))
+        .dropDuplicates([CACHE_KEY_COL])
+    )
+    extracted = unique.mapInPandas(run_unique, schema=out_schema)
+    return keyed.join(extracted, on=CACHE_KEY_COL, how="left")

@@ -51,15 +51,14 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
-    """k-wide MinHash signature (array<string>).
+def minhash_from_shingles(sh: Column, k: int = 16) -> Column:
+    """k-wide MinHash signature (array<string>) from a shingle array column.
 
     Hash family: md5(salt_i || shingle); the minimum is taken in
     lexicographic order of the hex digest. md5+string-min keeps the
     construction reproducible in any SQL engine (the correctness oracle),
     unlike engine-specific 64-bit hashes.
     """
-    sh = shingles(col, n)
     return F.array(
         *[
             F.array_min(
@@ -68,6 +67,13 @@ def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
             for i in range(k)
         ]
     )
+
+
+def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
+    """k-wide MinHash signature computed directly from text. Prefer
+    materializing `shingles()` into a column first (one projection) when
+    k is large — shingle construction then runs once per row, not k times."""
+    return minhash_from_shingles(shingles(col, n), k)
 
 
 def minhash_lsh_pairs(
@@ -85,9 +91,11 @@ def minhash_lsh_pairs(
     candidates. Shuffle key is the bucket hash — uniformly distributed.
     """
     rows_per_band = k // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), k, n).alias("__sig"),
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
+    )
+    sig = sh.select(
+        "__id", minhash_from_shingles(F.col("__sh"), k).alias("__sig")
     )
     banded = sig.select(
         "__id",
