@@ -114,22 +114,29 @@ def _h(*cols, salt: str) -> Column:
     return F.abs(F.xxhash64(F.lit(salt), *cols))
 
 
-def _pick(surfaces: list[str], h: Column) -> Column:
+def _field(h: Column, shift: int, size: int) -> Column:
+    """Derive an index field from distinct bits of ONE hash — a single
+    xxhash64 per sentence instead of one per argument keeps the expression
+    tree (and per-row eval cost) ~7x smaller."""
+    return F.shiftrightunsigned(h, shift) % size
+
+
+def _pick_at(surfaces: list[str], h: Column, shift: int) -> Column:
     arr = F.array(*[F.lit(s) for s in surfaces])
-    return F.element_at(arr, (h % len(surfaces) + 1).cast("int"))
+    return F.element_at(arr, (_field(h, shift, len(surfaces)) + 1).cast("int"))
 
 
 def _sentence(conv: Column, turn: Column, k: int) -> Column:
     """One deterministic sentence. Template mix: 6 fact, 1 null-word noise,
     1 disallowed-predicate noise, 4 distractor (weights via modulus)."""
-    hk = _h(conv, turn, F.lit(k), salt="tpl")
-    t = hk % 12
-    p1 = _pick(PERSON_SURFACES, _h(conv, turn, F.lit(k), salt="p1"))
-    p2 = _pick(PERSON_SURFACES, _h(conv, turn, F.lit(k), salt="p2"))
-    org = _pick(ORG_SURFACES, _h(conv, turn, F.lit(k), salt="o"))
-    tool = _pick(TOOL_SURFACES, _h(conv, turn, F.lit(k), salt="t"))
-    place = _pick(PLACE_SURFACES, _h(conv, turn, F.lit(k), salt="l"))
-    distractor = _pick(DISTRACTORS, _h(conv, turn, F.lit(k), salt="d"))
+    h = F.xxhash64(F.lit("sent"), conv, turn, F.lit(k))
+    t = F.abs(h) % 12
+    p1 = _pick_at(PERSON_SURFACES, h, 4)
+    p2 = _pick_at(PERSON_SURFACES, h, 9)
+    org = _pick_at(ORG_SURFACES, h, 14)
+    tool = _pick_at(TOOL_SURFACES, h, 19)
+    place = _pick_at(PLACE_SURFACES, h, 24)
+    distractor = _pick_at(DISTRACTORS, h, 29)
     c = F.concat
     lit = F.lit
     return (
@@ -169,17 +176,18 @@ def generate_transcripts(
     ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
 
     conv, turn = F.col("conv_id"), F.col("turn_idx")
-    n_sents = (_h(conv, turn, salt="ns") % 3 + 1).cast("int")
+    ht = F.xxhash64(F.lit("turn"), conv, turn)
+    n_sents = (F.abs(ht) % 3 + 1).cast("int")
     sents = F.slice(
         F.array(*[_sentence(conv, turn, k) for k in range(3)]), 1, n_sents
     )
     # ~25% of multi-sentence turns use paragraph breaks
-    para = (_h(conv, turn, salt="para") % 4) == 0
+    para = _field(ht, 2, 4) == 0
     text = F.when(para, F.array_join(sents, "\n\n")).otherwise(
         F.array_join(sents, " ")
     )
-    role = _pick(ROLES, _h(conv, turn, salt="role"))
-    tool = F.when(role == "tool", _pick(TOOL_SURFACES, _h(conv, turn, salt="tt")))
+    role = _pick_at(ROLES, ht, 5)
+    tool = F.when(role == "tool", _pick_at(TOOL_SURFACES, ht, 9))
     ts = F.timestamp_seconds(
         F.lit(1704067200) + F.col("_conv_no") * 3600 + turn.cast("long")
     )

@@ -59,28 +59,45 @@ class RuleTripleExtractor:
             raise TypeError("RuleTripleExtractor requires a nested triple spec")
         self.spec = spec
         phrases = predicate_phrases or DEFAULT_PREDICATE_PHRASES
-        self._patterns = [
-            (
-                pred,
-                re.compile(
-                    rf"(?P<subj>{ENTITY_RE}){phrase}(?P<obj>{ENTITY_RE})(?=[.!?])"
-                ),
-            )
-            for phrase, pred in phrases
-        ]
+        # ONE combined pattern (alternation over predicate phrases) — a
+        # single left-to-right scan yields matches already in document
+        # order and is ~len(phrases)x cheaper than per-predicate scans.
+        alt = "|".join(re.escape(p) for p, _ in phrases)
+        self._pattern = re.compile(
+            rf"(?P<subj>{ENTITY_RE})(?P<phrase>{alt})(?P<obj>{ENTITY_RE})(?=[.!?])"
+        )
+        self._pred_of = {p: pred for p, pred in phrases}
 
     def extract_raw(self, text: str) -> dict[str, Any]:
         if not text:
             return {self.spec.container_name: []}
-        hits: list[tuple[int, dict[str, Any]]] = []
-        for pred, pat in self._patterns:
-            for m in pat.finditer(text):
-                hits.append(
-                    (m.start(), {"subj": m.group("subj"), "pred": pred,
-                                 "obj": m.group("obj")})
+        items = [
+            {"subj": m.group("subj"), "pred": self._pred_of[m.group("phrase")],
+             "obj": m.group("obj")}
+            for m in self._pattern.finditer(text)
+        ]
+        return {self.spec.container_name: items}
+
+    def extract_raw_batch(self, texts) -> list[dict[str, Any]]:
+        """Vectorized batch extraction via pandas `str.extractall` (C regex
+        loop). Match order within a row is document order — same contract
+        as extract_raw."""
+        import pandas as pd
+
+        texts = pd.Series(texts).fillna("").reset_index(drop=True)
+        cname = self.spec.container_name
+        out: list[dict[str, Any]] = [{cname: []} for _ in range(len(texts))]
+        if len(texts) == 0:
+            return out
+        m = texts.str.extractall(self._pattern)
+        if len(m):
+            for (row, _match), subj, phrase, obj in zip(
+                m.index, m["subj"], m["phrase"], m["obj"]
+            ):
+                out[row][cname].append(
+                    {"subj": subj, "pred": self._pred_of[phrase], "obj": obj}
                 )
-        hits.sort(key=lambda x: x[0])
-        return {self.spec.container_name: [h[1] for h in hits]}
+        return out
 
 
 class FailingBackend:

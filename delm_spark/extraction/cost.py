@@ -1,0 +1,66 @@
+"""Cost tracking and budget enforcement (E10/E11).
+
+The reference tracks tokens with tiktoken and multiplies by a per-model
+price table, checking a budget between batches
+(/root/reference/src/delm/utils/cost_tracker.py:34-75,
+core/extraction_manager.py:193-195). Here token counts are columns the
+extraction UDF already emits (`delm_input_tokens`/`delm_output_tokens`,
+~4-chars/token estimate); totals are one aggregation, and the budget check
+runs driver-side between stage actions — a coarser guarantee than the
+reference's per-chunk check (a running Spark stage cannot be preempted
+mid-action), documented per SURVEY §7.4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delm_spark.extraction.extract import IN_TOKENS_COL, OUT_TOKENS_COL
+
+#: USD per 1M tokens (input, output). Same shape as the reference's price
+#: DB (utils/model_price_database.py:9-119); entries here are the handful
+#: of public list prices the reference's tests exercise.
+PRICE_PER_1M: dict[str, tuple[float, float]] = {
+    "gpt-4o-mini": (0.60, 2.40),
+    "gpt-4o": (5.00, 20.00),
+    "deterministic-rules": (0.0, 0.0),  # the in-sandbox backend is free
+}
+
+
+@dataclass
+class CostSummary:
+    input_tokens: int
+    output_tokens: int
+    cost_usd: float
+
+
+def summarize_cost(extracted: DataFrame, model: str = "deterministic-rules") -> CostSummary:
+    """One aggregation over the extraction output's token columns."""
+    row = extracted.agg(
+        F.coalesce(F.sum(IN_TOKENS_COL), F.lit(0)).alias("it"),
+        F.coalesce(F.sum(OUT_TOKENS_COL), F.lit(0)).alias("ot"),
+    ).collect()[0]
+    p_in, p_out = PRICE_PER_1M.get(model, (0.0, 0.0))
+    cost = row["it"] / 1e6 * p_in + row["ot"] / 1e6 * p_out
+    return CostSummary(int(row["it"]), int(row["ot"]), cost)
+
+
+def check_budget(summary: CostSummary, max_budget: float | None) -> bool:
+    """True if within budget (None = unlimited). Call between stage
+    actions; on False the driver stops scheduling further stages
+    (reference extraction_manager.py:193-195 semantics, stage-granular)."""
+    return max_budget is None or summary.cost_usd <= max_budget
+
+
+def estimate_input_cost(
+    chunks: DataFrame, text_col: str, model: str = "gpt-4o-mini"
+) -> float:
+    """Pre-flight input-token cost estimate (reference
+    utils/cost_estimation.py:29-107): length/4 token proxy, native agg."""
+    toks = chunks.agg(
+        F.coalesce(F.sum(F.ceil(F.length(text_col) / 4)), F.lit(0)).alias("t")
+    ).collect()[0]["t"]
+    return toks / 1e6 * PRICE_PER_1M.get(model, (0.0, 0.0))[0]

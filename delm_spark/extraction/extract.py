@@ -62,6 +62,20 @@ def _token_estimate(s: str) -> int:
 def _extract_series(
     texts, spec: SchemaSpec, backend: ExtractorBackend, max_retries: int
 ):
+    # fast path: vectorized backend (C regex loop) + per-row clean
+    if hasattr(backend, "extract_raw_batch"):
+        jsons, errors, in_toks, out_toks = [], [], [], []
+        raws = backend.extract_raw_batch(texts)
+        for text, raw in zip(texts, raws):
+            text = text or ""
+            cleaned = clean_response(raw, spec, text)
+            j = json.dumps(cleaned, sort_keys=False)
+            jsons.append(j)
+            errors.append(None)
+            in_toks.append(_token_estimate(text))
+            out_toks.append(_token_estimate(j))
+        return jsons, errors, in_toks, out_toks
+
     jsons, errors, in_toks, out_toks = [], [], [], []
     for text in texts:
         text = text or ""

@@ -192,7 +192,10 @@ def run_pipeline(
     )
 
     def build_extracted():
-        df = chunks
+        # only the composite key + text cross the Arrow boundary; role/ts
+        # stay out of the Python stage (column pruning by hand — the UDF is
+        # a black box to Catalyst)
+        df = chunks.select("conv_id", "turn_idx", CHUNK_POS_COL, CHUNK_COL)
         if config.extract_partitions:
             # round-robin spread of the Python-heavy stage; composite keys
             # make this safe (no per-partition ordering assumptions)

@@ -1,0 +1,85 @@
+"""Physical-plan quality gates: filters reach the parquet scan, small
+dimensions broadcast, scans prune columns, and the native operator chain
+stays inside whole-stage codegen. These guard the 100-TB properties that
+row counts can't."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from tests.conftest import TESTDATA
+
+SF_DIR = str(TESTDATA / "sf0.001")
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    df = entry_mod.q1_pricing_summary(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # only the needed columns are read
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+    assert "WholeStageCodegen" in plan
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = _plan(entry_mod.q3_top_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_brand_revenue_broadcasts_part(spark):
+    plan = _plan(entry_mod.broadcast_brand_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_keyword_score_is_native(spark):
+    """R1 must not fall out of codegen into a Python eval."""
+    plan = _plan(entry_mod.keyword_score_filter(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_regex_split_is_native(spark):
+    plan = _plan(entry_mod.regex_split_chunks(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_entity_link_broadcasts_dictionary(spark):
+    from delm_spark.data.synthetic import entity_dictionary
+    from delm_spark.kg.linking import link_mentions
+
+    triples = spark.createDataFrame(
+        [("c", 0, 0, 0, "Alice Smith", "works_at", "Acme Corp")],
+        "conv_id string, turn_idx int, chunk_pos int, item_pos int, "
+        "subj string, pred string, obj string",
+    )
+    plan = _plan(link_mentions(triples, entity_dictionary(spark)))
+    assert plan.count("BroadcastHashJoin") >= 2  # subj + obj lookups
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_python_stage_is_arrow_batched(spark):
+    """The one sanctioned Python stage must be Arrow-vectorized
+    (MapInPandas), never row-at-a-time Python (BatchEvalPython)."""
+    from delm_spark.data.synthetic import TRIPLE_SCHEMA_CFG, generate_transcripts
+    from delm_spark.extraction.backend import RuleTripleExtractor
+    from delm_spark.extraction.extract import extract_chunks
+    from delm_spark.kg.pipeline import chunk_transcripts
+    from delm_spark.schemas.spec import spec_from_dict
+
+    spec = spec_from_dict(TRIPLE_SCHEMA_CFG)
+    chunks = chunk_transcripts(generate_transcripts(spark, n_convs=5))
+    plan = _plan(extract_chunks(chunks, spec, RuleTripleExtractor(spec)))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
