@@ -27,6 +27,7 @@ from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
 from delm_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
 from delm_spark.operators.scoring import fuzzy_score_udf, keyword_score_expr
@@ -35,8 +36,9 @@ from delm_spark.operators.splitting import (
     fixed_window_split_udf,
     regex_split_expr,
 )
-from delm_spark.operators.text import whitespace_token_count
+from delm_spark.operators.text import lang_id, quality_score, whitespace_token_count
 from delm_spark.operators.merge import majority_vote_df
+from delm_spark.operators.skew import salted_count
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -330,6 +332,49 @@ def dedup_events_first(spark, sf_dir):
     )
 
 
+def minhash_signature_docs(spark, sf_dir):
+    """MinHash signatures (k=4, md5-based, SQL-reproducible)."""
+    from delm_spark.operators.dedup import minhash_from_shingles, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("__sh"))
+    sig = sh.select("doc_id", minhash_from_shingles(F.col("__sh"), 4).alias("__sig"))
+    return sig.select(
+        "doc_id",
+        *[F.element_at("__sig", i + 1).alias(f"sig_{i}") for i in range(4)],
+    ).orderBy("doc_id")
+
+
+def ngram_jaccard_docs(spark, sf_dir):
+    """Exact n-gram Jaccard similarity pairs (all-pairs on a 200-doc slice)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def lang_id_docs(spark, sf_dir):
+    """Stopword-vote language heuristic per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang")).orderBy(
+        "doc_id"
+    )
+
+
+def quality_score_docs(spark, sf_dir):
+    """Composite heuristic text-quality score per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+def salted_user_counts(spark, sf_dir):
+    """Two-phase salted aggregation (skew path) == plain groupBy count."""
+    ev = _t(spark, sf_dir, "events")
+    return salted_count(ev, "user_id", buckets=8).orderBy("user_id")
+
+
 # --- rows-only queries (no SQL-expressible oracle) -------------------------
 
 def kg_triples_pipeline(spark, sf_dir):
@@ -413,6 +458,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "dedup_events_first": dedup_events_first,
+        "minhash_signature_docs": minhash_signature_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "lang_id_docs": lang_id_docs,
+        "quality_score_docs": quality_score_docs,
+        "salted_user_counts": salted_user_counts,
         "kg_triples_pipeline": kg_triples_pipeline,
         "kg_nodes_canonical": kg_nodes_canonical,
         "connected_components_demo": connected_components_demo,
@@ -596,5 +646,78 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY ts, event_id) AS rn
                 FROM events)
             WHERE rn = 1 ORDER BY user_id, event_type
+        """,
+        "minhash_signature_docs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(w) - 2, 1)),
+                           i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(
+                                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                 ' ') AS w
+                      FROM documents))
+            SELECT doc_id,
+                   list_min(list_transform(s, x -> md5('salt0|' || x))) AS sig_0,
+                   list_min(list_transform(s, x -> md5('salt1|' || x))) AS sig_1,
+                   list_min(list_transform(s, x -> md5('salt2|' || x))) AS sig_2,
+                   list_min(list_transform(s, x -> md5('salt3|' || x))) AS sig_3
+            FROM sh ORDER BY doc_id
+        """,
+        "ngram_jaccard_docs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(w) - 2, 1)),
+                           i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(
+                                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                 ' ') AS w
+                      FROM documents WHERE doc_id < 200))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (len(list_intersect(a.s, b.s))::DOUBLE
+                    / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE (len(list_intersect(a.s, b.s))::DOUBLE
+                   / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        "lang_id_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                FROM documents),
+            hits AS (
+                SELECT doc_id,
+                       list_aggregate([
+                           {'hits': len(list_filter(words, x -> list_contains(['the','and','of','to','is'], x))), 'lang': 'en'},
+                           {'hits': len(list_filter(words, x -> list_contains(['el','la','de','que','los'], x))), 'lang': 'es'},
+                           {'hits': len(list_filter(words, x -> list_contains(['le','la','les','des','est'], x))), 'lang': 'fr'},
+                           {'hits': len(list_filter(words, x -> list_contains(['der','die','und','das','ist'], x))), 'lang': 'de'}
+                       ], 'max') AS best
+                FROM w)
+            SELECT doc_id,
+                   CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred_lang
+            FROM hits ORDER BY doc_id
+        """,
+        "quality_score_docs": """
+            SELECT doc_id,
+                   round((
+                       least(length(text) / 500.0, 1.0)
+                       + (CASE WHEN (length(text)::DOUBLE
+                                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+                                    BETWEEN 3 AND 10
+                               THEN 1.0 ELSE 0.5 END)
+                       + (1.0 - least(
+                             (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                              / greatest(length(text), 1)) * 2, 1.0))
+                   ) / 3.0, 6) AS quality
+            FROM documents ORDER BY doc_id
+        """,
+        "salted_user_counts": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            GROUP BY user_id ORDER BY user_id
         """,
     }

@@ -59,14 +59,15 @@ def minhash_from_shingles(sh: Column, k: int = 16) -> Column:
     construction reproducible in any SQL engine (the correctness oracle),
     unlike engine-specific 64-bit hashes.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"salt{i}|"), s)))
-            )
-            for i in range(k)
-        ]
-    )
+    def _min_hash(i: int):
+        # NB: capture i via factory, NOT a defaulted lambda arg — PySpark
+        # treats a two-parameter lambda as (element, index) and would bind
+        # the array index over the default.
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"salt{i}|"), s)))
+        )
+
+    return F.array(*[_min_hash(i) for i in range(k)])
 
 
 def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
