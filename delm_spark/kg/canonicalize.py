@@ -20,9 +20,17 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Return (node, component) with component = min node label (string
-    ordering) reachable from the node."""
+    ordering) reachable from the node.
+
+    `num_partitions` sizes the per-iteration shuffles; when omitted it is
+    derived from the edge count (small graphs run on few partitions — an
+    iterative loop over a tiny frame at full shuffle width pays task-
+    scheduling overhead proportional to cores x iterations, which is
+    exactly the anti-scaling pattern the bench would expose).
+    """
     spark = edges.sparkSession
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -31,6 +39,12 @@ def connected_components(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .localCheckpoint(eager=True)
     )
+    if num_partitions is None:
+        n_edges = sym.count()
+        # ~1M edges per partition, clamped to the session's shuffle width
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = max(1, min(width, n_edges // 1_000_000 + 1))
+    sym = sym.repartition(num_partitions, "a").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .dropDuplicates(["node"])
@@ -46,6 +60,7 @@ def connected_components(
         new_labels = (
             labels.select("node", "component")
             .unionByName(msgs)
+            .repartition(num_partitions, "node")
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)

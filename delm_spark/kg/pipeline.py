@@ -72,7 +72,7 @@ class StageRunner:
     #: stages worth caching when running without a checkpoint dir — they are
     #: consumed by several downstream actions (CC iterations, nodes, edges)
     #: and sit above the Python-heavy extraction stage.
-    PERSISTED_STAGES = {"s2_extracted", "s3_triples", "s4_nodes"}
+    PERSISTED_STAGES = {"s1_chunks", "s2_extracted", "s3_triples", "s4_nodes"}
 
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         if self.dir is None:
