@@ -213,4 +213,11 @@ def entity_dictionary(spark: SparkSession) -> DataFrame:
         for cid, surfs in d.items():
             for s in surfs:
                 rows.append((s.lower(), cid, 1.0))
-    return spark.createDataFrame(rows, "surface string, canonical_id string, weight double")
+    # single partition: createDataFrame otherwise parallelizes over
+    # defaultParallelism slices, and every downstream materialization
+    # (each CC iteration, each broadcast build) would run one Python
+    # deserializer task PER SLICE — pure scheduling overhead that grows
+    # with core count.
+    return spark.createDataFrame(
+        rows, "surface string, canonical_id string, weight double"
+    ).coalesce(1)

@@ -174,5 +174,11 @@ def extract_chunks(
         keyed.select(CACHE_KEY_COL, F.col(text_col).alias("__text"))
         .dropDuplicates([CACHE_KEY_COL])
     )
+    # Explicit width for the Python stage: AQE coalesces the dedup shuffle
+    # for JVM byte sizes (a few MB of text -> a handful of partitions),
+    # which would serialize the Arrow/pandas extraction; an explicit
+    # repartition is exempt from AQE coalescing and keeps every core busy.
+    width = df.sparkSession.sparkContext.defaultParallelism * 2
+    unique = unique.repartition(width)
     extracted = unique.mapInPandas(run_unique, schema=out_schema)
     return keyed.join(extracted, on=CACHE_KEY_COL, how="left")

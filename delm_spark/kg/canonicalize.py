@@ -15,12 +15,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: below this many edges, run union-find on the driver — an iterative
+#: Spark loop on a tiny graph costs ~10 jobs of pure scheduling overhead
+#: (the canonical dictionary is broadcast-sized BY DESIGN, north rule)
+DRIVER_CC_MAX_EDGES = 100_000
+
+
+def _driver_union_find(pairs: list) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        if a is None or b is None:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min label wins, matching the distributed min-label semantics
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in list(parent) + [p for pr in pairs for p in pr if p is not None]}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
     num_partitions: int | None = None,
+    driver_cutoff: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Return (node, component) with component = min node label (string
     ordering) reachable from the node.
@@ -39,8 +68,16 @@ def connected_components(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .localCheckpoint(eager=True)
     )
+    n_edges = sym.count()
+    if n_edges <= driver_cutoff:
+        # tiny graph: one collect + pure-python union-find + one
+        # createDataFrame replaces ~3 jobs per iteration
+        pairs = [(r["a"], r["b"]) for r in sym.collect()]
+        comp = _driver_union_find(pairs)
+        return spark.createDataFrame(
+            sorted(comp.items()), "node string, component string"
+        ).coalesce(1)
     if num_partitions is None:
-        n_edges = sym.count()
         # ~1M edges per partition, clamped to the session's shuffle width
         width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         num_partitions = max(1, min(width, n_edges // 1_000_000 + 1))
@@ -57,12 +94,25 @@ def connected_components(
             sym.join(labels, sym["a"] == labels["node"])
             .select(F.col("b").alias("node"), F.col("component"))
         )
-        new_labels = (
+        relaxed = (
             labels.select("node", "component")
             .unionByName(msgs)
             .repartition(num_partitions, "node")
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping (path halving): component <- component's component;
+        # with the neighbor-min step this converges in O(log diameter)
+        # rounds instead of O(diameter)
+        jump = relaxed.select(
+            F.col("node").alias("__c"), F.col("component").alias("__cc")
+        )
+        new_labels = (
+            relaxed.join(jump, relaxed["component"] == jump["__c"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -72,13 +72,21 @@ class StageRunner:
     #: stages worth caching when running without a checkpoint dir — they are
     #: consumed by several downstream actions (CC iterations, nodes, edges)
     #: and sit above the Python-heavy extraction stage.
-    PERSISTED_STAGES = {"s1_chunks", "s2_extracted", "s3_triples", "s4_nodes"}
+    # s4_nodes/s5_edges are consumed once — no persist needed
+    PERSISTED_STAGES = {"s1_chunks", "s2_extracted", "s3_triples"}
 
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         if self.dir is None:
             df = build()
             if name in self.PERSISTED_STAGES:
+                # persist AND materialize eagerly: AQE executes independent
+                # query-stage branches of the final action concurrently, and
+                # concurrent branches over a cold cache each recompute the
+                # whole upstream (including the Python extraction) — eager
+                # counts serialize stage materialization so every stage runs
+                # exactly once.
                 df = df.persist()
+                df.count()
             return df
         p = self._path(name)
         if self.is_committed(name):
@@ -183,6 +191,9 @@ def run_pipeline(
     spec = spec_from_dict(config.schema_cfg)
     backend = backend or RuleTripleExtractor(spec)
     runner = StageRunner(spark, config.checkpoint_dir)
+    # materialize the dictionary once — it is re-read by every CC
+    # iteration and broadcast build
+    dictionary = dictionary.localCheckpoint(eager=True)
 
     chunks = runner.stage(
         "s1_chunks",
