@@ -375,6 +375,44 @@ def salted_user_counts(spark, sf_dir):
     return salted_count(ev, "user_id", buckets=8).orderBy("user_id")
 
 
+def collect_ordered_langs(spark, sf_dir):
+    """A2 semantics: order-preserving list concat per record — explicit
+    (sort_array of (pos, val) structs) where the reference relies on
+    implicit input order (post_processing.py:80-90)."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id").alias("p"), F.col("lang").alias("v")))
+        ).alias("__s")
+    )
+    return agg.select(
+        "source",
+        F.transform(F.col("__s"), lambda s: s.getField("v")).alias("langs"),
+    ).orderBy("source")
+
+
+def explode_extracted_triples(spark, sf_dir):
+    """X1: explode_json_results over the extraction JSON column (nested
+    schema) — rows-only (the JSON comes from the synthetic pipeline)."""
+    from delm_spark.operators.explode import explode_json_results
+    from delm_spark.extraction.backend import RuleTripleExtractor
+    from delm_spark.extraction.extract import extract_chunks
+    from delm_spark.kg.pipeline import chunk_transcripts, score_and_filter
+    from delm_spark.schemas.spec import spec_from_dict
+    from delm_spark.data.synthetic import FACT_KEYWORDS, TRIPLE_SCHEMA_CFG
+
+    spec = spec_from_dict(TRIPLE_SCHEMA_CFG)
+    t = generate_transcripts(spark, n_convs=min(_n_convs_for(sf_dir), 300))
+    chunks = score_and_filter(chunk_transcripts(t), list(FACT_KEYWORDS), 1.0)
+    ext = extract_chunks(
+        chunks.select("conv_id", "turn_idx", "chunk_pos", "delm_text_chunk"),
+        spec, RuleTripleExtractor(spec),
+    )
+    return explode_json_results(
+        ext, spec, keep_cols=["conv_id", "turn_idx", "chunk_pos"]
+    ).orderBy("conv_id", "turn_idx", "chunk_pos", "subj", "pred", "obj")
+
+
 # --- rows-only queries (no SQL-expressible oracle) -------------------------
 
 def kg_triples_pipeline(spark, sf_dir):
@@ -463,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": lang_id_docs,
         "quality_score_docs": quality_score_docs,
         "salted_user_counts": salted_user_counts,
+        "collect_ordered_langs": collect_ordered_langs,
+        "explode_extracted_triples": explode_extracted_triples,
         "kg_triples_pipeline": kg_triples_pipeline,
         "kg_nodes_canonical": kg_nodes_canonical,
         "connected_components_demo": connected_components_demo,
@@ -719,5 +759,9 @@ def oracle_sql() -> dict[str, str]:
         "salted_user_counts": """
             SELECT user_id, COUNT(*) AS n FROM events
             GROUP BY user_id ORDER BY user_id
+        """,
+        "collect_ordered_langs": """
+            SELECT source, list(lang ORDER BY doc_id) AS langs
+            FROM documents GROUP BY source ORDER BY source
         """,
     }

@@ -128,27 +128,44 @@ def connected_components(
     return labels
 
 
-def canonical_labels(
-    linked_triples: DataFrame, dictionary: DataFrame
-) -> DataFrame:
-    """Map every entity id appearing in the linked triples to a canonical
-    component label.
+def canonical_map(dictionary: DataFrame) -> DataFrame:
+    """(node -> canonical_id) map from the dictionary's alias graph alone.
 
-    Edges: (surface-id <-> canonical-id) pairs from the dictionary — alias
-    surfaces sharing a canonical id collapse into one component; chains of
-    dictionary entries (a surface mapped by several ids) also merge.
+    Canonicalization depends only on the alias graph (surface <->
+    canonical-id edges): alias surfaces sharing a canonical id collapse
+    into one component, chains of dictionary entries merge, and any
+    entity NOT in the dictionary is a singleton by construction — it
+    needs no row here (consumers coalesce to the entity's own id).
+    The component representative is the smallest non-mention node
+    (a curated canonical id) when one exists.
+
+    Output is broadcast-sized whenever the dictionary is (north rule).
     """
     dict_edges = dictionary.select(
         F.concat(F.lit("mention:"), F.col("surface")).alias("src"),
         F.col("canonical_id").alias("dst"),
     )
     cc = connected_components(dict_edges)
+    repr_ = cc.groupBy("component").agg(
+        F.min(
+            F.when(~F.col("node").startswith("mention:"), F.col("node"))
+        ).alias("__repr")
+    )
+    return cc.join(repr_, "component").select(
+        "node",
+        F.coalesce(F.col("__repr"), F.col("component")).alias("canonical_id"),
+    )
+
+
+def canonical_labels(linked_triples: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Back-compat helper: map every entity id appearing in the linked
+    triples to a component label (dictionary components + singletons)."""
+    cc = canonical_map(dictionary).withColumnRenamed("canonical_id", "component")
     ids = (
         linked_triples.select(F.col("subj_id").alias("node"))
         .unionByName(linked_triples.select(F.col("obj_id").alias("node")))
         .dropDuplicates(["node"])
     )
-    # entities not in the dictionary form singleton components
     return ids.join(cc, "node", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("node"))
     )

@@ -35,7 +35,7 @@ from delm_spark.constants import (
 from delm_spark.data.synthetic import FACT_KEYWORDS, TRIPLE_SCHEMA_CFG
 from delm_spark.extraction.backend import ExtractorBackend, RuleTripleExtractor
 from delm_spark.extraction.extract import extract_chunks
-from delm_spark.kg.canonicalize import canonical_labels
+from delm_spark.kg.canonicalize import canonical_map
 from delm_spark.kg.linking import link_mentions
 from delm_spark.operators.scoring import keyword_score_expr
 from delm_spark.operators.splitting import paragraph_split_expr
@@ -69,25 +69,16 @@ class StageRunner:
         if self.dir is not None and self._path(name).exists():
             shutil.rmtree(self._path(name))
 
-    #: stages worth caching when running without a checkpoint dir — they are
-    #: consumed by several downstream actions (CC iterations, nodes, edges)
-    #: and sit above the Python-heavy extraction stage.
-    # s4_nodes/s5_edges are consumed once — no persist needed
-    PERSISTED_STAGES = {"s1_chunks", "s2_extracted", "s3_triples"}
-
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
+        # Without a checkpoint dir the pipeline is ONE lazy linear DAG —
+        # no persist, no eager counts. Measured on this box: in-memory
+        # cache writes convoy badly above ~16 concurrent tasks (single-JVM
+        # MemoryStore contention), and persisted-stage plans tempt AQE
+        # into materializing independent branches concurrently over a cold
+        # cache (duplicating the Python extraction). The restructured plan
+        # consumes every stage exactly once, so neither mechanism is needed.
         if self.dir is None:
-            df = build()
-            if name in self.PERSISTED_STAGES:
-                # persist AND materialize eagerly: AQE executes independent
-                # query-stage branches of the final action concurrently, and
-                # concurrent branches over a cold cache each recompute the
-                # whole upstream (including the Python extraction) — eager
-                # counts serialize stage materialization so every stage runs
-                # exactly once.
-                df = df.persist()
-                df.count()
-            return df
+            return build()
         p = self._path(name)
         if self.is_committed(name):
             self.resumed.append(name)
@@ -195,6 +186,12 @@ def run_pipeline(
     # iteration and broadcast build
     dictionary = dictionary.localCheckpoint(eager=True)
 
+    # canonical map from the dictionary's alias graph alone (driver-side
+    # union-find for broadcast-sized dictionaries) — no triples dependency,
+    # so the main DAG below stays strictly linear with every stage consumed
+    # exactly once.
+    labels = canonical_map(dictionary).localCheckpoint(eager=True)
+
     chunks = runner.stage(
         "s1_chunks",
         lambda: score_and_filter(
@@ -222,35 +219,18 @@ def run_pipeline(
         lambda: link_mentions(triples_from_extracted(extracted, spec), dictionary),
     )
 
-    def build_nodes():
-        labels = canonical_labels(triples, dictionary)
-        # prefer a non-mention canonical id as the component representative
-        repr_ = labels.groupBy("component").agg(
-            F.min(F.when(~F.col("node").startswith("mention:"), F.col("node"))).alias(
-                "__repr"
-            )
-        )
-        return (
-            labels.join(repr_, "component")
-            .select(
-                F.col("node").alias("entity_id"),
-                F.coalesce(F.col("__repr"), F.col("component")).alias("canonical_id"),
-            )
-        )
-
-    nodes = runner.stage("s4_nodes", build_nodes)
-
     def build_edges():
-        n_s = nodes.select(
-            F.col("entity_id").alias("subj_id"), F.col("canonical_id").alias("subj_canonical")
+        l_s = labels.select(
+            F.col("node").alias("subj_id"), F.col("canonical_id").alias("subj_canonical")
         )
-        n_o = nodes.select(
-            F.col("entity_id").alias("obj_id"), F.col("canonical_id").alias("obj_canonical")
+        l_o = labels.select(
+            F.col("node").alias("obj_id"), F.col("canonical_id").alias("obj_canonical")
         )
-        # node table is small relative to triples: broadcast both lookups
+        # canonical map is broadcast-sized by design; unmapped entities are
+        # singleton components (coalesce to their own id)
         return (
-            triples.join(F.broadcast(n_s), "subj_id", "left")
-            .join(F.broadcast(n_o), "obj_id", "left")
+            triples.join(F.broadcast(l_s), "subj_id", "left")
+            .join(F.broadcast(l_o), "obj_id", "left")
             .select(
                 "conv_id",
                 "turn_idx",
@@ -259,12 +239,34 @@ def run_pipeline(
                 "subj",
                 "pred",
                 "obj",
+                "subj_id",
+                "obj_id",
                 F.coalesce("subj_canonical", F.col("subj_id")).alias("subj_canonical"),
                 F.coalesce("obj_canonical", F.col("obj_id")).alias("obj_canonical"),
             )
         )
 
-    edges = runner.stage("s5_edges", build_edges)
+    edges = runner.stage("s4_edges", build_edges)
+
+    def build_nodes():
+        # node table derived from the edge output (one scan of the final
+        # table, not a recompute of the triples DAG): every entity id
+        # observed in the graph plus its canonical component
+        return (
+            edges.select(
+                F.col("subj_id").alias("entity_id"),
+                F.col("subj_canonical").alias("canonical_id"),
+            )
+            .unionByName(
+                edges.select(
+                    F.col("obj_id").alias("entity_id"),
+                    F.col("obj_canonical").alias("canonical_id"),
+                )
+            )
+            .dropDuplicates(["entity_id"])
+        )
+
+    nodes = runner.stage("s5_nodes", build_nodes)
 
     return PipelineResult(
         chunks=chunks,
