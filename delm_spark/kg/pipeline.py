@@ -99,7 +99,12 @@ class PipelineConfig:
     keywords: list = field(default_factory=lambda: list(FACT_KEYWORDS))
     score_threshold: float = 1.0
     checkpoint_dir: Optional[str] = None
-    dedup_extraction: bool = True
+    #: False = inline extraction (zero-shuffle map-only pipeline; right for
+    #: cheap deterministic backends). True = sha2-dedup each distinct text
+    #: before extraction and join back — right when the backend is a paid
+    #: LLM call and the corpus repeats text (the reference's exact-match
+    #: cache, semantic_cache.py:81-103).
+    dedup_extraction: bool = False
     #: repartition width for the extraction stage; None = leave to AQE.
     #: Salting hot conversations: chunk rows already carry (conv_id,
     #: turn_idx, chunk_pos) composite keys, so a round-robin repartition

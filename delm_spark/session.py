@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local corpora are small; the 128m default would yield fewer scan
+        # splits than cores and cap the map-phase parallelism. At real
+        # cluster scale set this back up via SPARK_FILES_MAX_PARTITION.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_FILES_MAX_PARTITION", "16m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
