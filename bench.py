@@ -61,8 +61,10 @@ def main() -> None:
     n_convs = N_CONVS.get(sf_name, max(500, int(500_000 * sf)))
     corpus_path = f"/tmp/delm_bench_transcripts_{sf_name}_{n_convs}"
     if not Path(corpus_path, "_SUCCESS").exists():
+        # 64+ output files: row groups are indivisible scan units; few big
+        # files would cap the map-phase parallelism of every timed run
         generate_transcripts(
-            spark, n_convs=n_convs, n_hot=max(2, n_convs // 1000)
+            spark, n_convs=n_convs, n_hot=max(2, n_convs // 1000), partitions=64
         ).write.mode("overwrite").parquet(corpus_path)
     transcripts = spark.read.parquet(corpus_path)
     n_turns = transcripts.count()  # warm the page cache; untimed
