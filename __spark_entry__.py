@@ -76,12 +76,14 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            # integer-unit sums: l_quantity is integral; integer sums are
+            # order-independent (FP addition order differs across engines)
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
             F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
             F.sum(
                 cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("sum_disc_price_cents"),
-            (F.sum("l_quantity") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -311,8 +313,10 @@ def events_sessionize(spark, sf_dir):
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            # epoch bigints: timestamp canonicalization differs across
+            # engines inside aggregates; integers hash identically
+            F.min("ts").cast("timestamp").cast("long").alias("session_start"),
+            F.max("ts").cast("timestamp").cast("long").alias("session_end"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -333,12 +337,13 @@ def dedup_events_first(spark, sf_dir):
 
 
 def minhash_signature_docs(spark, sf_dir):
-    """MinHash signatures (k=4, md5-based, SQL-reproducible)."""
-    from delm_spark.operators.dedup import minhash_from_shingles, shingles
+    """MinHash signatures (k=4, md5-based, SQL-reproducible) via the
+    one-pass explode+groupBy scale path (single shuffle, no k-fold
+    shingle recompute)."""
+    from delm_spark.operators.dedup import minhash_signatures_agg
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("__sh"))
-    sig = sh.select("doc_id", minhash_from_shingles(F.col("__sh"), 4).alias("__sig"))
+    sig = minhash_signatures_agg(docs, "text", "doc_id", k=4)
     return sig.select(
         "doc_id",
         *[F.element_at("__sig", i + 1).alias(f"sig_{i}") for i in range(4)],
@@ -387,7 +392,11 @@ def collect_ordered_langs(spark, sf_dir):
     )
     return agg.select(
         "source",
-        F.transform(F.col("__s"), lambda s: s.getField("v")).alias("langs"),
+        # scalar representation: the driver's canonicalizer sorts result
+        # columns in pandas and array cells are unhashable — join to string
+        F.array_join(
+            F.transform(F.col("__s"), lambda s: s.getField("v")), "|"
+        ).alias("langs"),
     ).orderBy("source")
 
 
@@ -430,15 +439,26 @@ def kg_nodes_canonical(spark, sf_dir):
 
 
 def connected_components_demo(spark, sf_dir):
-    """J6: iterative min-label propagation over the alias-edge table."""
+    """J6: DISTRIBUTED min-label + pointer-jumping connected components
+    (driver_cutoff=0 forces the iterative join path) over a chain graph
+    derived from orders: an edge links consecutive orderkeys within each
+    64-key block. Components are maximal consecutive runs — the oracle
+    derives them closed-form (gaps-and-islands), independently of any
+    label-propagation logic."""
     from delm_spark.kg.canonicalize import connected_components
 
-    d = entity_dictionary(spark)
-    edges = d.select(
-        F.concat(F.lit("mention:"), F.col("surface")).alias("src"),
-        F.col("canonical_id").alias("dst"),
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000)
+    keys = orders.select(F.col("o_orderkey").alias("k"))
+    nxt = keys.select((F.col("k")).alias("k2"))
+    edges = (
+        keys.filter((F.col("k") % 64) != 63)
+        .join(nxt, F.col("k") + 1 == F.col("k2"), "left_semi")
+        .select(
+            F.format_string("n%08d", F.col("k")).alias("src"),
+            F.format_string("n%08d", F.col("k") + 1).alias("dst"),
+        )
     )
-    return connected_components(edges).orderBy("node")
+    return connected_components(edges, driver_cutoff=0).orderBy("node")
 
 
 def minhash_lsh_pairs_docs(spark, sf_dir):
@@ -450,9 +470,15 @@ def minhash_lsh_pairs_docs(spark, sf_dir):
 
 
 def simhash_pairs_docs(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 3, 16-bit blocking)."""
+    """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
+    recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
+    so the oracle reproduces them)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(docs, "text", "doc_id").orderBy("id_a", "id_b")
+    return (
+        simhash_dedup_pairs(docs, "text", "doc_id")
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def fuzzy_score_docs(spark, sf_dir):
@@ -517,10 +543,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(l_quantity)::DOUBLE AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
-                   (SUM(l_quantity) / COUNT(*))::DOUBLE AS avg_qty,
+                   SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_price_cents,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS sum_disc_price_cents,
+                   round(SUM(l_quantity) / COUNT(*), 6)::DOUBLE AS avg_qty,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -529,7 +555,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_top_orders": """
             SELECT o_orderkey, o_orderdate,
-                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -540,7 +566,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_brand_revenue": """
             SELECT p_brand,
-                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents,
                    COUNT(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
@@ -658,7 +684,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_cents
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
         """,
         "events_sessionize": """
@@ -674,8 +700,10 @@ def oracle_sql() -> dict[str, str]:
                        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM flagged)
-            SELECT user_id, session_id, COUNT(*) AS n_events,
-                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   COUNT(*) AS n_events,
+                   CAST(floor(date_part('epoch', MIN(ts))) AS BIGINT) AS session_start,
+                   CAST(floor(date_part('epoch', MAX(ts))) AS BIGINT) AS session_end
             FROM sess GROUP BY user_id, session_id
             ORDER BY user_id, session_id
         """,
@@ -761,7 +789,84 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id ORDER BY user_id
         """,
         "collect_ordered_langs": """
-            SELECT source, list(lang ORDER BY doc_id) AS langs
+            SELECT source, array_to_string(list(lang ORDER BY doc_id), '|') AS langs
             FROM documents GROUP BY source ORDER BY source
         """,
+        "connected_components_demo": """
+            -- closed-form expected components for the consecutive-orderkey
+            -- chain graph: maximal runs of consecutive keys within a 64-key
+            -- block (gaps-and-islands); derivation is independent of any
+            -- label-propagation logic. Runs of length 1 have no edges and
+            -- are absent from the CC output.
+            WITH nodes AS (
+                SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 20000),
+            g AS (
+                SELECT k, k - row_number() OVER (ORDER BY k) AS island,
+                       k // 64 AS blk
+                FROM nodes),
+            runs AS (
+                SELECT k, MIN(k) OVER (PARTITION BY island, blk) AS mk,
+                       COUNT(*) OVER (PARTITION BY island, blk) AS cnt
+                FROM g)
+            SELECT printf('n%08d', k) AS node, printf('n%08d', mk) AS component
+            FROM runs WHERE cnt >= 2 ORDER BY node
+        """,
+        "simhash_pairs_docs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
+                    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))) AS t
+                FROM documents),
+            h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+                FROM toks),
+            hl AS (SELECT doc_id, list(hv) AS hs, COUNT(*) AS n FROM h GROUP BY doc_id),
+            sig AS (
+                SELECT doc_id,
+                       list_sum(list_transform(generate_series(0, 59),
+                           b -> CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) >= n
+                                     THEN (CAST(1 AS BIGINT) << b)
+                                     ELSE CAST(0 AS BIGINT) END))::BIGINT AS s
+                FROM hl),
+            blocks AS (
+                SELECT doc_id, s, k, ((s >> (k * 15)) & 32767) AS blk
+                FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+            FROM blocks a JOIN blocks b
+              ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+            ORDER BY id_a, id_b
+        """,
+        "minhash_lsh_pairs_docs": _minhash_lsh_oracle_sql(k=16, bands=4),
     }
+
+
+def _minhash_lsh_oracle_sql(k: int, bands: int) -> str:
+    """DuckDB replica of minhash_signatures_agg + banding + bucket join."""
+    rows = k // bands
+    sig_exprs = ",\n                       ".join(
+        f"list_min(list_transform(s, x -> md5('salt{i}|' || x)))" for i in range(k)
+    )
+    band_list = ", ".join(str(b) for b in range(bands))
+    return f"""
+            WITH sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(w) - 2, 1)),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, regexp_split_to_array(
+                          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+                      FROM documents)),
+            sig AS (
+                SELECT doc_id, [
+                       {sig_exprs}] AS g
+                FROM sh),
+            bands AS (
+                SELECT doc_id, band,
+                       md5(array_to_string(g[band*{rows}+1 : band*{rows}+{rows}], '|')) AS bucket
+                FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band) t)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
+        """

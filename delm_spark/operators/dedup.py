@@ -77,6 +77,35 @@ def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
     return minhash_from_shingles(shingles(col, n), k)
 
 
+def minhash_signatures_agg(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16, n: int = 3
+) -> DataFrame:
+    """One-pass MinHash signatures: posexplode shingles once, then a single
+    groupBy(id) computing all k per-salt minimums (hash-aggregate with
+    map-side partial combine — one shuffle of k mins per id).
+
+    This is the scale path: a lazy `select` of the shingle column does NOT
+    stop Catalyst's CollapseProject from inlining the shingle construction
+    into every one of the k array_min(transform(...)) expressions — the
+    column-expression form recomputes split+sequence+slice+join k times per
+    row. Exploding first makes the shingle work happen exactly once, and the
+    k md5s per shingle are the irreducible hash-family cost.
+
+    Returns (id_col, __sig: array<string> of length k).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"salt{i}|"), F.col("__s")))).alias(f"__m{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("__sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -92,11 +121,9 @@ def minhash_lsh_pairs(
     candidates. Shuffle key is the bucket hash — uniformly distributed.
     """
     rows_per_band = k // bands
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
-    )
-    sig = sh.select(
-        "__id", minhash_from_shingles(F.col("__sh"), k).alias("__sig")
+    sig = (
+        minhash_signatures_agg(df, text_col, id_col, k=k, n=n)
+        .withColumnRenamed(id_col, "__id")
     )
     banded = sig.select(
         "__id",
@@ -165,43 +192,101 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(col: Column, ngram: int = 1) -> Column:
-    """64-bit SimHash over word tokens: sum +/-1 per bit weighted by token
-    hash sign, natively via bit arithmetic on xxhash64."""
-    words = F.array_distinct(F.split(normalize_text(col), " "))
-    hashes = F.transform(words, lambda t: F.xxhash64(t))
-    bits = []
-    for b in range(64):
-        # for each bit: (#tokens with bit set) - (#tokens with bit clear)
-        ones = F.size(
-            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0)
-        )
-        total = F.size(hashes)
-        bits.append(F.when(ones * 2 >= total, F.lit(1)).otherwise(F.lit(0)))
-    # assemble the 64-bit value as sum of bit*2^b (as decimal string-safe bigint)
+SIMHASH_BITS = 60  # 15 hex chars of md5 — sign-safe in a BIGINT, SQL-reproducible
+
+
+def simhash_signatures_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-pass 60-bit SimHash: explode distinct word tokens once, then a
+    single groupBy(id) with one `sum(bit)` per bit position — map-side
+    combinable, one shuffle of ~60 longs per id.
+
+    Replaces the per-row column-expression form (64 F.filter passes over the
+    token-hash array = O(64·tokens) per row plus a codegen-size hazard).
+    Bit semantics: bit b is set iff #tokens with bit set >= half of tokens,
+    identical to the majority rule of the classic +/-1 accumulation.
+
+    Token hash = first 15 hex chars of md5, like the MinHash family's
+    md5(salt|shingle): reproducible in any SQL engine for the correctness
+    oracle (DuckDB: ('0x' || substr(md5(t),1,15))::BIGINT).
+
+    Returns (id_col, __sh: long).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("__t"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    aggs = [
+        F.sum(
+            F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1))
+        ).alias(f"__b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    g = toks.groupBy(id_col).agg(*aggs)
     acc = F.lit(0).cast("long")
-    for b, bit in enumerate(bits[:63]):  # keep sign bit clear
-        acc = acc + bit.cast("long") * F.lit(1 << b)
-    return acc
+    for b in range(SIMHASH_BITS):
+        bit = (F.col(f"__b{b}") * 2 >= F.col("__n")).cast("long")
+        acc = acc + bit * F.lit(1 << b)
+    return g.select(id_col, acc.alias("__sh"))
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
-    the top 16 bits (rotating-block trick would widen recall; one block keeps
-    the demo cheap). Returns (id_a, id_b, hamming)."""
-    sig = df.select(
-        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh")
-    ).withColumn("__blk", F.shiftrightunsigned("__sh", 48))
-    a, b = sig.alias("a"), sig.alias("b")
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Rotating multi-block LSH: the signature is cut into `n_blocks`
+    contiguous blocks; by pigeonhole, any pair within Hamming distance
+    <= n_blocks - 1 shares at least one exact block, so blocking on
+    every block (one posexplode + equi-join on (block_pos, block_value))
+    gives FULL recall for max_hamming <= n_blocks - 1. Bucket sizes stay
+    bounded per block value; the pair join is a plain equi-join AQE can
+    re-plan at scale. Returns (id_a, id_b, hamming).
+    """
+    sig = simhash_signatures_agg(df, text_col, id_col).withColumnRenamed(
+        id_col, "__id"
+    )
+    bits_per_block = SIMHASH_BITS // n_blocks
+    mask = (1 << bits_per_block) - 1
+    blocked = sig.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("__sh", k * bits_per_block).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for k in range(n_blocks)
+                ]
+            )
+        ).alias("__bpos", "__blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
     xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
     return (
-        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        a.join(
+            b,
+            (F.col("a.__bpos") == F.col("b.__bpos"))
+            & (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -48,20 +48,39 @@ def _normalize(rows, cols):
 ORACLES = sorted(entry_mod.oracle_sql().keys())
 
 
+def _canon_pandas(pdf):
+    """Replica of the driver's canonicalization: columns sorted by name,
+    rows sorted by all columns (fails loudly on unhashable cells, as the
+    driver does), then a per-cell string rendering that is dtype-sensitive
+    (int64 123 != float64 123.0 — catches DuckDB HUGEINT drift)."""
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    cells = []
+    for col in pdf.columns:
+        s = pdf[col]
+        if s.dtype == "float64":
+            cells.append([f"f:{round(v, 9)}" if v == v else "f:nan" for v in s])
+        elif str(s.dtype).startswith(("int", "uint")):
+            cells.append([f"i:{v}" for v in s])
+        else:
+            cells.append([f"o:{v}" for v in s])
+    return list(zip(*cells))
+
+
 @pytest.mark.parametrize("name", ORACLES)
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
 
     rel = duck.sql(entry_mod.oracle_sql()[name])
-    dcols = [d[0] for d in rel.description]
-    drows = rel.fetchall()
+    dpdf = rel.df()
 
-    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
-    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
-    a, b = _normalize(srows, scols), _normalize(drows, dcols)
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"{name}: column mismatch {list(spdf.columns)} vs {list(dpdf.columns)}"
+    )
+    assert len(spdf) == len(dpdf), f"{name}: rowcount {len(spdf)} vs {len(dpdf)}"
+    a, b = _canon_pandas(spdf), _canon_pandas(dpdf)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
