@@ -45,6 +45,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: committed oracle fixtures (tests/fixtures/make_fixtures.py): the synthetic
+#: transcript corpus is Spark-xxhash64-derived, which DuckDB cannot
+#: regenerate, so the KG-chain queries and their oracle SQL both read these
+#: materialized parquet files (determinism pytest-asserted).
+_FIXTURES = Path(__file__).resolve().parent / "tests" / "fixtures"
+
+
+def _fixture_transcripts(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(str(_FIXTURES / "transcripts.parquet"))
+
+
+def _fixture_dictionary(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(str(_FIXTURES / "dictionary.parquet"))
+
+
 def _n_convs_for(sf_dir: str) -> int:
     name = Path(sf_dir).name
     return {"sf0.001": 150, "sf0.01": 600, "sf0.1": 3000}.get(name, 150)
@@ -401,8 +416,9 @@ def collect_ordered_langs(spark, sf_dir):
 
 
 def explode_extracted_triples(spark, sf_dir):
-    """X1: explode_json_results over the extraction JSON column (nested
-    schema) — rows-only (the JSON comes from the synthetic pipeline)."""
+    """X1: the chunk -> score/filter -> rule-extract -> clean -> explode
+    chain over the committed fixture corpus; the oracle reproduces every
+    stage in DuckDB SQL (regexp split / extract_all / cleaning predicates)."""
     from delm_spark.operators.explode import explode_json_results
     from delm_spark.extraction.backend import RuleTripleExtractor
     from delm_spark.extraction.extract import extract_chunks
@@ -411,7 +427,7 @@ def explode_extracted_triples(spark, sf_dir):
     from delm_spark.data.synthetic import FACT_KEYWORDS, TRIPLE_SCHEMA_CFG
 
     spec = spec_from_dict(TRIPLE_SCHEMA_CFG)
-    t = generate_transcripts(spark, n_convs=min(_n_convs_for(sf_dir), 300))
+    t = _fixture_transcripts(spark)
     chunks = score_and_filter(chunk_transcripts(t), list(FACT_KEYWORDS), 1.0)
     ext = extract_chunks(
         chunks.select("conv_id", "turn_idx", "chunk_pos", "delm_text_chunk"),
@@ -422,19 +438,21 @@ def explode_extracted_triples(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx", "chunk_pos", "subj", "pred", "obj")
 
 
-# --- rows-only queries (no SQL-expressible oracle) -------------------------
-
 def kg_triples_pipeline(spark, sf_dir):
-    """Flagship KG pipeline; sf-scaled synthetic transcript corpus."""
-    t = generate_transcripts(spark, n_convs=_n_convs_for(sf_dir), n_hot=2)
-    res = run_pipeline(spark, t, entity_dictionary(spark), PipelineConfig())
+    """Flagship KG pipeline (chunk/score/extract/clean/link) over the
+    committed fixture corpus; the oracle reproduces the full chain plus the
+    broadcast dictionary linking in DuckDB SQL."""
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
     return res.triples.orderBy("conv_id", "turn_idx", "chunk_pos", "item_pos")
 
 
 def kg_nodes_canonical(spark, sf_dir):
-    """Entity canonicalization (broadcast dict link + connected components)."""
-    t = generate_transcripts(spark, n_convs=_n_convs_for(sf_dir), n_hot=2)
-    res = run_pipeline(spark, t, entity_dictionary(spark), PipelineConfig())
+    """Entity canonicalization (broadcast dict link + connected components);
+    the oracle derives each node's canonical id independently from the
+    dictionary's alias map."""
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
     return res.nodes.orderBy("entity_id")
 
 
@@ -462,8 +480,13 @@ def connected_components_demo(spark, sf_dir):
 
 
 def minhash_lsh_pairs_docs(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs over documents."""
-    docs = _t(spark, sf_dir, "documents")
+    """MinHash+LSH near-dup candidate pairs over documents. The local
+    corpus is one parquet file (one scan task); the explicit round-robin
+    repartition spreads the shingle+md5 work across all cores — on a real
+    multi-file table the scan parallelism makes it unnecessary."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=4).orderBy(
         "id_a", "id_b"
     )
@@ -473,7 +496,9 @@ def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
     so the oracle reproduces them)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         simhash_dedup_pairs(docs, "text", "doc_id")
         .withColumn("hamming", F.col("hamming").cast("long"))
@@ -839,7 +864,115 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "minhash_lsh_pairs_docs": _minhash_lsh_oracle_sql(k=16, bands=4),
+        "explode_extracted_triples": _kg_oracle_sql("triples"),
+        "kg_triples_pipeline": _kg_oracle_sql("linked"),
+        "kg_nodes_canonical": _kg_oracle_sql("nodes"),
     }
+
+
+#: the RuleTripleExtractor pattern, RE2-compatible: DuckDB's RE2 has no
+#: lookahead, so the trailing `(?=[.!?])` becomes a consuming `[.!?]` —
+#: equivalent here because no match can start at a punctuation character
+#: (entities start [A-Z]); verified triple-for-triple against Python re.
+_KG_ENTITY = r"[A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)*"
+_KG_PHRASES = [
+    (" works at ", "works_at"),
+    (" uses the ", "uses_tool"),
+    (" is located in ", "located_in"),
+    (" reports to ", "reports_to"),
+    (" created ", "created"),
+    (" dislikes ", "dislikes"),
+]
+_KG_ALLOWED = ["works_at", "uses_tool", "located_in", "reports_to", "created"]
+_KG_NULL_WORDS = ["none", "null", "unknown", "n/a", ""]
+
+
+def _kg_oracle_sql(kind: str) -> str:
+    """DuckDB replica of the KG chain over the committed fixtures:
+    paragraph-chunk -> keyword filter -> regex triple extraction (document
+    order) -> cleaning rules (allowed predicate, null-word subj/obj,
+    validate-in-text, required gating = row drop) -> item_pos re-index
+    [-> dictionary linking -> node canonicalization]."""
+    tp = (_FIXTURES / "transcripts.parquet").as_posix() + "/*.parquet"
+    dp = (_FIXTURES / "dictionary.parquet").as_posix() + "/*.parquet"
+    pat = f"({_KG_ENTITY})({'|'.join(p for p, _ in _KG_PHRASES)})({_KG_ENTITY})[.!?]"
+    pred_case = " ".join(
+        f"WHEN '{p}' THEN '{label}'" for p, label in _KG_PHRASES
+    )
+    kw_filter = " OR ".join(
+        f"contains(lower(chunk), '{p.strip().lower()}')" for p, _ in _KG_PHRASES
+    )
+    allowed = ", ".join(f"'{a}'" for a in _KG_ALLOWED)
+    nulls = ", ".join(f"'{w}'" for w in _KG_NULL_WORDS)
+    base = f"""
+            WITH chunks AS (
+                SELECT conv_id, turn_idx,
+                       generate_subscripts(l, 1) - 1 AS chunk_pos,
+                       unnest(l) AS chunk
+                FROM (SELECT conv_id, turn_idx,
+                             list_filter(list_transform(
+                                 regexp_split_to_array(text, '\\r?\\n\\s*\\r?\\n'),
+                                 x -> regexp_replace(regexp_replace(x, '^\\s+', ''), '\\s+$', '')),
+                               x -> x <> '') AS l
+                      FROM read_parquet('{tp}'))),
+            scored AS (
+                SELECT * FROM chunks WHERE {kw_filter}),
+            matches AS (
+                SELECT conv_id, turn_idx, chunk_pos, chunk,
+                       generate_subscripts(regexp_extract_all(chunk, '{pat}', 1), 1) AS raw_pos,
+                       unnest(regexp_extract_all(chunk, '{pat}', 1)) AS subj,
+                       unnest(regexp_extract_all(chunk, '{pat}', 2)) AS phrase,
+                       unnest(regexp_extract_all(chunk, '{pat}', 3)) AS obj
+                FROM scored),
+            cleaned AS (
+                SELECT conv_id, turn_idx, chunk_pos,
+                       row_number() OVER (PARTITION BY conv_id, turn_idx, chunk_pos
+                           ORDER BY raw_pos) - 1 AS item_pos,
+                       subj, pred, obj, chunk
+                FROM (SELECT *, CASE phrase {pred_case} END AS pred FROM matches)
+                WHERE pred IN ({allowed})
+                  AND lower(subj) NOT IN ({nulls})
+                  AND lower(obj) NOT IN ({nulls})
+                  AND contains(lower(chunk), lower(subj))
+                  AND contains(lower(chunk), lower(obj)))"""
+    if kind == "triples":
+        return base + """
+            SELECT conv_id, turn_idx, chunk_pos, subj, pred, obj
+            FROM cleaned
+            ORDER BY conv_id, turn_idx, chunk_pos, subj, pred, obj
+        """
+    linked = base + f""",
+            dict AS (SELECT surface, canonical_id FROM read_parquet('{dp}')),
+            normed AS (
+                SELECT *, lower(trim(regexp_replace(subj, '\\s+', ' ', 'g'))) AS ns,
+                          lower(trim(regexp_replace(obj, '\\s+', ' ', 'g'))) AS no
+                FROM cleaned),
+            linked AS (
+                SELECT n.conv_id, n.turn_idx, n.chunk_pos, n.item_pos,
+                       n.subj, n.pred, n.obj,
+                       coalesce(ds.canonical_id, 'mention:' || n.ns) AS subj_id,
+                       coalesce(dobj.canonical_id, 'mention:' || n.no) AS obj_id
+                FROM normed n
+                LEFT JOIN dict ds ON n.ns = ds.surface
+                LEFT JOIN dict dobj ON n.no = dobj.surface)"""
+    if kind == "linked":
+        return linked + """
+            SELECT conv_id, turn_idx, chunk_pos, item_pos,
+                   subj, pred, obj, subj_id, obj_id
+            FROM linked ORDER BY conv_id, turn_idx, chunk_pos, item_pos
+        """
+    if kind == "nodes":
+        return linked + """,
+            ids AS (SELECT subj_id AS entity_id FROM linked
+                    UNION SELECT obj_id FROM linked),
+            cmap AS (SELECT canonical_id AS node, canonical_id FROM dict
+                     UNION SELECT 'mention:' || surface, canonical_id FROM dict)
+            SELECT i.entity_id,
+                   coalesce(c.canonical_id, i.entity_id) AS canonical_id
+            FROM ids i LEFT JOIN cmap c ON i.entity_id = c.node
+            ORDER BY entity_id
+        """
+    raise ValueError(kind)
 
 
 def _minhash_lsh_oracle_sql(k: int, bands: int) -> str:
