@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from delm_spark.schemas.spec import NestedSpec, SchemaSpec, SimpleSpec
+from delm_spark.schemas.spec import MultipleSpec, NestedSpec, SchemaSpec, SimpleSpec
 
 
 def majority_vote_df(
@@ -76,6 +76,103 @@ def merge_nested_records(
     )
 
 
+def _vals_in_chunk_order(pos_col: str, col):
+    """collect_list of (pos, value) -> values sorted by chunk position with
+    null values dropped (the reference skips chunks where the variable is
+    absent, post_processing.py:52-60 — and F.flatten of an array containing
+    a NULL inner array would return NULL, silently losing every value)."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(pos_col).alias("p"), col.alias("v")))
+    )
+    return F.filter(
+        F.transform(ordered, lambda s: s.getField("v")), lambda x: x.isNotNull()
+    )
+
+
+def _majority_vote_expr(vals):
+    """Native in-array majority vote over an ordered value array: winner =
+    max count, ties -> earliest first occurrence (reference
+    post_processing.py:32-38). O(distinct x n) per record — bounded by the
+    chunk count per record, evaluated inside the single aggregation (no
+    per-variable join/shuffle)."""
+    ranked = F.array_sort(
+        F.transform(
+            F.array_distinct(vals),
+            lambda d: F.struct(
+                (-F.size(F.filter(vals, lambda x: x == d))).alias("nc"),
+                F.array_position(vals, d).alias("fp"),
+                d.alias("v"),
+            ),
+        )
+    )
+    return F.get(ranked, 0).getField("v")
+
+
+def _variable_aggs(pos_col: str, path: str, variables: tuple) -> list:
+    aggs = []
+    for v in variables:
+        col = F.col(f"{path}.{v.name}")
+        vals = _vals_in_chunk_order(pos_col, col)
+        expr = F.flatten(vals) if v.is_list() else _majority_vote_expr(vals)
+        aggs.append(expr.alias(v.name))
+    return aggs
+
+
+def merge_records(
+    extracted: DataFrame,
+    spec: SchemaSpec,
+    record_col: str,
+    pos_col: str,
+    json_col: str = "delm_extracted_data_json",
+) -> DataFrame:
+    """A1-A4: per-record merge of chunk-level extraction JSON for any spec
+    level, in ONE aggregation (single shuffle keyed on the record id):
+
+      simple   -> one column per variable (vote scalars / concat lists)
+      nested   -> `container_name` column: items concatenated in chunk order
+      multiple -> per sub-schema: struct column (simple sub) or bare item
+                  array (nested sub) — the reference's merge shape
+                  (post_processing.py:113-143)
+
+    The reference's implicit input-order semantics use the explicit chunk
+    position; null chunk values are dropped BEFORE flatten (a NULL inner
+    array otherwise nulls the whole concat).
+    """
+    from delm_spark.schemas.compile import spark_schema_for
+
+    schema = spark_schema_for(spec)
+    parsed = extracted.select(
+        F.col(record_col), F.col(pos_col).alias("__pos"),
+        F.from_json(F.col(json_col), schema).alias("__d"),
+    )
+    if isinstance(spec, SimpleSpec):
+        aggs = _variable_aggs("__pos", "__d", spec.variables)
+    elif isinstance(spec, NestedSpec):
+        aggs = [
+            F.flatten(
+                _vals_in_chunk_order("__pos", F.col(f"__d.{spec.container_name}"))
+            ).alias(spec.container_name)
+        ]
+    elif isinstance(spec, MultipleSpec):
+        aggs = []
+        for name, sub in spec.schemas:
+            if isinstance(sub, NestedSpec):
+                aggs.append(
+                    F.flatten(
+                        _vals_in_chunk_order("__pos", F.col(f"__d.{name}"))
+                    ).alias(name)
+                )
+            else:
+                aggs.append(
+                    F.struct(
+                        *_variable_aggs("__pos", f"__d.{name}", sub.variables)
+                    ).alias(name)
+                )
+    else:
+        raise TypeError(f"Unknown spec type {type(spec).__name__}")
+    return parsed.groupBy(record_col).agg(*aggs)
+
+
 def merge_simple_records(
     extracted: DataFrame,
     spec: SchemaSpec,
@@ -83,43 +180,7 @@ def merge_simple_records(
     pos_col: str,
     json_col: str = "delm_extracted_data_json",
 ) -> DataFrame:
-    """A1+A2 for a simple schema: per record, majority-vote scalars and
-    order-preserving concat for list vars, from the per-chunk JSON column.
-
-    One wide aggregation: scalars resolved via vote CTEs joined back.
-    """
-    from delm_spark.schemas.compile import spark_schema_for
-
+    """Back-compat alias: the simple-schema case of merge_records (formerly
+    one vote join per scalar variable — now a single aggregation)."""
     assert isinstance(spec, SimpleSpec)
-    schema = spark_schema_for(spec)
-    parsed = extracted.select(
-        F.col(record_col), F.col(pos_col).alias("__pos"),
-        F.from_json(F.col(json_col), schema).alias("__d"),
-    )
-    out = parsed.select(record_col).distinct()
-    list_aggs = []
-    for v in spec.variables:
-        col = F.col(f"__d.{v.name}")
-        if v.is_list():
-            list_aggs.append(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("__pos"), col.alias("v")))
-                        ),
-                        lambda s: s.getField("v"),
-                    )
-                ).alias(v.name)
-            )
-        else:
-            votes = majority_vote_df(
-                parsed.filter(col.isNotNull()).select(
-                    record_col, col.alias("value"), F.col("__pos").alias("pos")
-                ),
-                record_col, "value", "pos",
-            ).withColumnRenamed("value", v.name)
-            out = out.join(votes, record_col, "left")
-    if list_aggs:
-        lists = parsed.groupBy(record_col).agg(*list_aggs)
-        out = out.join(lists, record_col, "left")
-    return out
+    return merge_records(extracted, spec, record_col, pos_col, json_col)
