@@ -100,6 +100,15 @@ class RuleTripleExtractor:
         return out
 
 
+class CacheOnlyBackend:
+    """Backend that refuses to run: guarantees a run is served entirely
+    from the persistent semantic cache (and proves warm reruns make zero
+    backend calls — any invocation surfaces as a delm_errors row)."""
+
+    def extract_raw(self, text):
+        raise RuntimeError("backend invoked despite warm cache")
+
+
 class FailingBackend:
     """Test backend that fails on texts matching a pattern — exercises the
     error-safe path (reference extraction_manager.py:244-269)."""

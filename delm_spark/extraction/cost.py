@@ -38,7 +38,16 @@ class CostSummary:
 
 
 def summarize_cost(extracted: DataFrame, model: str = "deterministic-rules") -> CostSummary:
-    """One aggregation over the extraction output's token columns."""
+    """One aggregation over the extraction output's token columns.
+
+    In dedup mode the join fans per-distinct-text token counts back out to
+    every duplicate row; cost is per extraction CALL (the reference's cache
+    hits add no cost, cost_tracker.py:43-57), so sum over distinct cache
+    keys when the key column is present."""
+    from delm_spark.constants import CACHE_KEY_COL
+
+    if CACHE_KEY_COL in extracted.columns:
+        extracted = extracted.dropDuplicates([CACHE_KEY_COL])
     row = extracted.agg(
         F.coalesce(F.sum(IN_TOKENS_COL), F.lit(0)).alias("it"),
         F.coalesce(F.sum(OUT_TOKENS_COL), F.lit(0)).alias("ot"),

@@ -50,11 +50,26 @@ class StageRunner:
     else builds, writes (adding `delm_part_id` lineage if missing), and
     re-reads it. Without a checkpoint dir it is a passthrough (pure lazy
     plan; Catalyst fuses stages).
+
+    `fingerprint` guards resume against config drift, like the reference's
+    verify_resume_config (experiment_manager.py): each committed stage
+    stores the config fingerprint it was built with (a `_`-prefixed sidecar
+    file, invisible to the parquet reader); resuming with a different
+    fingerprint refuses by default (`on_config_change="error"`) or rebuilds
+    the stale stage (`"rebuild"`).
     """
 
-    def __init__(self, spark: SparkSession, checkpoint_dir: Optional[str] = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: Optional[str] = None,
+        fingerprint: Optional[str] = None,
+        on_config_change: str = "error",
+    ):
         self.spark = spark
         self.dir = Path(checkpoint_dir) if checkpoint_dir else None
+        self.fingerprint = fingerprint
+        self.on_config_change = on_config_change
         self.resumed: list[str] = []
         self.built: list[str] = []
 
@@ -62,8 +77,17 @@ class StageRunner:
         assert self.dir is not None
         return self.dir / name
 
+    def _fp_path(self, name: str) -> Path:
+        return self._path(name) / "_delm_config_fingerprint"
+
     def is_committed(self, name: str) -> bool:
         return self.dir is not None and (self._path(name) / "_SUCCESS").exists()
+
+    def _fingerprint_ok(self, name: str) -> bool:
+        if self.fingerprint is None:
+            return True
+        fp = self._fp_path(name)
+        return fp.exists() and fp.read_text() == self.fingerprint
 
     def invalidate(self, name: str) -> None:
         if self.dir is not None and self._path(name).exists():
@@ -81,14 +105,27 @@ class StageRunner:
             return build()
         p = self._path(name)
         if self.is_committed(name):
-            self.resumed.append(name)
-            return self.spark.read.parquet(str(p))
+            if self._fingerprint_ok(name):
+                self.resumed.append(name)
+                return self.spark.read.parquet(str(p))
+            if self.on_config_change == "rebuild":
+                self.invalidate(name)
+            else:
+                raise RuntimeError(
+                    f"checkpointed stage {name!r} at {p} was built with a "
+                    "different pipeline config/schema; refusing to resume "
+                    "(reference experiment_manager.verify_resume_config "
+                    "semantics). Pass on_config_change='rebuild' or use a "
+                    "fresh checkpoint_dir."
+                )
         if p.exists():  # partial write from a killed run — rebuild atomically
             shutil.rmtree(p)
         df = build()
         if PART_ID_COL not in df.columns:
             df = df.withColumn(PART_ID_COL, F.spark_partition_id().cast("long"))
         df.write.mode("overwrite").parquet(str(p))
+        if self.fingerprint is not None:
+            self._fp_path(name).write_text(self.fingerprint)
         self.built.append(name)
         return self.spark.read.parquet(str(p))
 
@@ -110,6 +147,37 @@ class PipelineConfig:
     #: turn_idx, chunk_pos) composite keys, so a round-robin repartition
     #: spreads hot conversations across all tasks without key skew.
     extract_partitions: Optional[int] = None
+    #: persistent semantic-cache parquet table (reference
+    #: semantic_cache.py); implies dedup_extraction. A warm rerun performs
+    #: zero backend calls.
+    cache_dir: Optional[str] = None
+    #: sample exactly this many conversations (seed 42, reference
+    #: delm.py:237-240) before chunking; None = full corpus.
+    sample_size: Optional[int] = None
+    #: retry policy for I/O backends (reference retry_handler.py:38-58);
+    #: the deterministic rule backend never retries.
+    max_retries: int = 0
+    base_delay: float = 0.0
+
+
+def config_fingerprint(config: "PipelineConfig", backend) -> str:
+    """Stable hash of everything a committed stage's contents depend on —
+    resuming under a different config must not silently return stale
+    results (reference experiment_manager.verify_resume_config)."""
+    import hashlib
+    import json as _json
+
+    material = {
+        "schema_cfg": config.schema_cfg,
+        "keywords": list(config.keywords),
+        "score_threshold": config.score_threshold,
+        "dedup_extraction": config.dedup_extraction,
+        "sample_size": config.sample_size,
+        "backend": type(backend).__name__,
+    }
+    return hashlib.sha256(
+        _json.dumps(material, sort_keys=True, default=str).encode("utf-8")
+    ).hexdigest()
 
 
 @dataclass
@@ -186,7 +254,9 @@ def run_pipeline(
     config = config or PipelineConfig()
     spec = spec_from_dict(config.schema_cfg)
     backend = backend or RuleTripleExtractor(spec)
-    runner = StageRunner(spark, config.checkpoint_dir)
+    runner = StageRunner(
+        spark, config.checkpoint_dir, fingerprint=config_fingerprint(config, backend)
+    )
     # materialize the dictionary once — it is re-read by every CC
     # iteration and broadcast build
     dictionary = dictionary.localCheckpoint(eager=True)
@@ -196,6 +266,13 @@ def run_pipeline(
     # so the main DAG below stays strictly linear with every stage consumed
     # exactly once.
     labels = canonical_map(dictionary).localCheckpoint(eager=True)
+
+    if config.sample_size:
+        from delm_spark.operators.sample import seeded_sample_records
+
+        transcripts = seeded_sample_records(
+            transcripts, config.sample_size, "conv_id"
+        )
 
     chunks = runner.stage(
         "s1_chunks",
@@ -214,7 +291,13 @@ def run_pipeline(
             # make this safe (no per-partition ordering assumptions)
             df = df.repartition(config.extract_partitions)
         return extract_chunks(
-            df, spec, backend, dedup=config.dedup_extraction
+            df,
+            spec,
+            backend,
+            dedup=config.dedup_extraction,
+            cache_dir=config.cache_dir,
+            max_retries=config.max_retries,
+            base_delay=config.base_delay,
         )
 
     extracted = runner.stage("s2_extracted", build_extracted)
