@@ -69,6 +69,75 @@ def set_confusion(
     )
 
 
+def field_path_confusion(
+    pairs: DataFrame,
+    spec,
+    expected_json_col: str = "expected_json",
+    extracted_json_col: str = "extracted_json",
+) -> DataFrame:
+    """Recursive field-path P/R/F1 (reference
+    performance_estimation.py:280-388) over per-record JSON pairs,
+    distributed: the per-record tree walk (a pure-Python kernel,
+    eval/fieldpath.py, parity-tested against the reference) runs inside
+    one mapInPandas emitting (field, tp, fp, fn) rows; the cross-record
+    aggregation is a native groupBy(field) sum — the exact analog of the
+    reference's defaultdict accumulation (py:352-369), but parallel over
+    records.
+
+    `pairs` carries one row per record with the merged expected and
+    extracted JSON strings. Returns (field, tp, fp, fn, precision,
+    recall, f1).
+    """
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from delm_spark.eval.fieldpath import all_levels_precision_recall, build_required_map
+
+    required_map = build_required_map(spec)
+    out_schema = StructType(
+        [
+            StructField("field", StringType()),
+            StructField("tp", LongType()),
+            StructField("fp", LongType()),
+            StructField("fn", LongType()),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for e_json, p_json in zip(pdf[expected_json_col], pdf[extracted_json_col]):
+                y_true = _json.loads(e_json) if e_json else {}
+                y_pred = _json.loads(p_json) if p_json else {}
+                for fld, m in all_levels_precision_recall(
+                    y_true, y_pred, required_map
+                ).items():
+                    rows.append((fld, m["tp"], m["fp"], m["fn"]))
+            yield pd.DataFrame(rows, columns=["field", "tp", "fp", "fn"])
+
+    counts = (
+        pairs.select(expected_json_col, extracted_json_col)
+        .mapInPandas(walk, schema=out_schema)
+        .groupBy("field")
+        .agg(F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn"))
+    )
+    # finalization, reference performance_estimation.py:371-385
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+                ).otherwise(F.lit(0.0))
+    return counts.select(
+        "field", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
 def triple_prf(expected: DataFrame, extracted: DataFrame) -> dict:
     """Whole-triple P/R/F1 on distinct (conv_id, subj, pred, obj)."""
     keys = ["conv_id", "subj", "pred", "obj"]
