@@ -294,6 +294,26 @@ def embedding_topk_cosine(spark, sf_dir):
     )
 
 
+def lsh_topk_embeddings(spark, sf_dir):
+    """ANN scale path: multi-probe sign-LSH (8 md5-derived hyperplanes,
+    probe radius 2) + exact cosine re-rank; ONE broadcast equi-join on the
+    bucket id. The oracle re-derives the same hyperplanes and candidate
+    set in SQL — exact output parity, not just recall."""
+    from delm_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        lsh_topk(emb, queries, dim=64, k=10, n_planes=8, probe_radius=2)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch analog of the streaming path)."""
     ev = _t(spark, sf_dir, "events")
@@ -544,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_lang": token_count_by_lang,
         "doc_fingerprint": doc_fingerprint,
         "embedding_topk_cosine": embedding_topk_cosine,
+        "lsh_topk_embeddings": lsh_topk_embeddings,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "dedup_events_first": dedup_events_first,
@@ -867,7 +888,54 @@ def oracle_sql() -> dict[str, str]:
         "explode_extracted_triples": _kg_oracle_sql("triples"),
         "kg_triples_pipeline": _kg_oracle_sql("linked"),
         "kg_nodes_canonical": _kg_oracle_sql("nodes"),
+        "lsh_topk_embeddings": _lsh_topk_oracle_sql(
+            dim=64, k=10, n_planes=8, probe_radius=2
+        ),
     }
+
+
+def _lsh_topk_oracle_sql(dim: int, k: int, n_planes: int, probe_radius: int) -> str:
+    """DuckDB replica of multi-probe sign-LSH top-k: same md5-derived
+    hyperplanes (literal arrays), bucket = sign-bit signature, candidates =
+    Hamming(bucket_e, bucket_q) <= radius (identical to the probe-mask
+    expansion by definition), exact cosine re-rank."""
+    from delm_spark.operators.similarity import hyperplane_signs
+
+    planes = " UNION ALL ".join(
+        f"SELECT {p} AS p, [{', '.join(str(s) for s in hyperplane_signs(dim, p))}]::DOUBLE[] AS h"
+        for p in range(n_planes)
+    )
+    return f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planes AS ({planes}),
+            bits AS (
+                SELECT vec_id,
+                       CASE WHEN list_sum(list_transform(generate_series(1, {dim}),
+                                                         i -> v[i] * h[i])) >= 0
+                            THEN (CAST(1 AS BIGINT) << p) ELSE 0 END AS bit
+                FROM e CROSS JOIN planes),
+            bkt AS (SELECT vec_id, SUM(bit)::BIGINT AS bkt FROM bits GROUP BY vec_id),
+            eb AS (SELECT e.vec_id, v, bkt FROM e JOIN bkt USING (vec_id)),
+            qb AS (SELECT vec_id AS query_id, v AS qv, bkt AS qbkt
+                   FROM eb WHERE vec_id < 3),
+            cand AS (
+                SELECT qb.query_id, eb.vec_id,
+                       list_sum(list_transform(generate_series(1, {dim}),
+                                               i -> v[i] * qv[i]))
+                       / greatest(
+                           sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                        i -> v[i] * v[i])))
+                         * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                        i -> qv[i] * qv[i]))),
+                           1e-12) AS score
+                FROM eb JOIN qb ON bit_count(xor(eb.bkt, qb.qbkt)) <= {probe_radius})
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id ASC) AS rank
+                FROM cand)
+            WHERE rank <= {k} ORDER BY query_id, rank
+        """
 
 
 #: the RuleTripleExtractor pattern, RE2-compatible: DuckDB's RE2 has no

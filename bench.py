@@ -95,7 +95,9 @@ def main() -> None:
         "events_sessionize",
         "exact_dedup_docs",
         "minhash_lsh_pairs_docs",
+        "simhash_pairs_docs",
         "embedding_topk_cosine",
+        "lsh_topk_embeddings",
         "regex_split_chunks",
         "majority_vote_lang",
     ]
@@ -112,7 +114,7 @@ def main() -> None:
             {
                 "metric": "triples_per_sec",
                 "value": round(triples_per_sec, 1),
-                "unit": "sec",
+                "unit": "triples/sec",
                 "queries": timings,
                 "sf": sf,
                 "total_sec": total,

@@ -72,6 +72,27 @@ class StageRunner:
         self.on_config_change = on_config_change
         self.resumed: list[str] = []
         self.built: list[str] = []
+        #: per-stage named metrics (rows, errors, token sums — the
+        #: reference's batch-progress counters + cost state,
+        #: extraction_manager.py:130-141, experiment_manager.py:487-513),
+        #: collected via DataFrame.observe at write time and persisted to
+        #: _delm_state.json so they survive restarts (resumed stages
+        #: report the stored values).
+        self.metrics: dict[str, dict] = {}
+        if self.dir is not None and self._state_path().exists():
+            import json as _json
+
+            self.metrics = _json.loads(self._state_path().read_text())
+
+    def _state_path(self) -> Path:
+        assert self.dir is not None
+        return self.dir / "_delm_state.json"
+
+    def _save_state(self) -> None:
+        import json as _json
+
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._state_path().write_text(_json.dumps(self.metrics, indent=1, sort_keys=True))
 
     def _path(self, name: str) -> Path:
         assert self.dir is not None
@@ -123,7 +144,26 @@ class StageRunner:
         df = build()
         if PART_ID_COL not in df.columns:
             df = df.withColumn(PART_ID_COL, F.spark_partition_id().cast("long"))
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        exprs = [F.count(F.lit(1)).alias("rows")]
+        if ERRORS_COL in df.columns:
+            exprs.append(
+                F.coalesce(
+                    F.sum(F.col(ERRORS_COL).isNotNull().cast("long")), F.lit(0)
+                ).alias("errors")
+            )
+        for tok_col, alias in (
+            ("delm_input_tokens", "input_tokens"),
+            ("delm_output_tokens", "output_tokens"),
+        ):
+            if tok_col in df.columns:
+                exprs.append(F.coalesce(F.sum(tok_col), F.lit(0)).alias(alias))
+        df = df.observe(obs, *exprs)
         df.write.mode("overwrite").parquet(str(p))
+        self.metrics[name] = {k: int(v) for k, v in obs.get.items()}
+        self._save_state()
         if self.fingerprint is not None:
             self._fp_path(name).write_text(self.fingerprint)
         self.built.append(name)

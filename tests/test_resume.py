@@ -70,3 +70,29 @@ def test_checkpointed_and_direct_runs_agree(spark, ckpt_dir):
     with_ckpt = run_pipeline(spark, t, d, PipelineConfig(checkpoint_dir=ckpt_dir))
     direct = run_pipeline(spark, t, d, PipelineConfig())
     assert _triples_set(with_ckpt) == _triples_set(direct)
+
+
+def test_stage_metrics_observed_and_persisted(spark, ckpt_dir):
+    """observe()-collected per-stage metrics (rows/errors/tokens) are
+    written to _delm_state.json and survive a restart: resumed stages
+    report the stored values without recomputation."""
+    import json
+
+    t = generate_transcripts(spark, n_convs=20)
+    d = entity_dictionary(spark)
+    cfg = PipelineConfig(checkpoint_dir=ckpt_dir)
+
+    first = run_pipeline(spark, t, d, cfg)
+    first.triples.count()
+    m1 = first.runner.metrics
+    assert set(m1) >= {"s1_chunks", "s2_extracted", "s3_triples"}
+    assert m1["s1_chunks"]["rows"] > 0
+    assert m1["s2_extracted"]["errors"] == 0
+    assert m1["s2_extracted"]["input_tokens"] > 0
+    # persisted state file matches the in-memory metrics
+    state = json.loads((Path(ckpt_dir) / "_delm_state.json").read_text())
+    assert state == m1
+
+    second = run_pipeline(spark, t, d, cfg)
+    assert not second.runner.built
+    assert second.runner.metrics == m1, "metrics must survive restart"

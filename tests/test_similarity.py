@@ -1,0 +1,74 @@
+"""ANN verification: multi-probe LSH recall on planted near-duplicates vs
+exact brute force, and the candidate-join plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from delm_spark.operators.similarity import brute_force_topk, lsh_topk
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """400 random base vectors + 20 planted near-duplicates (cos ~= 0.98)
+    of the first 20 bases. Queries are the planted copies; the true
+    nearest neighbor of each is its base. Fully seeded -> deterministic."""
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(400, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    a = 0.98
+    rows = []
+    for i in range(400):
+        rows.append((i, [float(x) for x in base[i]]))
+    queries = []
+    for q in range(20):
+        noise = rng.normal(size=DIM)
+        noise -= noise @ base[q] * base[q]
+        noise /= np.linalg.norm(noise)
+        v = a * base[q] + np.sqrt(1 - a * a) * noise
+        queries.append((q, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "query_id long, embedding array<double>")
+    return emb.cache(), qdf.cache()
+
+
+def test_lsh_recall_on_planted_near_duplicates(planted):
+    emb, qdf = planted
+    got = {
+        r["query_id"]: r["vec_id"]
+        for r in lsh_topk(emb, qdf, dim=DIM, k=1, n_planes=8, probe_radius=2).collect()
+    }
+    hits = sum(1 for q in range(20) if got.get(q) == q)
+    recall = hits / 20
+    assert recall >= 0.9, f"planted-pair recall@1 = {recall}"
+
+
+def test_lsh_topk_agrees_with_brute_force_on_candidates(planted):
+    """Within the probed candidate set the re-rank is exact: every LSH
+    result at rank r must score >= the brute-force result at rank r only
+    if the brute-force one was probed; the planted pair itself must agree."""
+    emb, qdf = planted
+    brute = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in brute_force_topk(emb, qdf, k=1).collect()
+    }
+    lsh = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in lsh_topk(emb, qdf, dim=DIM, k=1, n_planes=8, probe_radius=2).collect()
+    }
+    agree = sum(1 for k in brute if lsh.get(k) == brute[k])
+    assert agree / len(brute) >= 0.9
+
+
+def test_lsh_plan_single_bucket_equijoin(planted):
+    """The candidate lookup must be ONE broadcast equi-join on the bucket
+    id — no cartesian product, no sort-merge join."""
+    emb, qdf = planted
+    plan = lsh_topk(emb, qdf, dim=DIM, k=5, n_planes=8, probe_radius=1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
