@@ -1,16 +1,21 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence: run the KG pipeline at two parallelism
 levels (local[8] vs local[32] — the in-sandbox stand-in for N vs 4N
-executors, per BASELINE.json) on the same materialized input and report
-throughput at both plus efficiency = (thr_32 / thr_8) / 4.
+executors, per BASELINE.json / BASELINE.md:35) on the same materialized
+input and report throughput at both plus efficiency =
+(thr_high / thr_low) / (high / low).
 
-Methodology notes (written into BENCH/BASELINE.md):
-  * best-of-N wall time per level — this sandbox VM shows 0-35% CPU steal
-    that fluctuates minute to minute, so single runs are meaningless;
-  * CPU steal is sampled around every run and reported;
-  * the corpus is larger than the bench default so that fixed per-job
-    scheduler overhead (~0.3-0.7 s/job on this VM) does not dominate the
-    numerator at the high core count.
+Methodology (results written to BENCH/BASELINE.md):
+  * STEAL-GATED acceptance: this Firecracker VM shows 0-35% host CPU steal
+    fluctuating minute to minute; a run only counts if its interval steal
+    is <= SPARK_GRAFT_STEAL_MAX (default 6%). Up to MAX_ATTEMPTS runs per
+    level until RUNS accepted.
+  * Best-of-accepted wall time per level.
+  * Event-log task-time decomposition: every run's window is matched
+    against SparkListenerTaskEnd events, giving the distributed work
+    (executor run/CPU/GC seconds, task and job counts) behind each wall
+    time — wall ~= cpu_sec / cores + overhead, itemizing what does not
+    scale (driver/scheduler time, GC, steal).
 """
 
 from __future__ import annotations
@@ -24,20 +29,58 @@ from datetime import date
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
-N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "200000"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "3200000"))
 RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
-#: the two parallelism levels (N and 4N cores). Default 2->8: on this VM,
-#: memory bandwidth saturates around ~8-12 streaming cores, so 8->32 only
-#: demonstrates the ceiling; 2->8 exercises true compute scaling. Both
-#: sweeps are reported.
-LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
-HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "7"))
+STEAL_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "6"))
+LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "8"))
+HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "32"))
 CORPUS = f"/tmp/delm_scaling_transcripts_{N_CONVS}"
+EVDIR = "/tmp/delm_scaling_eventlogs"
 
 
 def steal_counters():
     f = open("/proc/stat").readline().split()
     return int(f[8]), sum(int(x) for x in f[1:9])
+
+
+def parse_event_log(app_dir: Path, windows: list) -> list:
+    """Sum TaskEnd metrics + job counts per (t0_ms, t1_ms) wall window."""
+    out = [
+        {"task_sec": 0.0, "cpu_sec": 0.0, "gc_sec": 0.0, "n_tasks": 0, "n_jobs": 0}
+        for _ in windows
+    ]
+    files = sorted(app_dir.glob("**/*")) if app_dir.is_dir() else [app_dir]
+    for fp in files:
+        if not fp.is_file():
+            continue
+        with open(fp, errors="replace") as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line and '"SparkListenerJobStart"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") == "SparkListenerJobStart":
+                    ts = ev.get("Submission Time", 0)
+                    for i, (a, b) in enumerate(windows):
+                        if a <= ts <= b:
+                            out[i]["n_jobs"] += 1
+                    continue
+                info = ev.get("Task Info", {})
+                ts = info.get("Launch Time", 0)
+                m = ev.get("Task Metrics") or {}
+                for i, (a, b) in enumerate(windows):
+                    if a <= ts <= b:
+                        out[i]["n_tasks"] += 1
+                        out[i]["task_sec"] += m.get("Executor Run Time", 0) / 1e3
+                        out[i]["cpu_sec"] += m.get("Executor CPU Time", 0) / 1e9
+                        out[i]["gc_sec"] += m.get("JVM GC Time", 0) / 1e3
+    for o in out:
+        for k in ("task_sec", "cpu_sec", "gc_sec"):
+            o[k] = round(o[k], 1)
+    return out
 
 
 def run_level(cores: int) -> dict:
@@ -46,7 +89,17 @@ def run_level(cores: int) -> dict:
     from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
     from delm_spark.session import get_spark
 
-    spark = get_spark(app_name=f"delm-scaling-{cores}", cores=cores)
+    evdir = Path(EVDIR) / f"cores{cores}"
+    evdir.mkdir(parents=True, exist_ok=True)
+    spark = get_spark(
+        app_name=f"delm-scaling-{cores}",
+        cores=cores,
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": str(evdir),
+            "spark.eventLog.compress": "false",
+        },
+    )
     spark.range(100_000).count()
     if not Path(CORPUS, "_SUCCESS").exists():
         # many output files: parquet row groups are indivisible scan units,
@@ -57,26 +110,45 @@ def run_level(cores: int) -> dict:
         ).write.mode("overwrite").parquet(CORPUS)
     tr = spark.read.parquet(CORPUS)
     n_turns = tr.count()
-    runs, steals, n = [], [], 0
-    for _ in range(RUNS):
+    # warmup run (untimed): JIT + page cache
+    run_pipeline(spark, tr, entity_dictionary(spark), PipelineConfig()).edges.count()
+
+    accepted, rejected, windows, n = [], [], [], 0
+    for _ in range(MAX_ATTEMPTS):
         spark.catalog.clearCache()
         s0, t0c = steal_counters()
+        w0 = int(time.time() * 1000)
         t0 = time.perf_counter()
         res = run_pipeline(spark, tr, entity_dictionary(spark), PipelineConfig())
         n = res.edges.count()
-        runs.append(round(time.perf_counter() - t0, 1))
+        wall = round(time.perf_counter() - t0, 1)
+        w1 = int(time.time() * 1000)
         s1, t1c = steal_counters()
-        steals.append(round((s1 - s0) / max(t1c - t0c, 1) * 100, 1))
+        steal = round((s1 - s0) / max(t1c - t0c, 1) * 100, 1)
+        entry = {"wall_sec": wall, "steal_pct": steal}
+        if steal <= STEAL_MAX:
+            accepted.append(entry)
+            windows.append((w0, w1))
+        else:
+            rejected.append(entry)
+        if len(accepted) >= RUNS:
+            break
     spark.stop()
-    best = min(runs)
+    time.sleep(2)  # let the event log flush/close
+    task_stats = parse_event_log(evdir, windows)
+    for e, ts in zip(accepted, task_stats):
+        e.update(ts)
+    best = min((e["wall_sec"] for e in accepted), default=float("nan"))
+    best_entry = min(accepted, key=lambda e: e["wall_sec"]) if accepted else {}
     return {
         "cores": cores,
-        "runs_sec": runs,
-        "steal_pct": steals,
+        "accepted": accepted,
+        "rejected": rejected,
         "best_sec": best,
+        "best": best_entry,
         "n_triples": n,
         "n_turns": n_turns,
-        "triples_per_sec": round(n / best, 1),
+        "triples_per_sec": round(n / best, 1) if accepted else 0.0,
     }
 
 
@@ -97,51 +169,81 @@ def main() -> None:
     ratio = HIGH / LOW
     eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / ratio if lo["triples_per_sec"] else 0
 
+    def row(r):
+        b = r.get("best", {})
+        walls = [e["wall_sec"] for e in r["accepted"]]
+        steals = [e["steal_pct"] for e in r["accepted"]]
+        return (
+            f"| local[{r['cores']}] | {r['best_sec']} | {r['triples_per_sec']} | "
+            f"{walls} | {steals} | {b.get('task_sec', '-')} | {b.get('cpu_sec', '-')} | "
+            f"{b.get('gc_sec', '-')} | {b.get('n_tasks', '-')} | {b.get('n_jobs', '-')} |"
+        )
+
+    lo_b, hi_b = lo.get("best", {}), hi.get("best", {})
+    decomposition = ""
+    if lo_b.get("cpu_sec") and hi_b.get("cpu_sec"):
+        lo_ideal = lo_b["cpu_sec"] / LOW
+        hi_ideal = hi_b["cpu_sec"] / HIGH
+        decomposition = f"""
+## Task-time decomposition (best accepted run per level)
+
+wall ~= executor_cpu_sec / cores + unparallelized residual. The
+distributed work itself is nearly constant across levels (same input,
+same plan):
+
+| cores | wall s | cpu_sec/cores (ideal) | residual s | residual % |
+|---|---|---|---|---|
+| {LOW} | {lo_b['wall_sec']} | {lo_ideal:.1f} | {lo_b['wall_sec'] - lo_ideal:.1f} | {100 * (lo_b['wall_sec'] - lo_ideal) / lo_b['wall_sec']:.0f}% |
+| {HIGH} | {hi_b['wall_sec']} | {hi_ideal:.1f} | {hi_b['wall_sec'] - hi_ideal:.1f} | {100 * (hi_b['wall_sec'] - hi_ideal) / hi_b['wall_sec']:.0f}% |
+
+The residual bundles driver/scheduler time between jobs ({hi_b.get('n_jobs', '?')}
+jobs/run), Python worker startup, GC ({hi_b.get('gc_sec', '?')} s at {HIGH}
+cores), and any steal below the gate. Executor CPU seconds themselves
+(the distributed work a real cluster would spread over executors) scale
+by {lo_b['cpu_sec']:.0f} -> {hi_b['cpu_sec']:.0f} s (ratio
+{hi_b['cpu_sec'] / lo_b['cpu_sec']:.2f} — ~1.0 means no parallel-induced
+extra work).
+"""
+
     md = f"""# BENCH — scaling efficiency evidence
 
 Generated {date.today().isoformat()} by bench_scaling.py. Same job, same
 materialized input ({hi['n_turns']:,} transcript turns, {N_CONVS:,} conversations),
-run at two parallelism levels (N={LOW} and 4N={HIGH} cores) on one machine —
-the in-sandbox stand-in for N vs 4N executors (BASELINE.json north rule).
-Best of {RUNS} runs per level;
-per-run host CPU-steal%% is reported because this sandbox VM shows
-0-35%% steal that fluctuates minute to minute.
+run at local[{LOW}] vs local[{HIGH}] (the N vs 4N parallelism levels of
+BASELINE.md:35) on one machine. Runs are STEAL-GATED: a run counts only if
+interval host-CPU steal <= {STEAL_MAX}% (this VM fluctuates 0-35%);
+{RUNS} accepted runs per level (rejected runs listed in the raw JSON).
+Best-of-accepted per level.
 
-| cores | best sec | triples/sec | all runs (sec) | steal%% per run |
-|---|---|---|---|---|
-| local[{LOW}] | {lo['best_sec']} | {lo['triples_per_sec']} | {lo['runs_sec']} | {lo['steal_pct']} |
-| local[{HIGH}] | {hi['best_sec']} | {hi['triples_per_sec']} | {hi['runs_sec']} | {hi['steal_pct']} |
+| cores | best sec | triples/sec | accepted walls (s) | steal% | task_sec | cpu_sec | gc_sec | tasks | jobs |
+|---|---|---|---|---|---|---|---|---|---|
+{row(lo)}
+{row(hi)}
 
 **Scaling efficiency (thr_{HIGH} / thr_{LOW}) / {ratio:.0f} = {eff:.3f}** (target >= 0.8)
+{decomposition}
+## Scale design notes
 
-## What bounds scaling in this sandbox
+The pipeline (scan -> native chunk/score -> Arrow extract -> broadcast
+link -> CC) is a single linear DAG with zero in-memory persists; the only
+shuffle-free Python stage is the Arrow extraction. Structural choices that
+keep it scalable (profiled in round 1 with event logs):
 
-The pipeline's distributed work (scan -> chunk -> Arrow extract -> join ->
-CC) is embarrassingly parallel and was verified to scale per-stage; the
-residual is (a) fixed driver/job-scheduling overhead (~0.3-0.7 s per Spark
-job on this VM — a single-JVM local mode artifact that a real cluster
-amortizes across executors), and (b) hypervisor CPU steal on this shared
-host. Structural fixes applied after profiling with event logs:
-
-1. single linear DAG, zero in-memory persists — persisted-stage plans let
-   AQE materialize independent branches concurrently over a cold cache
-   (observed: the Python extraction ran 5x simultaneously), and in-memory
-   cache writes convoy on the single-JVM MemoryStore above ~16 concurrent
-   tasks; the restructured plan consumes every stage exactly once;
-2. inline (zero-shuffle) extraction by default — the sha2-dedup join is
-   kept as an option for paid-LLM backends over repetitive corpora;
-3. explicit repartition before the Arrow extraction stage in dedup mode —
-   AQE coalesces shuffle output for JVM byte sizes, which serialized the
-   Python stage to 8 tasks;
-4. driver-side union-find for the broadcast-sized dictionary graph —
-   the iterative Spark CC loop on a 60-edge graph cost ~10 scheduler
-   round-trips per run;
-5. single-partition entity dictionary — `createDataFrame` parallelizes
-   tiny local data over defaultParallelism slices, spawning one Python
-   worker per slice per materialization;
-6. `spark.sql.files.maxPartitionBytes=16m` locally so the scan yields
-   more splits than cores (a 770 MB corpus at the 128 MB default gave
-   6 map tasks — the map phase could never use 32 cores).
+1. single linear DAG, zero persists — AQE materializes independent
+   branches of persisted-stage plans concurrently over a cold cache
+   (observed 5x duplicate extraction), and the single-JVM MemoryStore
+   convoys above ~16 concurrent tasks;
+2. inline zero-shuffle extraction by default; sha2-dedup join (and the
+   persistent cache table) as options for paid backends;
+3. explicit repartition before the Arrow stage in dedup mode — AQE
+   coalesces shuffles for JVM byte sizes and would serialize Python;
+4. driver-side union-find for the broadcast-sized dictionary graph
+   (an iterative Spark loop on a 60-edge graph is pure scheduling);
+5. single-partition entity dictionary (createDataFrame otherwise spawns
+   one Python task per defaultParallelism slice per materialization);
+6. spark.sql.files.maxPartitionBytes=16m locally so scans yield more
+   splits than cores; the corpus is written as 128 files (row groups are
+   indivisible scan units).
 
 Raw per-level JSON:
 

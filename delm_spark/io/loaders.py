@@ -7,10 +7,10 @@ directory loading, recursive glob, and union are native reader features
 (`pathGlobFilter`, `recursiveFileLookup`), so S9/S14's manual unions
 disappear.
 
-Formats needing Python libs absent in this sandbox (docx/pdf/xlsx) are
-registered but gated: the Spark-side plumbing (binaryFile source + Arrow
-UDF signature) is real; the decode raises NotImplementedError until the
-lib is provided.
+docx/xlsx decode with the standard library only (both are ZIP+XML; see
+io/office.py) through the binaryFile source + Arrow UDFs — python-docx /
+openpyxl are not needed. PDF (reference: marker OCR, a heavy model dep)
+stays a gated stub: plumbing real, decode raises NotImplementedError.
 """
 
 from __future__ import annotations
@@ -93,6 +93,18 @@ def load_binary_with_udf(spark: SparkSession, path: str, decode_udf=None) -> Dat
     return df.select(FILE_NAME_COL, decode_udf(F.col("content")).alias(RAW_DATA_COL))
 
 
+def _load_docx(spark: SparkSession, path: str) -> DataFrame:
+    from delm_spark.io.office import load_docx
+
+    return load_docx(spark, path)
+
+
+def _load_xlsx(spark: SparkSession, path: str, target_column=None) -> DataFrame:
+    from delm_spark.io.office import load_xlsx
+
+    return load_xlsx(spark, path, target_column)
+
+
 _EXT_DISPATCH = {
     ".txt": load_text,
     ".md": load_text,
@@ -101,10 +113,12 @@ _EXT_DISPATCH = {
     ".parquet": load_parquet,
     ".json": load_json,
     ".jsonl": load_json,
+    ".docx": _load_docx,
+    ".xlsx": _load_xlsx,
 }
 
 #: formats that require a target column (reference data_loaders.py:304-329)
-REQUIRES_TARGET_COLUMN = {".csv", ".parquet", ".json", ".jsonl"}
+REQUIRES_TARGET_COLUMN = {".csv", ".parquet", ".json", ".jsonl", ".xlsx"}
 
 
 def load_path(
@@ -119,4 +133,6 @@ def load_path(
         raise ValueError(f"Unsupported extension {ext!r} for {path}")
     if ext == ".csv":
         return load_csv(spark, path, target_column)
+    if ext == ".xlsx":
+        return _load_xlsx(spark, path, target_column)
     return loader(spark, path)

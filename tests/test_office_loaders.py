@@ -1,0 +1,117 @@
+"""DOCX/XLSX loading (S3/S8): stdlib zip+XML decode through the Spark
+binaryFile source. Test files are constructed in-test with zipfile — real
+OOXML containers, no office libs required on either side."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from delm_spark.io.loaders import load_path
+from delm_spark.io.office import parse_docx_bytes, parse_xlsx_rows
+
+W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+S = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+
+def _docx(path, body_paras, table=None, header=None, footer=None):
+    def paras(texts):
+        return "".join(f"<w:p><w:r><w:t>{t}</w:t></w:r></w:p>" for t in texts)
+
+    tbl = ""
+    if table:
+        rows = "".join(
+            "<w:tr>"
+            + "".join(f"<w:tc><w:p><w:r><w:t>{c}</w:t></w:r></w:p></w:tc>" for c in row)
+            + "</w:tr>"
+            for row in table
+        )
+        tbl = f"<w:tbl>{rows}</w:tbl>"
+    doc = f'<?xml version="1.0"?><w:document {W}><w:body>{paras(body_paras)}{tbl}</w:body></w:document>'
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+        if header:
+            z.writestr(
+                "word/header1.xml", f'<?xml version="1.0"?><w:hdr {W}>{paras(header)}</w:hdr>'
+            )
+        if footer:
+            z.writestr(
+                "word/footer1.xml", f'<?xml version="1.0"?><w:ftr {W}>{paras(footer)}</w:ftr>'
+            )
+
+
+def _xlsx(path, rows):
+    strings, cells_xml = [], []
+    for ri, row in enumerate(rows, start=1):
+        cs = []
+        for ci, val in enumerate(row):
+            ref = chr(65 + ci) + str(ri)
+            if isinstance(val, str):
+                idx = len(strings)
+                strings.append(val)
+                cs.append(f'<c r="{ref}" t="s"><v>{idx}</v></c>')
+            elif val is not None:
+                cs.append(f'<c r="{ref}"><v>{val}</v></c>')
+        cells_xml.append(f'<row r="{ri}">{"".join(cs)}</row>')
+    sheet = f'<?xml version="1.0"?><worksheet {S}><sheetData>{"".join(cells_xml)}</sheetData></worksheet>'
+    sst = (
+        f'<?xml version="1.0"?><sst {S}>'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", f'<?xml version="1.0"?><workbook {S}/>')
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_parse_docx_reference_part_order(tmp_path):
+    """Reference extraction order (data_loaders.py:109-152): headers,
+    body paragraphs, table cells row-major, footers."""
+    p = tmp_path / "doc.docx"
+    _docx(
+        p,
+        body_paras=["Body one", "Body two"],
+        table=[["A1", "B1"], ["A2", "B2"]],
+        header=["Head"],
+        footer=["Foot"],
+    )
+    text = parse_docx_bytes(p.read_bytes())
+    assert text == "Head\nBody one\nBody two\nA1\nB1\nA2\nB2\nFoot"
+
+
+def test_load_docx_via_spark(spark, tmp_path):
+    for i in range(3):
+        _docx(tmp_path / f"d{i}.docx", body_paras=[f"Doc {i} text"])
+    df = load_path(spark, str(tmp_path / "*.docx"))
+    rows = {r["delm_raw_data"] for r in df.collect()}
+    assert rows == {"Doc 0 text", "Doc 1 text", "Doc 2 text"}
+
+
+def test_parse_xlsx_rows_types_and_gaps(tmp_path):
+    p = tmp_path / "t.xlsx"
+    _xlsx(p, [["name", "score"], ["alice", 3], [None, 7], ["bob", None]])
+    rows = parse_xlsx_rows(p.read_bytes())
+    assert rows[0] == ["name", "score"]
+    assert rows[1] == ["alice", "3"]
+    assert rows[2] == [None, "7"]
+    assert rows[3] == ["bob", None]
+
+
+def test_load_xlsx_via_spark(spark, tmp_path):
+    p = tmp_path / "t.xlsx"
+    _xlsx(p, [["name", "note"], ["alice", "likes spark"], ["bob", "likes ducks"]])
+    df = load_path(spark, str(p), target_column="note")
+    got = {(r["name"], r["note"]) for r in df.collect()}
+    assert got == {("alice", "likes spark"), ("bob", "likes ducks")}
+    assert df.columns == ["delm_file_name", "name", "note"]
+
+
+def test_load_xlsx_missing_target_column(spark, tmp_path):
+    p = tmp_path / "t.xlsx"
+    _xlsx(p, [["name"], ["alice"]])
+    with pytest.raises(ValueError, match="target_column"):
+        load_path(spark, str(p), target_column="text")
