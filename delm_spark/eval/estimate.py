@@ -43,6 +43,43 @@ def estimate_triple_performance(
     return {"triples": overall, "fields": per_field}
 
 
+def estimate_total_cost(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    config: PipelineConfig | None = None,
+    sample_size: int = 10,
+    model: str = "deterministic-rules",
+) -> dict:
+    """Sampled total-cost extrapolation (reference
+    utils/cost_estimation.py:111-190): run the REAL pipeline on a seeded
+    sample of `sample_size` conversations, measure the actual token cost,
+    and scale by total_records / sample_size. One distinct-count + one
+    sampled run — the extrapolation arithmetic is driver-side."""
+    from dataclasses import replace
+
+    from delm_spark.extraction.cost import summarize_cost
+
+    config = config or PipelineConfig()
+    n_total = transcripts.select("conv_id").distinct().count()
+    n_sample = min(sample_size, n_total)
+    sample_cfg = replace(
+        config, sample_size=n_sample, checkpoint_dir=None, cache_dir=None
+    )
+    res = run_pipeline(spark, transcripts, dictionary, sample_cfg)
+    s = summarize_cost(res.extracted, model=model)
+    factor = n_total / n_sample if n_sample else 0.0
+    return {
+        "sample_records": n_sample,
+        "total_records": n_total,
+        "sample_cost_usd": s.cost_usd,
+        "sample_input_tokens": s.input_tokens,
+        "sample_output_tokens": s.output_tokens,
+        "estimated_total_cost_usd": s.cost_usd * factor,
+        "estimated_total_input_tokens": int(s.input_tokens * factor),
+    }
+
+
 def merged_records(triples: DataFrame) -> DataFrame:
     """Per-conversation consolidated triple lists in chunk order (the
     record-level merge the reference applies before evaluation,

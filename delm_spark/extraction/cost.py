@@ -20,14 +20,31 @@ from pyspark.sql import functions as F
 
 from delm_spark.extraction.extract import IN_TOKENS_COL, OUT_TOKENS_COL
 
-#: USD per 1M tokens (input, output). Same shape as the reference's price
-#: DB (utils/model_price_database.py:9-119); entries here are the handful
-#: of public list prices the reference's tests exercise.
+#: USD per 1M tokens (input, output). Same shape and values as the
+#: reference's price DB (utils/model_price_database.py:9-119 — public list
+#: prices); flat keys ("model" or "provider/model") instead of tuples.
 PRICE_PER_1M: dict[str, tuple[float, float]] = {
-    "gpt-4o-mini": (0.60, 2.40),
+    "gpt-4.1": (2.00, 8.00),
+    "gpt-4.1-mini": (0.40, 1.60),
+    "gpt-4.1-nano": (0.10, 0.40),
+    "o3": (2.00, 8.00),
+    "o4-mini": (1.10, 4.40),
     "gpt-4o": (5.00, 20.00),
+    "gpt-4o-mini": (0.60, 2.40),
+    "claude-opus-4-20250514": (15.00, 75.00),
+    "claude-sonnet-4-20250514": (3.00, 15.00),
+    "claude-3-7-sonnet-20250219": (3.00, 15.00),
+    "claude-3-5-sonnet-20241022": (3.00, 15.00),
+    "claude-3-5-haiku-20241022": (0.80, 4.00),
     "deterministic-rules": (0.0, 0.0),  # the in-sandbox backend is free
 }
+
+
+def lookup_price(model: str) -> tuple[float, float]:
+    """Price lookup tolerant of 'provider/model' strings (the reference
+    keys on (provider, model), model_price_database.py:121-160)."""
+    key = model.split("/", 1)[-1]
+    return PRICE_PER_1M.get(key, PRICE_PER_1M.get(model, (0.0, 0.0)))
 
 
 @dataclass
@@ -52,7 +69,7 @@ def summarize_cost(extracted: DataFrame, model: str = "deterministic-rules") -> 
         F.coalesce(F.sum(IN_TOKENS_COL), F.lit(0)).alias("it"),
         F.coalesce(F.sum(OUT_TOKENS_COL), F.lit(0)).alias("ot"),
     ).collect()[0]
-    p_in, p_out = PRICE_PER_1M.get(model, (0.0, 0.0))
+    p_in, p_out = lookup_price(model)
     cost = row["it"] / 1e6 * p_in + row["ot"] / 1e6 * p_out
     return CostSummary(int(row["it"]), int(row["ot"]), cost)
 
@@ -72,4 +89,4 @@ def estimate_input_cost(
     toks = chunks.agg(
         F.coalesce(F.sum(F.ceil(F.length(text_col) / 4)), F.lit(0)).alias("t")
     ).collect()[0]["t"]
-    return toks / 1e6 * PRICE_PER_1M.get(model, (0.0, 0.0))[0]
+    return toks / 1e6 * lookup_price(model)[0]

@@ -128,7 +128,9 @@ def connected_components(
     return labels
 
 
-def canonical_map(dictionary: DataFrame) -> DataFrame:
+def canonical_map(
+    dictionary: DataFrame, driver_cutoff: int = DRIVER_CC_MAX_EDGES
+) -> DataFrame:
     """(node -> canonical_id) map from the dictionary's alias graph alone.
 
     Canonicalization depends only on the alias graph (surface <->
@@ -140,7 +142,34 @@ def canonical_map(dictionary: DataFrame) -> DataFrame:
     (a curated canonical id) when one exists.
 
     Output is broadcast-sized whenever the dictionary is (north rule).
+    The dictionary-sized path runs as ONE collect job + pure-Python
+    union-find + a LocalTableScan result — a fixed ~0.5 s/job scheduler
+    cost per eager step makes every avoidable job count in local mode,
+    and the result is consumed only via broadcast joins. Larger
+    dictionaries fall back to the distributed CC loop (agreement-tested
+    against the driver path in tests/test_connected_components.py).
     """
+    spark = dictionary.sparkSession
+    # ONE job decides the path AND fetches the rows (limit cutoff+1: if the
+    # extra row comes back the dictionary is over-cutoff -> distributed)
+    rows = (
+        dictionary.select("surface", "canonical_id")
+        .limit(driver_cutoff + 1)
+        .collect()
+    )
+    if len(rows) <= driver_cutoff:
+        pairs = [(f"mention:{r['surface']}", r["canonical_id"]) for r in rows]
+        comp = _driver_union_find(pairs)
+        # representative per component: smallest non-mention node, else label
+        best: dict = {}
+        for node, c in comp.items():
+            if not node.startswith("mention:"):
+                if c not in best or node < best[c]:
+                    best[c] = node
+        out = sorted((node, best.get(c, c)) for node, c in comp.items())
+        return spark.createDataFrame(
+            out, "node string, canonical_id string"
+        ).coalesce(1)
     dict_edges = dictionary.select(
         F.concat(F.lit("mention:"), F.col("surface")).alias("src"),
         F.col("canonical_id").alias("dst"),

@@ -297,15 +297,14 @@ def run_pipeline(
     runner = StageRunner(
         spark, config.checkpoint_dir, fingerprint=config_fingerprint(config, backend)
     )
-    # materialize the dictionary once — it is re-read by every CC
-    # iteration and broadcast build
-    dictionary = dictionary.localCheckpoint(eager=True)
 
     # canonical map from the dictionary's alias graph alone (driver-side
-    # union-find for broadcast-sized dictionaries) — no triples dependency,
-    # so the main DAG below stays strictly linear with every stage consumed
-    # exactly once.
-    labels = canonical_map(dictionary).localCheckpoint(eager=True)
+    # union-find for broadcast-sized dictionaries, ONE collect job) — no
+    # triples dependency, so the main DAG below stays strictly linear with
+    # every stage consumed exactly once. The result is a LocalTableScan,
+    # so repeated broadcast builds don't recompute anything: no eager
+    # checkpoints (each one costs a dedicated ~0.5 s job in local mode).
+    labels = canonical_map(dictionary)
 
     if config.sample_size:
         from delm_spark.operators.sample import seeded_sample_records

@@ -99,3 +99,33 @@ def test_repartition_salted_preserves_rows(spark, corpus):
     after = repartition_salted(corpus, 8, "conv_id", buckets=4)
     assert after.count() == before
     assert after.rdd.getNumPartitions() == 8
+
+
+def test_lookup_price_provider_strings():
+    from delm_spark.extraction.cost import lookup_price
+
+    assert lookup_price("gpt-4o-mini") == (0.60, 2.40)
+    assert lookup_price("openai/gpt-4o-mini") == (0.60, 2.40)
+    assert lookup_price("anthropic/claude-sonnet-4-20250514") == (3.00, 15.00)
+    assert lookup_price("unknown-model") == (0.0, 0.0)
+
+
+def test_estimate_total_cost_extrapolates(spark):
+    """Sampled-run cost extrapolation (reference cost_estimation.py:111-190):
+    cost measured on a seeded n-conversation sample, scaled by
+    total/sample."""
+    from delm_spark.data.synthetic import entity_dictionary, generate_transcripts
+    from delm_spark.eval.estimate import estimate_total_cost
+    from delm_spark.kg.pipeline import PipelineConfig
+
+    t = generate_transcripts(spark, n_convs=40, n_hot=0)
+    est = estimate_total_cost(
+        spark, t, entity_dictionary(spark), PipelineConfig(),
+        sample_size=8, model="gpt-4o-mini",
+    )
+    assert est["sample_records"] == 8 and est["total_records"] == 40
+    assert est["sample_input_tokens"] > 0
+    assert est["estimated_total_cost_usd"] == pytest.approx(
+        est["sample_cost_usd"] * 5.0
+    )
+    assert est["estimated_total_cost_usd"] > 0
