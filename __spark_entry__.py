@@ -512,6 +512,22 @@ def minhash_lsh_pairs_docs(spark, sf_dir):
     )
 
 
+def near_dup_pipeline_docs(spark, sf_dir):
+    """The composed near-dup SCALE path: MinHash-LSH candidate pairs ->
+    exact n-gram Jaccard re-rank on candidates only (never all-pairs).
+    Oracle reproduces both stages in SQL."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cands = minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=4)
+    return (
+        ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5, candidates=cands
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -524,6 +540,24 @@ def simhash_pairs_docs(spark, sf_dir):
         .withColumn("hamming", F.col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
     )
+
+
+def multimodal_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end with an oracle: documents become
+    opaque binary payloads (utf-8 bytes), flow through the Arrow media-
+    feature UDF (re-chunked batches), and the oracle reproduces the
+    non-stubbed outputs (byte length, content sha256) in SQL. The decode
+    step itself is the documented deterministic fake (no codec libs)."""
+    from delm_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.format_string("m%08d", F.col("doc_id")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    feats = extract_media_features(media)
+    return feats.select("media_id", "n_bytes", "content_sha").orderBy("media_id")
 
 
 def fuzzy_score_docs(spark, sf_dir):
@@ -573,12 +607,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": lang_id_docs,
         "quality_score_docs": quality_score_docs,
         "salted_user_counts": salted_user_counts,
+        "multimodal_media_features": multimodal_media_features,
         "collect_ordered_langs": collect_ordered_langs,
         "explode_extracted_triples": explode_extracted_triples,
         "kg_triples_pipeline": kg_triples_pipeline,
         "kg_nodes_canonical": kg_nodes_canonical,
         "connected_components_demo": connected_components_demo,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "near_dup_pipeline_docs": near_dup_pipeline_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "fuzzy_score_docs": fuzzy_score_docs,
         "fixed_window_chunks": fixed_window_chunks,
@@ -838,6 +874,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, array_to_string(list(lang ORDER BY doc_id), '|') AS langs
             FROM documents GROUP BY source ORDER BY source
         """,
+        "multimodal_media_features": """
+            SELECT printf('m%08d', doc_id) AS media_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   sha256(text) AS content_sha
+            FROM documents ORDER BY media_id
+        """,
         "connected_components_demo": """
             -- closed-form expected components for the consecutive-orderkey
             -- chain graph: maximal runs of consecutive keys within a 64-key
@@ -885,6 +927,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "minhash_lsh_pairs_docs": _minhash_lsh_oracle_sql(k=16, bands=4),
+        "near_dup_pipeline_docs": _minhash_lsh_oracle_sql(
+            k=16, bands=4, jaccard_threshold=0.5
+        ),
         "explode_extracted_triples": _kg_oracle_sql("triples"),
         "kg_triples_pipeline": _kg_oracle_sql("linked"),
         "kg_nodes_canonical": _kg_oracle_sql("nodes"),
@@ -1043,14 +1088,18 @@ def _kg_oracle_sql(kind: str) -> str:
     raise ValueError(kind)
 
 
-def _minhash_lsh_oracle_sql(k: int, bands: int) -> str:
-    """DuckDB replica of minhash_signatures_agg + banding + bucket join."""
+def _minhash_lsh_oracle_sql(
+    k: int, bands: int, jaccard_threshold: float | None = None
+) -> str:
+    """DuckDB replica of minhash_signatures_agg + banding + bucket join;
+    with `jaccard_threshold`, adds the exact n-gram Jaccard re-rank on the
+    candidate pairs (the composed near-dup pipeline)."""
     rows = k // bands
     sig_exprs = ",\n                       ".join(
         f"list_min(list_transform(s, x -> md5('salt{i}|' || x)))" for i in range(k)
     )
     band_list = ", ".join(str(b) for b in range(bands))
-    return f"""
+    base = f"""
             WITH sh AS (
                 SELECT doc_id, list_distinct(list_transform(
                     generate_series(1, greatest(len(w) - 2, 1)),
@@ -1065,9 +1114,23 @@ def _minhash_lsh_oracle_sql(k: int, bands: int) -> str:
             bands AS (
                 SELECT doc_id, band,
                        md5(array_to_string(g[band*{rows}+1 : band*{rows}+{rows}], '|')) AS bucket
-                FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band) t)
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+                FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band) t),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+    if jaccard_threshold is None:
+        return base + """
+            SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+        """
+    return base + f"""
+            SELECT id_a, id_b,
+                   (len(list_intersect(a.s, b.s))::DOUBLE
+                    / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)) AS jaccard
+            FROM cand
+            JOIN sh a ON cand.id_a = a.doc_id
+            JOIN sh b ON cand.id_b = b.doc_id
+            WHERE (len(list_intersect(a.s, b.s))::DOUBLE
+                   / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)) >= {jaccard_threshold}
             ORDER BY id_a, id_b
         """

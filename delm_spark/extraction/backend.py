@@ -100,6 +100,35 @@ class RuleTripleExtractor:
         return out
 
 
+class PromptedApiBackend:
+    """Instructor-shaped API backend (reference
+    extraction_manager.py:296-332): assembles the reference's prompt and
+    system message (extraction/prompts.py — byte-for-byte parity), then
+    calls a pluggable `transport(prompt, system, model_name, temperature)
+    -> raw dict`. The transport is the ONLY network-touching piece — in
+    this sandbox tests inject a fake; production plugs an Instructor/SDK
+    call. Retry/backoff and per-chunk error safety come from the extraction
+    stage; cache keys derive from `call_spec`, so entries written with this
+    backend are keyed exactly like the reference's semantic cache
+    (semantic_cache.py:81-103)."""
+
+    def __init__(self, spec, transport, call_spec=None):
+        from delm_spark.extraction.prompts import CallSpec
+
+        self.spec = spec
+        self.transport = transport
+        self.call_spec = call_spec or CallSpec()
+
+    def extract_raw(self, text: str) -> Optional[dict[str, Any]]:
+        prompt = self.call_spec.prompt_for(self.spec, text or "")
+        return self.transport(
+            prompt,
+            self.call_spec.system_prompt,
+            self.call_spec.model_name,
+            self.call_spec.temperature,
+        )
+
+
 class CacheOnlyBackend:
     """Backend that refuses to run: guarantees a run is served entirely
     from the persistent semantic cache (and proves warm reruns make zero

@@ -127,7 +127,9 @@ def load_path(
     """S10: extension dispatch. Directories are handled by the reader's own
     glob — pass `dir/*.txt` style paths (S9); mixed-extension validation
     stays a driver-side concern."""
-    ext = Path(path).suffix.lower().lstrip("*")
+    ext = Path(path).suffix.lower().lstrip("*") if isinstance(path, str) else (
+        Path(path[0]).suffix.lower()
+    )
     loader = _EXT_DISPATCH.get(ext)
     if loader is None:
         raise ValueError(f"Unsupported extension {ext!r} for {path}")
@@ -136,3 +138,41 @@ def load_path(
     if ext == ".xlsx":
         return _load_xlsx(spark, path, target_column)
     return loader(spark, path)
+
+
+#: files the directory loader silently skips (reference IGNORE_FILES,
+#: constants.py / data_loaders.py:349-352)
+IGNORE_FILES = {".DS_Store", "Thumbs.db", "desktop.ini"}
+
+
+def load_directory(
+    spark: SparkSession,
+    directory: str,
+    target_column: Optional[str] = None,
+    recursive: bool = True,
+):
+    """S9: load every file of a directory as ONE DataFrame, enforcing a
+    single extension across the tree (reference data_loaders.py:331-383:
+    glob, skip IGNORE_FILES, single-extension validation, union). The
+    union is native — the matched file list goes to one reader call.
+
+    Returns (df, ext) like the reference.
+    """
+    root = Path(directory)
+    if not root.is_dir():
+        raise ValueError(f"{directory} is not a directory")
+    it = root.rglob("*") if recursive else root.glob("*")
+    files = sorted(
+        str(p) for p in it
+        if p.is_file() and p.name not in IGNORE_FILES and not p.name.startswith("_")
+    )
+    if not files:
+        raise ValueError(f"no loadable files under {directory}")
+    exts = {Path(f).suffix.lower() for f in files}
+    if len(exts) > 1:
+        raise ValueError(
+            f"directory {directory} mixes extensions {sorted(exts)}; "
+            "a corpus directory must be a single format"
+        )
+    ext = exts.pop()
+    return load_path(spark, files, target_column), ext

@@ -115,3 +115,30 @@ def test_load_xlsx_missing_target_column(spark, tmp_path):
     _xlsx(p, [["name"], ["alice"]])
     with pytest.raises(ValueError, match="target_column"):
         load_path(spark, str(p), target_column="text")
+
+
+# --- S9: directory loading with single-extension validation ----------------
+
+from delm_spark.io.loaders import load_directory
+
+
+def test_load_directory_single_ext_union(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.txt").write_text("alpha doc")
+    (tmp_path / "sub" / "b.txt").write_text("beta doc")
+    (tmp_path / ".DS_Store").write_text("junk")  # skipped (IGNORE_FILES)
+    df, ext = load_directory(spark, str(tmp_path))
+    assert ext == ".txt"
+    assert {r["delm_raw_data"] for r in df.collect()} == {"alpha doc", "beta doc"}
+
+
+def test_load_directory_rejects_mixed_extensions(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("x")
+    (tmp_path / "b.csv").write_text("text\nx")
+    with pytest.raises(ValueError, match="mixes extensions"):
+        load_directory(spark, str(tmp_path))
+
+
+def test_load_directory_empty(spark, tmp_path):
+    with pytest.raises(ValueError, match="no loadable files"):
+        load_directory(spark, str(tmp_path))

@@ -184,3 +184,22 @@ def test_brute_force_topk_self_first(spark):
     # LSH path returns a subset containing the self-match
     lsh = lsh_topk(df, q, dim=8, k=3, n_planes=4).orderBy("rank").collect()
     assert lsh[0]["vec_id"] == 0
+
+
+def test_fixture_determinism(spark):
+    """The committed oracle fixtures (tests/fixtures/) must equal a fresh
+    regeneration — the synthetic generator is pure hash-derived, so any
+    drift means the fixtures (and their oracle results) are stale."""
+    from delm_spark.data.synthetic import entity_dictionary, generate_transcripts
+    from tests.fixtures.make_fixtures import FIXTURE_DIR, N_CONVS, N_HOT
+
+    committed = spark.read.parquet(str(FIXTURE_DIR / "transcripts.parquet"))
+    fresh = generate_transcripts(spark, n_convs=N_CONVS, n_hot=N_HOT)
+    assert committed.count() == fresh.count()
+    assert committed.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(committed).count() == 0
+
+    d_committed = spark.read.parquet(str(FIXTURE_DIR / "dictionary.parquet"))
+    d_fresh = entity_dictionary(spark)
+    assert d_committed.exceptAll(d_fresh).count() == 0
+    assert d_fresh.exceptAll(d_committed).count() == 0

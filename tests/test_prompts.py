@@ -99,3 +99,37 @@ def test_prompt_expr_matches_python_prompt(spark):
     }
     for t in TEXTS:
         assert got[t] == create_prompt(spec, t, DEFAULT_PROMPT_TEMPLATE)
+
+
+def test_prompted_api_backend_sends_reference_prompt():
+    """PromptedApiBackend assembles the exact reference prompt/system and
+    its raw output flows through the cleaning rules."""
+    from delm_spark.data.synthetic import TRIPLE_SCHEMA_CFG
+    from delm_spark.extraction.backend import PromptedApiBackend
+    from delm_spark.extraction.extract import _extract_series
+
+    spec = spec_from_dict(TRIPLE_SCHEMA_CFG)
+    seen = {}
+
+    def fake_transport(prompt, system, model, temperature):
+        seen.update(prompt=prompt, system=system, model=model, temp=temperature)
+        return {"triples": [
+            {"subj": "Alice Smith", "pred": "works_at", "obj": "Acme Corp"},
+            {"subj": "Alice Smith", "pred": "dislikes", "obj": "Acme Corp"},
+        ]}
+
+    call = CallSpec(model_name="gpt-4o-mini", temperature=0.2)
+    backend = PromptedApiBackend(spec, fake_transport, call)
+    text = "Alice Smith works at Acme Corp."
+    jsons, errors, _, _ = _extract_series([text], spec, backend, max_retries=0)
+    assert errors == [None]
+    assert seen["prompt"] == create_prompt(spec, text)
+    assert seen["system"] == DEFAULT_SYSTEM_PROMPT
+    assert seen["model"] == "gpt-4o-mini" and seen["temp"] == 0.2
+    import json
+
+    cleaned = json.loads(jsons[0])
+    # disallowed predicate dropped by the cleaning rules, valid triple kept
+    assert cleaned == {"triples": [
+        {"subj": "Alice Smith", "pred": "works_at", "obj": "Acme Corp"}
+    ]}

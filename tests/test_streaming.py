@@ -64,3 +64,55 @@ def test_stream_checkpoint_makes_redrain_noop(spark, stream_dirs):
     _drain(spark, stream_dirs)  # same checkpoint: nothing new to process
     after = spark.read.parquet(stream_dirs["out"]).count()
     assert after == before
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap-closed sessions emit with
+    exact bounds/counts; the still-open session stays in state."""
+    import datetime as dt
+
+    from delm_spark.streaming.stateful import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: session A (0, 10min), gap > 30min, session B (open)
+        (1, ts(0)), (1, ts(10)), (1, ts(120)),
+        # user 2: one long session, closed by a later far event
+        (2, ts(0)), (2, ts(20)), (2, ts(40)), (2, ts(300)),
+    ]
+    src = tmp_path / "events_in"
+    src.mkdir()
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "batch0"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch0"))
+    )
+    sessions = sessionize_stream(stream, gap_sec=1800)
+    out = tmp_path / "sessions_out"
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert (1, epoch, epoch + 600, 2) in got  # user 1 session A closed by gap
+    assert (2, epoch, epoch + 2400, 3) in got  # user 2 first session closed
+    # open sessions (user1 @120min, user2 @300min) are not emitted yet
+    assert len(got) == 2
