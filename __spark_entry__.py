@@ -874,6 +874,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, array_to_string(list(lang ORDER BY doc_id), '|') AS langs
             FROM documents GROUP BY source ORDER BY source
         """,
+        "fixed_window_chunks": """
+            -- RE2 has no lookbehind; '(?<=[.!?])\\s+' split is emulated by
+            -- replacing each split point with a sentinel then splitting
+            -- (verified piece-for-piece against Python re.split)
+            WITH s AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(text, '([.!?])\\s+',
+                                                   '\\1' || chr(1), 'g'),
+                                    chr(1)) AS sents
+                FROM documents WHERE doc_id < 20),
+            c AS (
+                SELECT doc_id, list_filter(list_transform(
+                        generate_series(1, greatest(len(sents), 1), 2),
+                        i -> regexp_replace(regexp_replace(
+                                 array_to_string(sents[i:i+1], ' '),
+                                 '^\\s+', ''), '\\s+$', '')),
+                    x -> x <> '') AS chunks
+                FROM s)
+            SELECT doc_id,
+                   generate_subscripts(chunks, 1) - 1 AS chunk_pos,
+                   unnest(chunks) AS chunk
+            FROM c ORDER BY doc_id, chunk_pos
+        """,
         "multimodal_media_features": """
             SELECT printf('m%08d', doc_id) AS media_id,
                    octet_length(encode(text))::BIGINT AS n_bytes,
