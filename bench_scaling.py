@@ -158,54 +158,60 @@ def run_level(cores: int) -> dict:
     }
 
 
+def _control_cpu_work(_):
+    """Pure register/L1 compute: sha256 over a 4 KB buffer."""
+    import hashlib
+
+    buf = b"x" * 4096
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 6.0:
+        for _ in range(200):
+            hashlib.sha256(buf).digest()
+        n += 200
+    return n
+
+
+def _control_kernel_work(_):
+    """The ACTUAL Arrow extraction kernel, isolated from Spark."""
+    import random
+
+    sys.path.insert(0, str(REPO))
+    from delm_spark.data.synthetic import TRIPLE_SCHEMA_CFG
+    from delm_spark.extraction.backend import RuleTripleExtractor
+    from delm_spark.extraction.extract import _extract_series
+    from delm_spark.schemas.spec import spec_from_dict
+
+    spec = spec_from_dict(TRIPLE_SCHEMA_CFG)
+    be = RuleTripleExtractor(spec)
+    rnd = random.Random(1)
+    names = ["Alice Smith", "Bob Jones", "Carol Wu", "Dan Brown"]
+    orgs = ["Acme Corp", "Globex Inc", "Initech"]
+    texts = [
+        f"{rnd.choice(names)} works at {rnd.choice(orgs)}. the weather was "
+        f"nice that day. {rnd.choice(names)} reports to {rnd.choice(names)}."
+        for _ in range(2000)
+    ]
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 8.0:
+        _extract_series(texts, spec, be, 0)
+        n += len(texts)
+    return n
+
+
 def run_controls() -> dict:
     """Spark-free hardware-ceiling controls at the same two worker counts:
     (a) pure register/L1 compute (sha256 over a 4 KB buffer) — what the
     host's vCPUs can deliver at all; (b) the ACTUAL Arrow extraction kernel
     (pandas extractall + cleaning) — the pipeline's Python stage, isolated
     from Spark. Their scaling efficiencies bound what any plan can reach."""
-    import hashlib
-    import random
     from multiprocessing import Pool
-
-    def cpu_work(_):
-        buf = b"x" * 4096
-        t0 = time.perf_counter()
-        n = 0
-        while time.perf_counter() - t0 < 6.0:
-            for _ in range(200):
-                hashlib.sha256(buf).digest()
-            n += 200
-        return n
-
-    def kernel_work(_):
-        sys.path.insert(0, str(REPO))
-        from delm_spark.data.synthetic import TRIPLE_SCHEMA_CFG
-        from delm_spark.extraction.backend import RuleTripleExtractor
-        from delm_spark.extraction.extract import _extract_series
-        from delm_spark.schemas.spec import spec_from_dict
-
-        spec = spec_from_dict(TRIPLE_SCHEMA_CFG)
-        be = RuleTripleExtractor(spec)
-        rnd = random.Random(1)
-        names = ["Alice Smith", "Bob Jones", "Carol Wu", "Dan Brown"]
-        orgs = ["Acme Corp", "Globex Inc", "Initech"]
-        texts = [
-            f"{rnd.choice(names)} works at {rnd.choice(orgs)}. the weather was "
-            f"nice that day. {rnd.choice(names)} reports to {rnd.choice(names)}."
-            for _ in range(2000)
-        ]
-        t0 = time.perf_counter()
-        n = 0
-        while time.perf_counter() - t0 < 8.0:
-            _extract_series(texts, spec, be, 0)
-            n += len(texts)
-        return n
 
     out = {}
     for name, fn in (
-        ("pure_compute_sha256", cpu_work),
-        ("extraction_kernel", kernel_work),
+        ("pure_compute_sha256", _control_cpu_work),
+        ("extraction_kernel", _control_kernel_work),
     ):
         r = {}
         for w in (LOW, HIGH):
