@@ -232,6 +232,13 @@ def main() -> None:
         return
     results = {}
     for cores in (LOW, HIGH):
+        # per-level JSON snapshots make the sweep resumable: a hung or
+        # killed level can be retried alone (local-mode runs occasionally
+        # wedge on this VM) without redoing the other level
+        snap = Path(f"/tmp/delm_scaling_level_{N_CONVS}_{cores}.json")
+        if snap.exists() and not os.environ.get("SPARK_GRAFT_SCALE_FRESH"):
+            results[cores] = json.loads(snap.read_text())
+            continue
         out = subprocess.run(
             [sys.executable, str(REPO / "bench_scaling.py")],
             env=dict(os.environ, SPARK_GRAFT_SCALE_CHILD=str(cores)),
@@ -239,6 +246,7 @@ def main() -> None:
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cores] = json.loads(line)
+        snap.write_text(line)
     lo, hi = results[LOW], results[HIGH]
     ratio = HIGH / LOW
     eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / ratio if lo["triples_per_sec"] else 0
