@@ -114,5 +114,8 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
     assert (1, epoch, epoch + 600, 2) in got  # user 1 session A closed by gap
     assert (2, epoch, epoch + 2400, 3) in got  # user 2 first session closed
-    # open sessions (user1 @120min, user2 @300min) are not emitted yet
-    assert len(got) == 2
+    # user 1's open session (@120min) is closed by EVENT-TIME TIMEOUT: the
+    # watermark (max ts 300min - 2h = 180min) passed 120min + gap
+    assert (1, epoch + 7200, epoch + 7200, 1) in got
+    # user 2's open session (@300min) is beyond the watermark -> still open
+    assert len(got) == 3
