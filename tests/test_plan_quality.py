@@ -88,3 +88,28 @@ def test_extraction_python_stage_is_arrow_batched(spark):
     plan = _plan(extract_chunks(chunks, spec, RuleTripleExtractor(spec)))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_merge_records_single_exchange(spark):
+    """The per-record merge must be ONE aggregation: a single shuffle on
+    the record id, no per-variable vote joins (formerly 2V exchanges + V
+    joins for V scalar variables)."""
+    import json
+
+    from delm_spark.operators.merge import merge_records
+    from delm_spark.schemas.spec import spec_from_dict
+    from tests.test_clean_parity import MULTIPLE_CFG, SIMPLE_CFG
+
+    df = spark.createDataFrame(
+        [("r1", 0, json.dumps({"authors": ["a"], "book_prices": [1.0],
+                               "genre": "fiction", "available": True,
+                               "title": "t"}))],
+        "record_id string, pos int, delm_extracted_data_json string",
+    )
+    for cfg in (SIMPLE_CFG, MULTIPLE_CFG):
+        plan = (
+            merge_records(df, spec_from_dict(cfg), "record_id", "pos")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "Join" not in plan, plan
