@@ -13,7 +13,9 @@ import pytest
 import __spark_entry__ as entry_mod
 from tests.conftest import TESTDATA
 
-SF_DIR = str(TESTDATA / "sf0.001")
+import os
+
+SF_DIR = str(TESTDATA / os.environ.get("SPARK_GRAFT_PARITY_SF", "sf0.001"))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
