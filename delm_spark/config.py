@@ -219,17 +219,20 @@ class DelmConfig:
         """Bridge to the KG pipeline's config for nested triple specs."""
         from delm_spark.kg.pipeline import PipelineConfig
 
+        from delm_spark.operators.scoring import parse_score_filter
+
         kw = (self.data_preprocessing.scoring or {}).get("keywords") or []
-        threshold = 1.0
+        op, threshold = ">=", 1.0
         f = self.data_preprocessing.pandas_score_filter
         if f:
-            import re
-
-            m = re.search(r"([0-9]*\.?[0-9]+)", validate_score_filter(f))
-            threshold = float(m.group(1)) if m else 1.0
+            # keep the comparison operator — the reference applies the
+            # pandas-query predicate verbatim ('delm_score > 1.0' excludes
+            # score==1.0; '<' inverts the filter)
+            op, threshold = parse_score_filter(f)
         kwargs = dict(
             keywords=list(kw),
             score_threshold=threshold,
+            score_op=op,
             checkpoint_dir=self.pipeline.checkpoint_dir,
             dedup_extraction=self.pipeline.dedup_extraction,
             extract_partitions=self.pipeline.extract_partitions,

@@ -23,6 +23,14 @@ TURN_IDX_COL = "turn_idx"
 CHUNK_POS_COL = "chunk_pos"
 PART_ID_COL = "delm_part_id"
 CACHE_KEY_COL = "delm_cache_key"
+#: true on rows served from the persistent semantic cache (no backend call
+#: this run; the reference's cache hits add no cost, cost_tracker.py:43-57)
+CACHE_HIT_COL = "delm_cache_hit"
+#: partition column of the persistent cache table: the run that extracted
+#: the row. Each run appends into its own `delm_run_id=<id>/` partition, so
+#: the table stays one-success-row-per-key by construction (misses are
+#: anti-joined against prior successes before extraction).
+RUN_ID_COL = "delm_run_id"
 
 # Values an LLM emits to mean "no value"; filtered from string-typed
 # variables during cleaning (reference: constants.py:159-165).

@@ -52,6 +52,11 @@ class CostSummary:
     input_tokens: int
     output_tokens: int
     cost_usd: float
+    #: tokens served from the persistent cache this run — informational;
+    #: they add NO cost (reference cost_tracker.py:43-57: cache hits are
+    #: free; a fully-warm run reports cost_usd == 0)
+    cached_input_tokens: int = 0
+    cached_output_tokens: int = 0
 
 
 def summarize_cost(extracted: DataFrame, model: str = "deterministic-rules") -> CostSummary:
@@ -60,18 +65,30 @@ def summarize_cost(extracted: DataFrame, model: str = "deterministic-rules") -> 
     In dedup mode the join fans per-distinct-text token counts back out to
     every duplicate row; cost is per extraction CALL (the reference's cache
     hits add no cost, cost_tracker.py:43-57), so sum over distinct cache
-    keys when the key column is present."""
-    from delm_spark.constants import CACHE_KEY_COL
+    keys when the key column is present, and rows served from the
+    persistent cache (delm_cache_hit) are tallied separately at zero cost —
+    a warm rerun with zero backend calls reports cost_usd == 0."""
+    from delm_spark.constants import CACHE_HIT_COL, CACHE_KEY_COL
 
     if CACHE_KEY_COL in extracted.columns:
         extracted = extracted.dropDuplicates([CACHE_KEY_COL])
+    hit = (
+        F.col(CACHE_HIT_COL)
+        if CACHE_HIT_COL in extracted.columns
+        else F.lit(False)
+    )
+    fresh = F.when(~F.coalesce(hit, F.lit(False)), F.lit(1)).otherwise(F.lit(0))
     row = extracted.agg(
-        F.coalesce(F.sum(IN_TOKENS_COL), F.lit(0)).alias("it"),
-        F.coalesce(F.sum(OUT_TOKENS_COL), F.lit(0)).alias("ot"),
+        F.coalesce(F.sum(F.col(IN_TOKENS_COL) * fresh), F.lit(0)).alias("it"),
+        F.coalesce(F.sum(F.col(OUT_TOKENS_COL) * fresh), F.lit(0)).alias("ot"),
+        F.coalesce(F.sum(F.col(IN_TOKENS_COL) * (1 - fresh)), F.lit(0)).alias("cit"),
+        F.coalesce(F.sum(F.col(OUT_TOKENS_COL) * (1 - fresh)), F.lit(0)).alias("cot"),
     ).collect()[0]
     p_in, p_out = lookup_price(model)
     cost = row["it"] / 1e6 * p_in + row["ot"] / 1e6 * p_out
-    return CostSummary(int(row["it"]), int(row["ot"]), cost)
+    return CostSummary(
+        int(row["it"]), int(row["ot"]), cost, int(row["cit"]), int(row["cot"])
+    )
 
 
 def check_budget(summary: CostSummary, max_budget: float | None) -> bool:

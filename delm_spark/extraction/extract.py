@@ -30,11 +30,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from delm_spark.constants import (
+    CACHE_HIT_COL,
     CACHE_KEY_COL,
     CHUNK_COL,
     ERRORS_COL,
     EXTRACTED_JSON_COL,
     PART_ID_COL,
+    RUN_ID_COL,
 )
 from delm_spark.extraction.backend import ExtractorBackend
 from delm_spark.extraction.prompts import CallSpec, cache_key_expr
@@ -140,9 +142,19 @@ def extract_chunks(
     (rendered prompt, system prompt, model, temperature), reference
     semantic_cache.py:81-103, computed natively (prompts.cache_key_expr).
     Hits are a left join against the table; misses are extracted once and
-    appended (error rows are stored but treated as misses on later runs, so
-    failures retry like the reference's uncached errors). A warm second run
-    performs ZERO backend calls — pytest-asserted with a raising backend.
+    appended into a per-run partition `delm_run_id=<run>/` (error rows are
+    stored but treated as misses on later runs, so failures retry like the
+    reference's uncached errors). A warm second run performs ZERO backend
+    calls — pytest-asserted with a raising backend.
+
+    The table is one-SUCCESS-row-per-key by construction (misses are
+    anti-joined against prior successes before extraction), so the warm
+    path is a plain filter + join — no window/dedup over cache history;
+    warm-run cost scales with the run, not with the table. Stale error
+    rows accumulate only while keys keep failing; `compact_cache` rewrites
+    the table to exactly one row per key. Output rows carry
+    `delm_cache_hit` (True = served from a previous run's partition; the
+    reference's cache hits add no cost, cost_tracker.py:43-57).
     """
     if PART_ID_COL in df.columns:
         # upstream stage lineage was materialized already; this stage emits
@@ -176,7 +188,9 @@ def extract_chunks(
                 out[PART_ID_COL] = pid
                 yield out
 
-        return df.mapInPandas(run_inline, schema=out_schema)
+        return df.mapInPandas(run_inline, schema=out_schema).withColumn(
+            CACHE_HIT_COL, F.lit(False)
+        )
 
     # dedup mode: extract distinct texts once, join back on the cache key
     out_schema = StructType([StructField(CACHE_KEY_COL, StringType())] + _EXTRA_FIELDS)
@@ -217,12 +231,11 @@ def extract_chunks(
     if cache_dir is not None:
         try:
             cached = spark.read.parquet(cache_dir)
-            # error rows are stored (single-action write) but count as
-            # misses, so failed calls retry on the next run like the
-            # reference's uncached errors
-            cached_ok = cached.filter(F.col(ERRORS_COL).isNull()).dropDuplicates(
-                [CACHE_KEY_COL]
-            )
+            # only SUCCESS rows block re-extraction: error rows are stored
+            # (single-action write) but count as misses, so failed calls
+            # retry on the next run like the reference's uncached errors.
+            # Success rows are unique per key by construction — no dedup.
+            cached_ok = cached.filter(F.col(ERRORS_COL).isNull())
         except Exception:
             cached_ok = None  # cold cache
         if cached_ok is not None:
@@ -237,23 +250,62 @@ def extract_chunks(
     extracted = unique.mapInPandas(run_unique, schema=out_schema)
 
     if cache_dir is None:
-        return keyed.join(extracted, on=CACHE_KEY_COL, how="left")
+        return keyed.join(extracted, on=CACHE_KEY_COL, how="left").withColumn(
+            CACHE_HIT_COL, F.lit(False)
+        )
 
-    # Persist misses (the append is the ONE action that materializes the
-    # extraction), then join the full table back — hits and fresh misses
-    # come from the same committed parquet, so nothing is extracted twice.
-    extracted.write.mode("append").parquet(cache_dir)
-    full = spark.read.parquet(cache_dir)
-    from pyspark.sql import Window
+    # Persist misses into THIS RUN's partition (the write is the ONE action
+    # that materializes the extraction). The `delm_run_id=<run>/` directory
+    # is parquet partition naming, so reading cache_dir recovers the run id
+    # as a column for free — no extra join to tell hits from fresh rows.
+    import uuid
 
-    w = Window.partitionBy(CACHE_KEY_COL).orderBy(
-        F.col(ERRORS_COL).isNotNull().cast("int"),
-        F.col(EXTRACTED_JSON_COL).asc_nulls_last(),
-        F.col(ERRORS_COL).asc_nulls_last(),
-    )
+    # 'r' prefix keeps the partition value non-numeric (type inference)
+    run_id = "r" + uuid.uuid4().hex
+    extracted.write.mode("overwrite").parquet(f"{cache_dir}/{RUN_ID_COL}={run_id}")
+    # One row per key falls out of the layout: successes are unique across
+    # runs (anti-joined above), old error rows lose to the current run's
+    # re-extraction, and the current run has one row per miss. No window,
+    # no dedup — the warm path is filter + join, sized by the RUN.
+    try:
+        full = spark.read.parquet(cache_dir)
+    except Exception:
+        # no parquet files anywhere (empty input on a cold cache)
+        return keyed.join(
+            spark.createDataFrame([], out_schema), on=CACHE_KEY_COL, how="left"
+        ).withColumn(CACHE_HIT_COL, F.lit(False))
     full = (
-        full.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        full.filter(F.col(ERRORS_COL).isNull() | (F.col(RUN_ID_COL) == run_id))
+        .withColumn(CACHE_HIT_COL, F.col(RUN_ID_COL) != F.lit(run_id))
+        .drop(RUN_ID_COL)
     )
     return keyed.join(full, on=CACHE_KEY_COL, how="left")
+
+
+def compact_cache(spark, cache_dir: str) -> int:
+    """Rewrite the persistent cache to exactly one row per key (success
+    preferred, else the lexically-last run's error row), dropping the stale
+    error rows that accumulate while keys keep failing. Scheduled
+    maintenance — never on the warm query path. Returns rows kept."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    full = spark.read.parquet(cache_dir)
+    w = Window.partitionBy(CACHE_KEY_COL).orderBy(
+        F.col(ERRORS_COL).isNotNull().cast("int"), F.col(RUN_ID_COL).desc()
+    )
+    compacted = (
+        full.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", RUN_ID_COL)
+    )
+    tmp = f"{cache_dir}__compact_tmp"
+    run_id = f"compact-{uuid.uuid4().hex}"
+    compacted.write.mode("overwrite").parquet(f"{tmp}/{RUN_ID_COL}={run_id}")
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(cache_dir)
+    Path(tmp).rename(cache_dir)
+    return n

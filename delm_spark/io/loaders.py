@@ -37,12 +37,65 @@ def load_text(spark: SparkSession, path: str, recursive: bool = True) -> DataFra
     )
 
 
-def load_html(spark: SparkSession, path: str) -> DataFrame:
+def html_text_udf():
+    """Parser-based HTML→text decoder (pandas UDF over stdlib
+    `html.parser`): tokenizes markup instead of regex-matching it, so
+    tag-soup documents (unclosed tags, `<` inside attribute values,
+    missing quotes) decode the way the reference's BeautifulSoup path does
+    (data_loaders.py:60-82). This is the pluggable `decode_udf` seam of
+    `load_html`; the native regexp chain remains the default (JVM-side,
+    zero Python) for well-formed documents."""
+    from pyspark.sql.types import StringType
+
+    def _one(doc):
+        if doc is None:
+            return None
+        import re
+        from html.parser import HTMLParser
+
+        class _Text(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.parts: list[str] = []
+                self.skip = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in ("script", "style"):
+                    self.skip += 1
+
+            def handle_endtag(self, tag):
+                if tag in ("script", "style") and self.skip:
+                    self.skip -= 1
+
+            def handle_data(self, data):
+                if not self.skip:
+                    self.parts.append(data)
+
+        p = _Text()
+        p.feed(doc)
+        p.close()
+        return re.sub(r"\s+", " ", " ".join(p.parts)).strip()
+
+    # no pd.Series annotations: typehint resolution breaks when pandas is
+    # imported in the enclosing scope; returnType is explicit instead
+    def _decode(texts):
+        return texts.map(_one)
+
+    return F.pandas_udf(_decode, returnType=StringType())
+
+
+def load_html(spark: SparkSession, path: str, decode_udf=None) -> DataFrame:
     """S2: HTML -> visible text. Tag stripping is a native regexp chain
     (script/style blocks removed, tags dropped, entities unescaped for the
-    common five) — the reference uses BeautifulSoup (data_loaders.py:60-82),
-    unavailable here; for tag-soup documents plug a bs4 pandas UDF in."""
+    common five) — the reference uses BeautifulSoup (data_loaders.py:60-82).
+    For tag-soup documents pass `decode_udf` (Series[str] -> Series[str]);
+    `html_text_udf()` is the built-in stdlib-parser implementation, and a
+    bs4-backed UDF drops into the same seam."""
     raw = load_text(spark, path)
+    if decode_udf is not None:
+        return raw.select(
+            FILE_NAME_COL, decode_udf(F.col(RAW_DATA_COL)).alias(RAW_DATA_COL)
+        )
     txt = F.col(RAW_DATA_COL)
     txt = F.regexp_replace(txt, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     txt = F.regexp_replace(txt, r"(?s)<[^>]+>", " ")
@@ -66,9 +119,14 @@ def load_csv(
     return df
 
 
-def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+def load_parquet(spark: SparkSession, path) -> DataFrame:
     """S6: parquet (also the feather replacement S7 — Spark has no feather
-    source; persisted artifacts use parquet throughout)."""
+    source; persisted artifacts use parquet throughout). Accepts a single
+    path or a list of files (the directory loader passes a list;
+    `DataFrameReader.parquet` is varargs, so a list must be unpacked —
+    py4j cannot dispatch a Python list)."""
+    if isinstance(path, (list, tuple)):
+        return spark.read.parquet(*path)
     return spark.read.parquet(path)
 
 
@@ -162,9 +220,15 @@ def load_directory(
     if not root.is_dir():
         raise ValueError(f"{directory} is not a directory")
     it = root.rglob("*") if recursive else root.glob("*")
+    # skip both '_'-prefixed (Spark _SUCCESS markers) and '.'-prefixed
+    # sidecars (.part-*.crc, ._SUCCESS.crc) — a Spark-written parquet
+    # dataset must load as a corpus directory
     files = sorted(
         str(p) for p in it
-        if p.is_file() and p.name not in IGNORE_FILES and not p.name.startswith("_")
+        if p.is_file()
+        and p.name not in IGNORE_FILES
+        and not p.name.startswith("_")
+        and not p.name.startswith(".")
     )
     if not files:
         raise ValueError(f"no loadable files under {directory}")

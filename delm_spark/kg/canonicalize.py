@@ -158,7 +158,14 @@ def canonical_map(
         .collect()
     )
     if len(rows) <= driver_cutoff:
-        pairs = [(f"mention:{r['surface']}", r["canonical_id"]) for r in rows]
+        # skip null surfaces/ids: the distributed path's concat yields NULL
+        # and filters the edge out, so the driver path must not fabricate a
+        # 'mention:None' node (the two paths are agreement-tested)
+        pairs = [
+            (f"mention:{r['surface']}", r["canonical_id"])
+            for r in rows
+            if r["surface"] is not None and r["canonical_id"] is not None
+        ]
         comp = _driver_union_find(pairs)
         # representative per component: smallest non-mention node, else label
         best: dict = {}

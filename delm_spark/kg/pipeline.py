@@ -175,6 +175,10 @@ class PipelineConfig:
     schema_cfg: dict = field(default_factory=lambda: TRIPLE_SCHEMA_CFG)
     keywords: list = field(default_factory=lambda: list(FACT_KEYWORDS))
     score_threshold: float = 1.0
+    #: comparison operator of the score filter (reference pandas-query
+    #: predicates keep their operator, config.py:315-328) — one of
+    #: operators.scoring.SCORE_OPS
+    score_op: str = ">="
     checkpoint_dir: Optional[str] = None
     #: False = inline extraction (zero-shuffle map-only pipeline; right for
     #: cheap deterministic backends). True = sha2-dedup each distinct text
@@ -211,10 +215,22 @@ def config_fingerprint(config: "PipelineConfig", backend) -> str:
         "schema_cfg": config.schema_cfg,
         "keywords": list(config.keywords),
         "score_threshold": config.score_threshold,
+        "score_op": config.score_op,
         "dedup_extraction": config.dedup_extraction,
         "sample_size": config.sample_size,
         "backend": type(backend).__name__,
     }
+    # a PromptedApiBackend with a changed model/temperature/template produces
+    # different extractions — the class name alone must not pass the resume
+    # guard (the semantic cache keys on these; the stage checkpoint must too)
+    call = getattr(backend, "call_spec", None)
+    if call is not None:
+        material["backend_call_spec"] = {
+            "model_name": call.model_name,
+            "temperature": call.temperature,
+            "system_prompt": call.system_prompt,
+            "prompt_template": call.prompt_template,
+        }
     return hashlib.sha256(
         _json.dumps(material, sort_keys=True, default=str).encode("utf-8")
     ).hexdigest()
@@ -249,14 +265,20 @@ def chunk_transcripts(transcripts: DataFrame) -> DataFrame:
 
 
 def score_and_filter(
-    chunks: DataFrame, keywords: list, threshold: float
+    chunks: DataFrame, keywords: list, threshold: float, op: str = ">="
 ) -> DataFrame:
     """Stage 3: native keyword relevance scoring + filter (reference
-    data_processor.py:144-151). Prunes LLM work before the expensive stage;
-    predicate stays in whole-stage codegen."""
-    return chunks.withColumn(
-        SCORE_COL, keyword_score_expr(F.col(CHUNK_COL), keywords)
-    ).filter(F.col(SCORE_COL) >= threshold)
+    data_processor.py:144-151). The configured comparison operator is
+    applied verbatim (the reference runs the pandas-query predicate as
+    written — 'delm_score > 1.0' excludes score==1.0 chunks). Prunes LLM
+    work before the expensive stage; predicate stays in whole-stage
+    codegen."""
+    from delm_spark.operators.scoring import SCORE_OPS
+
+    if op not in SCORE_OPS:
+        raise ValueError(f"Unsupported score-filter operator {op!r}")
+    scored = chunks.withColumn(SCORE_COL, keyword_score_expr(F.col(CHUNK_COL), keywords))
+    return scored.filter(SCORE_OPS[op](F.col(SCORE_COL), threshold))
 
 
 def triples_from_extracted(extracted: DataFrame, spec: SchemaSpec) -> DataFrame:
@@ -316,7 +338,10 @@ def run_pipeline(
     chunks = runner.stage(
         "s1_chunks",
         lambda: score_and_filter(
-            chunk_transcripts(transcripts), config.keywords, config.score_threshold
+            chunk_transcripts(transcripts),
+            config.keywords,
+            config.score_threshold,
+            config.score_op,
         ),
     )
 

@@ -101,3 +101,31 @@ def validate_score_filter(filter_expr: str) -> str:
             "'delm_score <op> <number>'"
         )
     return filter_expr.replace("==", "=")
+
+
+def parse_score_filter(filter_expr: str) -> tuple[str, float]:
+    """(operator, threshold) from a validated score filter — the reference
+    applies the predicate verbatim via df.query (data_processor.py), so the
+    operator must survive the trip into the pipeline (a '>' filter is NOT
+    '>=', and '<' inverts it entirely)."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*delm_score\s*(>=|<=|>|<|==|!=)\s*([0-9]*\.?[0-9]+)\s*", filter_expr
+    )
+    if m is None:
+        validate_score_filter(filter_expr)  # raises with the standard message
+        raise AssertionError("unreachable")
+    op = "=" if m.group(1) == "==" else m.group(1)
+    return op, float(m.group(2))
+
+
+#: SQL comparison op -> Column predicate builder (whitelist; never eval'd)
+SCORE_OPS = {
+    ">=": lambda c, t: c >= t,
+    "<=": lambda c, t: c <= t,
+    ">": lambda c, t: c > t,
+    "<": lambda c, t: c < t,
+    "=": lambda c, t: c == t,
+    "!=": lambda c, t: c != t,
+}

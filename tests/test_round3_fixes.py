@@ -1,0 +1,220 @@
+"""Round-3 regressions: score-filter operator threading, resume-guard
+call-spec material, null-surface canonical_map agreement, Spark-dataset
+directory loading, the parser-backed HTML decoder seam, and the compacted
+persistent cache (no window over cache history on the warm path; cache
+hits cost nothing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delm_spark.config import DelmConfig
+from delm_spark.data.synthetic import TRIPLE_SCHEMA_CFG
+from delm_spark.extraction.backend import CacheOnlyBackend, RuleTripleExtractor
+from delm_spark.extraction.cost import summarize_cost
+from delm_spark.extraction.extract import compact_cache, extract_chunks
+from delm_spark.kg.pipeline import score_and_filter
+from delm_spark.schemas.spec import spec_from_dict
+
+SPEC = spec_from_dict(TRIPLE_SCHEMA_CFG)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+# ---------------------------------------------------------------------------
+# score-filter operator threading (ADVICE r2, medium)
+# ---------------------------------------------------------------------------
+
+def _chunks(spark):
+    rows = [
+        ("c1", 0, 0, "Alice works at Acme."),   # keyword hit -> score 1.0
+        ("c2", 0, 0, "the weather was nice."),  # no hit     -> score 0.0
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, chunk_pos int, delm_text_chunk string"
+    )
+
+
+def test_to_pipeline_config_preserves_operator():
+    cfg = DelmConfig.from_dict(
+        {"data_preprocessing": {"pandas_score_filter": "delm_score > 1.0"}}
+    )
+    pc = cfg.to_pipeline_config()
+    assert pc.score_op == ">" and pc.score_threshold == 1.0
+    lt = DelmConfig.from_dict(
+        {"data_preprocessing": {"pandas_score_filter": "delm_score < 1.0"}}
+    ).to_pipeline_config()
+    assert lt.score_op == "<"
+    eq = DelmConfig.from_dict(
+        {"data_preprocessing": {"pandas_score_filter": "delm_score == 1.0"}}
+    ).to_pipeline_config()
+    assert eq.score_op == "="
+
+
+def test_score_filter_operator_semantics(spark):
+    kw = ["works at"]
+    chunks = _chunks(spark)
+    # '>' must EXCLUDE score==1.0 (the reference's df.query applies it verbatim)
+    assert score_and_filter(chunks, kw, 1.0, ">").count() == 0
+    assert score_and_filter(chunks, kw, 1.0, ">=").count() == 1
+    # '<' selects the NON-matching chunk; the old always->= code inverted this
+    got = score_and_filter(chunks, kw, 1.0, "<").select("conv_id").collect()
+    assert [r["conv_id"] for r in got] == ["c2"]
+    with pytest.raises(ValueError, match="operator"):
+        score_and_filter(chunks, kw, 1.0, "~")
+
+
+# ---------------------------------------------------------------------------
+# resume guard includes the backend's call-spec material (ADVICE r2, low)
+# ---------------------------------------------------------------------------
+
+def test_fingerprint_changes_with_backend_call_spec():
+    from delm_spark.extraction.backend import PromptedApiBackend
+    from delm_spark.extraction.prompts import CallSpec
+    from delm_spark.kg.pipeline import PipelineConfig, config_fingerprint
+
+    cfg = PipelineConfig()
+    t = lambda *a: None  # noqa: E731 — transport never called here
+    a = PromptedApiBackend(SPEC, t, CallSpec(model_name="model-a"))
+    b = PromptedApiBackend(SPEC, t, CallSpec(model_name="model-b"))
+    c = PromptedApiBackend(SPEC, t, CallSpec(model_name="model-a", temperature=0.7))
+    fa, fb, fc = (config_fingerprint(cfg, x) for x in (a, b, c))
+    assert fa != fb and fa != fc and fb != fc
+    # same spec -> same fingerprint (stability)
+    assert fa == config_fingerprint(cfg, PromptedApiBackend(SPEC, t, CallSpec(model_name="model-a")))
+
+
+# ---------------------------------------------------------------------------
+# canonical_map on dictionaries containing NULLs (ADVICE r2, low)
+# ---------------------------------------------------------------------------
+
+def test_canonical_map_null_rows_agree_across_paths(spark):
+    from delm_spark.kg.canonicalize import canonical_map
+
+    d = spark.createDataFrame(
+        [("acme corp", "ent:acme"), (None, "ent:ghost"), ("orphan", None),
+         ("acme corporation", "ent:acme")],
+        "surface string, canonical_id string",
+    )
+    driver = sorted(tuple(r) for r in canonical_map(d).collect())
+    distributed = sorted(tuple(r) for r in canonical_map(d, driver_cutoff=0).collect())
+    assert driver == distributed
+    assert all("None" not in n for n, _ in driver)
+    assert ("mention:acme corp", "ent:acme") in driver
+
+
+# ---------------------------------------------------------------------------
+# load_directory over a Spark-written dataset (ADVICE r2, low)
+# ---------------------------------------------------------------------------
+
+def test_load_directory_reads_spark_parquet_dataset(spark, tmp_path):
+    from delm_spark.io.loaders import load_directory
+
+    out = tmp_path / "ds"
+    spark.range(0, 100).withColumn("v", F.col("id") * 2).repartition(3).write.parquet(
+        str(out)
+    )
+    # simulate ChecksumFileSystem sidecars if the local committer didn't
+    (out / ".part-00000.crc").write_bytes(b"\x00")
+    (out / "._SUCCESS.crc").write_bytes(b"\x00")
+    df, ext = load_directory(spark, str(out))
+    assert ext == ".parquet"
+    assert df.count() == 100 and set(df.columns) == {"id", "v"}
+
+
+# ---------------------------------------------------------------------------
+# HTML decoder seam (VERDICT r2 #8)
+# ---------------------------------------------------------------------------
+
+def test_html_parser_udf_decodes_tag_soup(spark, tmp_path):
+    from delm_spark.io.loaders import html_text_udf, load_html
+
+    well = tmp_path / "well"
+    soup = tmp_path / "soup"
+    well.mkdir(), soup.mkdir()
+    (well / "a.html").write_text(
+        "<html><head><style>p{color:red}</style></head>"
+        "<body><p>Fish &amp; Chips</p><script>var a=1;</script></body></html>"
+    )
+    # '>' inside a quoted attribute: the regex chain truncates the tag there
+    (soup / "b.html").write_text('<body><a href="x>y.html">click here</a></body>')
+
+    regex_well = load_html(spark, str(well / "a.html")).collect()[0]["delm_raw_data"]
+    udf_well = load_html(
+        spark, str(well / "a.html"), decode_udf=html_text_udf()
+    ).collect()[0]["delm_raw_data"]
+    assert regex_well == udf_well == "Fish & Chips"
+
+    regex_soup = load_html(spark, str(soup / "b.html")).collect()[0]["delm_raw_data"]
+    udf_soup = load_html(
+        spark, str(soup / "b.html"), decode_udf=html_text_udf()
+    ).collect()[0]["delm_raw_data"]
+    assert udf_soup == "click here"     # parser respects the quoted attribute
+    assert regex_soup != "click here"   # documented regex-path divergence
+
+
+# ---------------------------------------------------------------------------
+# persistent cache: compact layout, no window on warm path, free hits
+# ---------------------------------------------------------------------------
+
+TEXTS = [
+    "Alice Smith works at Acme Corp.",
+    "Bob Jones reports to Carol Wu.",
+    "Alice Smith works at Acme Corp.",  # duplicate of row 0
+    "the weather was nice that day.",
+]
+
+
+def _chunk_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "chunk_id long, delm_text_chunk string"
+    )
+
+
+def test_warm_cache_no_window_hits_marked_cost_zero(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    df = _chunk_df(spark, TEXTS)
+    cold = extract_chunks(df, SPEC, RuleTripleExtractor(SPEC), cache_dir=cache)
+    cold_rows = cold.collect()
+    assert all(not r["delm_cache_hit"] for r in cold_rows)
+    assert summarize_cost(cold).input_tokens > 0
+
+    warm = extract_chunks(df, SPEC, CacheOnlyBackend(), cache_dir=cache)
+    plan = _plan(warm)
+    assert "Window" not in plan, plan  # the r2 full-history window is gone
+    warm_rows = warm.collect()
+    assert all(r["delm_cache_hit"] for r in warm_rows)
+    summary = summarize_cost(warm)
+    assert summary.cost_usd == 0 and summary.input_tokens == 0
+    assert summary.cached_input_tokens > 0  # reported separately, at no cost
+
+
+def test_cache_row_count_stays_at_distinct_keys(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    df = _chunk_df(spark, TEXTS)
+    for _ in range(3):
+        extract_chunks(df, SPEC, RuleTripleExtractor(SPEC), cache_dir=cache).collect()
+    stored = spark.read.parquet(cache)
+    assert stored.count() == len(set(TEXTS))  # 3 distinct texts, 3 runs
+
+
+def test_compact_cache_drops_stale_error_rows(spark, tmp_path):
+    from delm_spark.extraction.backend import FailingBackend
+
+    cache = str(tmp_path / "cache")
+    df = _chunk_df(spark, TEXTS[:2])
+    bad = FailingBackend(RuleTripleExtractor(SPEC), fail_pattern="Bob Jones")
+    extract_chunks(df, SPEC, bad, cache_dir=cache).collect()      # 1 ok + 1 err
+    extract_chunks(df, SPEC, bad, cache_dir=cache).collect()      # err retried, errs again
+    out = extract_chunks(df, SPEC, RuleTripleExtractor(SPEC), cache_dir=cache)
+    assert {r["delm_errors"] for r in out.collect()} == {None}    # healed
+    stored = spark.read.parquet(cache)
+    assert stored.count() > 2  # stale error rows linger until compaction
+    kept = compact_cache(spark, cache)
+    assert kept == 2 == spark.read.parquet(cache).count()
+    # compacted table still serves a fully-warm run with zero backend calls
+    warm = extract_chunks(df, SPEC, CacheOnlyBackend(), cache_dir=cache).collect()
+    assert all(r["delm_errors"] is None and r["delm_cache_hit"] for r in warm)
