@@ -903,6 +903,21 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents ORDER BY media_id
         """,
+        # DuckDB cannot run SequenceMatcher, so the expected FuzzyScorer
+        # output is a committed lookup table keyed by md5(text) — the same
+        # committed-fixture pattern as the KG oracles. The fixture covers
+        # the union of doc_id<50 texts across every testdata sf, so the one
+        # static SQL is valid at whichever scale the gate runs
+        # (tests/fixtures/make_fixtures.py:make_fuzzy_fixture; regeneration
+        # determinism is pytest-asserted).
+        "fuzzy_score_docs": f"""
+            SELECT d.doc_id, f.delm_score
+            FROM documents d
+            JOIN read_parquet('{(_FIXTURES / "fuzzy_scores.parquet").as_posix()}') f
+              ON md5(d.text) = f.text_md5
+            WHERE d.doc_id < 50 AND f.delm_score >= 0.8
+            ORDER BY d.doc_id
+        """,
         "connected_components_demo": """
             -- closed-form expected components for the consecutive-orderkey
             -- chain graph: maximal runs of consecutive keys within a 64-key

@@ -56,6 +56,17 @@ def _partial_ratio(text: str, keyword: str) -> float:
     return best
 
 
+def fuzzy_score_text(text, keywords: Sequence[str]) -> float:
+    """Pure per-row FuzzyScorer kernel (scoring_strategies.py:106-111): max
+    over keywords of the partial ratio against the lowered text. Shared by
+    the pandas UDF and the committed oracle fixture
+    (tests/fixtures/make_fixtures.py) so both are bit-identical."""
+    if text is None:
+        return 0.0
+    lowered = text.lower()
+    return max(_partial_ratio(lowered, kw.lower()) for kw in keywords)
+
+
 def fuzzy_score_udf(keywords: Sequence[str]):
     """Arrow-batched pandas UDF: Series[str] -> Series[double], the
     vectorized analog of FuzzyScorer.score (scoring_strategies.py:106-111)."""
@@ -65,13 +76,7 @@ def fuzzy_score_udf(keywords: Sequence[str]):
 
     @F.pandas_udf(DoubleType())
     def _score(texts: pd.Series) -> pd.Series:
-        def one(text):
-            if text is None:
-                return 0.0
-            lowered = text.lower()
-            return max(_partial_ratio(lowered, kw) for kw in kws)
-
-        return texts.map(one)
+        return texts.map(lambda t: fuzzy_score_text(t, kws))
 
     return _score
 

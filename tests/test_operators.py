@@ -203,3 +203,16 @@ def test_fixture_determinism(spark):
     d_fresh = entity_dictionary(spark)
     assert d_committed.exceptAll(d_fresh).count() == 0
     assert d_fresh.exceptAll(d_committed).count() == 0
+
+
+def test_fuzzy_fixture_determinism():
+    """The committed fuzzy-score oracle table must equal a regeneration
+    from the live scorer over the testdata documents (bit-identical
+    doubles — the UDF and the fixture share fuzzy_score_text)."""
+    import pyarrow.parquet as pq
+
+    from tests.fixtures.make_fixtures import FIXTURE_DIR, make_fuzzy_fixture
+
+    committed = pq.read_table(FIXTURE_DIR / "fuzzy_scores.parquet")
+    fresh = make_fuzzy_fixture()
+    assert committed.equals(fresh)
