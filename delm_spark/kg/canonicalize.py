@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 #: (the canonical dictionary is broadcast-sized BY DESIGN, north rule)
 DRIVER_CC_MAX_EDGES = 100_000
 
+#: iterations of the last distributed connected_components run (test hook
+#: for the one-job-per-iteration property)
+LAST_RUN_ITERATIONS = 0
+
 
 def _driver_union_find(pairs: list) -> dict:
     parent: dict = {}
@@ -88,18 +92,25 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    global LAST_RUN_ITERATIONS
+    LAST_RUN_ITERATIONS = 0
     for _ in range(max_iter):
-        # neighbor label messages + own label, take min per node
-        msgs = (
-            sym.join(labels, sym["a"] == labels["node"])
-            .select(F.col("b").alias("node"), F.col("component"))
+        # neighbor label messages + own label, take min per node; the old
+        # label rides along (__old: one non-null per node, from the labels
+        # side) so convergence is observable inside this iteration's job
+        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"),
+            F.col("component"),
+            F.lit(None).cast("string").alias("__old"),
         )
         relaxed = (
-            labels.select("node", "component")
+            labels.select("node", "component", F.col("component").alias("__old"))
             .unionByName(msgs)
             .repartition(num_partitions, "node")
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.max("__old").alias("__old"))
         )
         # pointer jumping (path halving): component <- component's component;
         # with the neighbor-min step this converges in O(log diameter)
@@ -107,23 +118,29 @@ def connected_components(
         jump = relaxed.select(
             F.col("node").alias("__c"), F.col("component").alias("__cc")
         )
-        new_labels = (
+        # the changed-count is an observe() metric on the SAME job that
+        # materializes the eager checkpoint — no extra join-job per
+        # iteration (each avoidable job is ~0.5 s of fixed scheduler
+        # overhead in local mode)
+        obs = Observation()
+        labels = (
             relaxed.join(jump, relaxed["component"] == jump["__c"], "left")
             .select(
                 "node",
                 F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
+                "__old",
             )
+            .observe(
+                obs,
+                F.sum((F.col("component") != F.col("__old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .drop("__old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        LAST_RUN_ITERATIONS += 1
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels
 

@@ -49,6 +49,13 @@ def brute_force_topk(
     """Exact cosine top-k per query. `queries` (query_id, embedding) is
     broadcast; ranking is a window per query id.
 
+    The rank<=k filter over row_number() compiles to WindowGroupLimit
+    pushdown (Spark 3.5+): a PARTIAL group-limit runs in each map task
+    before the exchange, so at most k rows per query leave any input
+    partition — the shuffle carries O(partitions * q * k) rows, never the
+    N*q scored rows, and the final per-query merge is tiny. Plan-asserted
+    (tests/test_plan_quality.py::test_topk_partial_group_limit).
+
     Returns (query_id, vec_id, score, rank).
     """
     from pyspark.sql import Window
@@ -116,7 +123,9 @@ def lsh_topk(
     probe buckets (C(n_planes, <=radius) rows per query — tiny, broadcast),
     so the candidate lookup stays ONE equi-join on the bucket id; the
     embedding side is scanned and bucketed exactly once, no shuffle beyond
-    the final per-query top-k window.
+    the final per-query top-k window — which itself ships at most k rows
+    per query per map task via WindowGroupLimit pushdown (see
+    brute_force_topk).
 
     probe_radius=0 is classic single-bucket LSH (~2^n_planes candidate
     reduction); raising it trades candidates for recall — for planted

@@ -38,3 +38,33 @@ def test_distributed_converges_on_long_chain(spark):
     got = _as_map(connected_components(df, driver_cutoff=0))
     assert set(got.values()) == {"n00"}
     assert len(got) == 31
+
+
+def test_iteration_costs_one_job(spark):
+    """Convergence is an observe() metric on the checkpoint job, so each
+    propagation round is ONE Spark job (previously +1 join/limit/count job
+    per round — ~0.5 s of fixed scheduler overhead each in local mode)."""
+    import delm_spark.kg.canonicalize as cc_mod
+
+    edges = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(30)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sc = spark.sparkContext
+    # AQE splits one materialization into a job per query stage, which
+    # makes absolute job counts meaningless; with it off, each eager
+    # checkpoint is exactly one job and the ledger is checkable
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-jobcount", "cc job-count test")
+    try:
+        _as_map(connected_components(df, driver_cutoff=0))
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc-jobcount"))
+    iters = cc_mod.LAST_RUN_ITERATIONS
+    assert iters >= 3  # the chain actually exercised multiple rounds
+    # fixed overhead: sym checkpoint + edge count + repartition checkpoint
+    # + initial labels checkpoint + the final collect = 5 jobs; each
+    # iteration adds exactly ONE (its checkpoint — the old scheme added a
+    # second join/limit/count job per round)
+    assert n_jobs <= 5 + iters + 1, (n_jobs, iters)

@@ -90,6 +90,31 @@ def test_extraction_python_stage_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_topk_partial_group_limit(spark):
+    """Similarity top-k must ship a BOUNDED merge: the rank<=k filter
+    compiles to WindowGroupLimit with a PARTIAL pass below the exchange,
+    so each map task emits at most k rows per query — the per-query
+    window never funnels all N*q scores into q tasks."""
+    from delm_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    dim = len(emb.select("embedding").first()[0])
+
+    for df in (
+        brute_force_topk(emb, q, k=10),
+        lsh_topk(emb, q, dim=dim, k=10, n_planes=8, probe_radius=1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ex = plan.find("Exchange hashpartitioning(query_id")
+        partial = plan.find("WindowGroupLimit")
+        partial = plan.find("Partial", partial)
+        assert ex != -1 and partial != -1, plan
+        # tree prints top-down: the Partial pass must sit BELOW (after)
+        # the shuffle that feeds the final merge
+        assert partial > ex, plan
+
+
 def test_merge_records_single_exchange(spark):
     """The per-record merge must be ONE aggregation: a single shuffle on
     the record id, no per-variable vote joins (formerly 2V exchanges + V
