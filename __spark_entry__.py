@@ -357,6 +357,50 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+def stateful_sessionize_events(spark, sf_dir):
+    """Streaming twin of events_sessionize: the applyInPandasWithState
+    sessionizer (delm_spark/streaming/stateful.py) run in availableNow
+    mode over the events table, exercising the state store end-to-end.
+
+    Closed-form semantics the oracle reproduces in SQL: sessions closed by
+    a later event (every session except each user's chronologically last)
+    emit in the data batches; the final no-data batch fires event-time
+    timeouts, emitting a user's last session iff its timeout timestamp
+    (session_end + gap) lies strictly below the final watermark
+    (max event time - 2 h)."""
+    import tempfile
+
+    from delm_spark.streaming.stateful import sessionize_stream
+
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a DIRECTORY; the testdata table is a
+    # single file, so stream a temp dir holding a symlink to it
+    src_dir = tempfile.mkdtemp(prefix="delm_stateful_src_")
+    os.symlink(path, f"{src_dir}/events.parquet")
+    # watermarks require TIMESTAMP (the table stores TIMESTAMP_NTZ); the
+    # session tz is UTC, so the cast is value-preserving
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    closed = sessionize_stream(stream, gap_sec=1800, watermark="2 hours")
+    out = tempfile.mkdtemp(prefix="delm_stateful_sess_")
+    q = (
+        closed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("user_id", "session_start")
+
+
 def dedup_events_first(spark, sf_dir):
     """dropDuplicates-with-order: earliest event per (user, type)."""
     from pyspark.sql import Window
@@ -601,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
+        "stateful_sessionize_events": stateful_sessionize_events,
         "dedup_events_first": dedup_events_first,
         "minhash_signature_docs": minhash_signature_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -788,6 +833,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(date_part('epoch', MAX(ts))) AS BIGINT) AS session_end
             FROM sess GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        # the stateful sessionizer's emissions in closed form: gap-closed
+        # sessions (all but each user's last) + last sessions whose
+        # event-time timeout (end+gap) falls strictly below the final
+        # watermark (max raw event time - 2h). Gap arithmetic is on floored
+        # epoch seconds (the stream fn floors before comparing, matching
+        # unix_timestamp in the batch twin); the watermark comparison is at
+        # raw ms precision like Spark's.
+        "stateful_sessionize_events": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                                    - CAST(floor(date_part('epoch', lag(ts) OVER w)) AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged),
+            agg AS (
+                SELECT user_id,
+                       COUNT(*) AS n_events,
+                       CAST(floor(date_part('epoch', MIN(ts))) AS BIGINT) AS session_start,
+                       CAST(floor(date_part('epoch', MAX(ts))) AS BIGINT) AS session_end,
+                       MAX(session_id) AS sid,
+                       MAX(MAX(session_id)) OVER (PARTITION BY user_id) AS last_sid
+                FROM sess GROUP BY user_id, session_id),
+            wm AS (
+                SELECT epoch_ms(MAX(ts)) - 7200000 AS watermark_ms FROM events)
+            SELECT user_id, session_start, session_end, n_events
+            FROM agg, wm
+            WHERE sid < last_sid
+               OR (session_end + 1800) * 1000 < watermark_ms
+            ORDER BY user_id, session_start
         """,
         "dedup_events_first": """
             SELECT user_id, event_type, event_id, ts FROM (
