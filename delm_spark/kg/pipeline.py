@@ -65,11 +65,30 @@ class StageRunner:
         checkpoint_dir: Optional[str] = None,
         fingerprint: Optional[str] = None,
         on_config_change: str = "error",
+        storage: Optional[str] = None,
+        iceberg_namespace: str = "delm.stages",
     ):
         self.spark = spark
         self.dir = Path(checkpoint_dir) if checkpoint_dir else None
         self.fingerprint = fingerprint
         self.on_config_change = on_config_change
+        # stage-table format: 'parquet' (default in-sandbox) or 'iceberg'
+        # (auto-selected when the runtime jar + a SparkCatalog are present;
+        # the north star names Iceberg tables — delm_spark/io/iceberg.py).
+        # Sidecars (fingerprint, _delm_state.json) stay files under
+        # checkpoint_dir in both modes.
+        if storage is None:
+            from delm_spark.io.iceberg import configured_catalog, iceberg_available
+
+            storage = (
+                "iceberg"
+                if iceberg_available(spark) and configured_catalog(spark)
+                else "parquet"
+            )
+        if storage not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown stage storage {storage!r}")
+        self.storage = storage
+        self.iceberg_namespace = iceberg_namespace
         self.resumed: list[str] = []
         self.built: list[str] = []
         #: per-stage named metrics (rows, errors, token sums — the
@@ -101,8 +120,32 @@ class StageRunner:
     def _fp_path(self, name: str) -> Path:
         return self._path(name) / "_delm_config_fingerprint"
 
+    def _ident(self, name: str) -> str:
+        return f"{self.iceberg_namespace}.{name}"
+
+    def _write_stage(self, df: DataFrame, name: str) -> None:
+        if self.storage == "iceberg":
+            from delm_spark.io import iceberg
+
+            iceberg.write_stage(df, self._ident(name))
+        else:
+            df.write.mode("overwrite").parquet(str(self._path(name)))
+
+    def _read_stage(self, name: str) -> DataFrame:
+        if self.storage == "iceberg":
+            from delm_spark.io import iceberg
+
+            return iceberg.read_stage(self.spark, self._ident(name))
+        return self.spark.read.parquet(str(self._path(name)))
+
     def is_committed(self, name: str) -> bool:
-        return self.dir is not None and (self._path(name) / "_SUCCESS").exists()
+        if self.dir is None:
+            return False
+        if self.storage == "iceberg":
+            from delm_spark.io import iceberg
+
+            return iceberg.stage_exists(self.spark, self._ident(name))
+        return (self._path(name) / "_SUCCESS").exists()
 
     def _fingerprint_ok(self, name: str) -> bool:
         if self.fingerprint is None:
@@ -111,7 +154,11 @@ class StageRunner:
         return fp.exists() and fp.read_text() == self.fingerprint
 
     def invalidate(self, name: str) -> None:
-        if self.dir is not None and self._path(name).exists():
+        if self.dir is None:
+            return
+        if self.storage == "iceberg":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
+        if self._path(name).exists():
             shutil.rmtree(self._path(name))
 
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
@@ -128,7 +175,7 @@ class StageRunner:
         if self.is_committed(name):
             if self._fingerprint_ok(name):
                 self.resumed.append(name)
-                return self.spark.read.parquet(str(p))
+                return self._read_stage(name)
             if self.on_config_change == "rebuild":
                 self.invalidate(name)
             else:
@@ -139,7 +186,10 @@ class StageRunner:
                     "semantics). Pass on_config_change='rebuild' or use a "
                     "fresh checkpoint_dir."
                 )
-        if p.exists():  # partial write from a killed run — rebuild atomically
+        if self.storage == "parquet" and p.exists():
+            # partial write from a killed run — rebuild atomically (the
+            # iceberg path needs no repair: an uncommitted snapshot is
+            # invisible by construction)
             shutil.rmtree(p)
         df = build()
         if PART_ID_COL not in df.columns:
@@ -161,13 +211,14 @@ class StageRunner:
             if tok_col in df.columns:
                 exprs.append(F.coalesce(F.sum(tok_col), F.lit(0)).alias(alias))
         df = df.observe(obs, *exprs)
-        df.write.mode("overwrite").parquet(str(p))
+        self._write_stage(df, name)
         self.metrics[name] = {k: int(v) for k, v in obs.get.items()}
         self._save_state()
         if self.fingerprint is not None:
+            p.mkdir(parents=True, exist_ok=True)
             self._fp_path(name).write_text(self.fingerprint)
         self.built.append(name)
-        return self.spark.read.parquet(str(p))
+        return self._read_stage(name)
 
 
 @dataclass
