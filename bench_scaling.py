@@ -360,6 +360,9 @@ keep it scalable (profiled in round 1 with event logs):
    splits than cores; the corpus is written as 128 files (row groups are
    indivisible scan units).
 
+Dedup-family scale evidence (100k docs, bucket-size histograms) is in
+`BENCH/DEDUP_SCALE.md` (bench_dedup.py).
+
 Raw per-level JSON:
 
 ```json

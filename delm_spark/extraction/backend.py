@@ -119,14 +119,35 @@ class PromptedApiBackend:
         self.transport = transport
         self.call_spec = call_spec or CallSpec()
 
+    def response_model(self):
+        """Dynamic Pydantic response model (reference
+        create_pydantic_schema, schemas.py:207-215/326-332/462-470) — what
+        a live Instructor transport passes as `response_model=` so the
+        API validates structure before the engine's cleaning rules run."""
+        from delm_spark.schemas.models import pydantic_model_for
+
+        return pydantic_model_for(self.spec)
+
     def extract_raw(self, text: str) -> Optional[dict[str, Any]]:
+        import inspect
+
         prompt = self.call_spec.prompt_for(self.spec, text or "")
-        return self.transport(
+        args = [
             prompt,
             self.call_spec.system_prompt,
             self.call_spec.model_name,
             self.call_spec.temperature,
-        )
+        ]
+        # an Instructor-style transport declares a 5th parameter to receive
+        # the response model; 4-parameter transports (tests, simple HTTP
+        # shims) keep the original signature
+        try:
+            n_params = len(inspect.signature(self.transport).parameters)
+        except (TypeError, ValueError):
+            n_params = 4
+        if n_params >= 5:
+            args.append(self.response_model())
+        return self.transport(*args)
 
 
 class CacheOnlyBackend:

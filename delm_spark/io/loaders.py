@@ -163,6 +163,12 @@ def _load_xlsx(spark: SparkSession, path: str, target_column=None) -> DataFrame:
     return load_xlsx(spark, path, target_column)
 
 
+def _load_pdf(spark: SparkSession, path: str) -> DataFrame:
+    from delm_spark.io.pdf import load_pdf
+
+    return load_pdf(spark, path)
+
+
 _EXT_DISPATCH = {
     ".txt": load_text,
     ".md": load_text,
@@ -173,6 +179,7 @@ _EXT_DISPATCH = {
     ".jsonl": load_json,
     ".docx": _load_docx,
     ".xlsx": _load_xlsx,
+    ".pdf": _load_pdf,
 }
 
 #: formats that require a target column (reference data_loaders.py:304-329)

@@ -44,6 +44,10 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # explicit (it is the Spark default): Python workers persist across
+        # tasks — worker startup is part of the measured unparallelized
+        # residual (BENCH/BASELINE.md), so never let this regress silently
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -142,3 +142,96 @@ def test_load_directory_rejects_mixed_extensions(spark, tmp_path):
 def test_load_directory_empty(spark, tmp_path):
     with pytest.raises(ValueError, match="no loadable files"):
         load_directory(spark, str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# PDF text-layer extraction (delm_spark/io/pdf.py)
+# ---------------------------------------------------------------------------
+
+
+def _minimal_pdf(content_stream: bytes, compress: bool = False) -> bytes:
+    """A well-formed single-page PDF around `content_stream`, with a
+    correct xref table (offsets computed, not hard-coded)."""
+    import zlib
+
+    filt = b""
+    body = content_stream
+    if compress:
+        body = zlib.compress(content_stream)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(body)).encode() + filt + b" >>\nstream\n"
+        + body + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+PDF_CONTENT = (
+    b"BT /F1 12 Tf 72 720 Td (Hello \\(escaped\\) world) Tj "
+    b"0 -14 Td [(Kerned) -250 ( pairs)] TJ "
+    b"T* (Octal: \\101\\102) Tj "
+    b"(apostrophe line) ' "
+    b"0 -14 Td <48657820737472696E67> Tj ET"
+)
+
+
+def test_parse_pdf_bytes_text_layer():
+    from delm_spark.io.pdf import parse_pdf_bytes
+
+    for compress in (False, True):
+        text = parse_pdf_bytes(_minimal_pdf(PDF_CONTENT, compress=compress))
+        assert "Hello (escaped) world" in text
+        assert "Kerned pairs" in text
+        assert "Octal: AB" in text
+        assert "apostrophe line" in text
+        assert "Hex string" in text
+        # layout ops produced line structure
+        assert text.index("Hello") < text.index("Kerned") < text.index("Octal")
+
+
+def test_parse_pdf_skips_image_streams():
+    from delm_spark.io.pdf import parse_pdf_bytes
+
+    # a DCT (JPEG-ish) stream must not crash or leak garbage into the text
+    pdf = _minimal_pdf(PDF_CONTENT) + (
+        b"9 0 obj\n<< /Subtype /Image /Filter /DCTDecode /Length 8 >>\n"
+        b"stream\n\xff\xd8\xff\xe0BTgg\nendstream\nendobj\n"
+    )
+    text = parse_pdf_bytes(pdf)
+    assert "Hello (escaped) world" in text and "gg" not in text
+
+
+def test_load_pdf_via_spark(spark, tmp_path):
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(_minimal_pdf(PDF_CONTENT, compress=True))
+    (d / "b.pdf").write_bytes(
+        _minimal_pdf(b"BT /F1 9 Tf (Second doc) Tj ET", compress=False)
+    )
+    df, ext = __import__("delm_spark.io.loaders", fromlist=["load_directory"]).load_directory(
+        spark, str(d)
+    )
+    rows = {r["delm_file_name"].split("/")[-1]: r["delm_raw_data"]
+            for r in df.collect()}
+    assert ext == ".pdf"
+    assert "Hello (escaped) world" in rows["a.pdf"]
+    assert rows["b.pdf"] == "Second doc"
