@@ -314,6 +314,27 @@ def lsh_topk_embeddings(spark, sf_dir):
     )
 
 
+def ivf_topk_embeddings(spark, sf_dir):
+    """ANN scale path #2: IVF (inverted-file) — vectors binned to their
+    nearest of 16 md5-picked centroids, queries probe the 4 closest cells,
+    exact cosine re-rank inside. The oracle re-derives the centroid pick,
+    the assignment argmax, and the probe ranking in SQL — exact output
+    parity."""
+    from delm_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=10)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch analog of the streaming path)."""
     ev = _t(spark, sf_dir, "events")
@@ -643,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "embedding_topk_cosine": embedding_topk_cosine,
         "lsh_topk_embeddings": lsh_topk_embeddings,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "stateful_sessionize_events": stateful_sessionize_events,
@@ -801,6 +823,67 @@ def oracle_sql() -> dict[str, str]:
                                                            i -> qe[i] * qe[i]))),
                               1e-12) AS score
                    FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id ASC) AS rank
+                FROM scored)
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # IVF ANN: same centroid pick (md5-ordered sample), same argmax
+        # assignment (cos desc, centroid_id asc), same probe ranking, same
+        # final (score desc, vec_id asc) top-k — exact output parity
+        "ivf_topk_embeddings": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+            cents AS (
+                SELECT vec_id AS centroid_id, ee AS cv FROM e
+                ORDER BY md5(vec_id::VARCHAR || '|ivf') LIMIT 16),
+            a_sc AS (
+                SELECT e.vec_id, e.ee, c.centroid_id,
+                       list_sum(list_transform(generate_series(1, len(ee)),
+                                               i -> ee[i] * cv[i]))
+                       / greatest(
+                           sqrt(list_sum(list_transform(generate_series(1, len(ee)),
+                                                        i -> ee[i] * ee[i])))
+                         * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                                                        i -> cv[i] * cv[i]))),
+                           1e-12) AS cos
+                FROM e CROSS JOIN cents c),
+            assigned AS (
+                SELECT vec_id, ee, centroid_id AS cell FROM (
+                    SELECT vec_id, ee, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, centroid_id ASC) AS rn
+                    FROM a_sc) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, ee AS qe FROM e WHERE vec_id < 3),
+            q_sc AS (
+                SELECT q.query_id, q.qe, c.centroid_id,
+                       list_sum(list_transform(generate_series(1, len(qe)),
+                                               i -> qe[i] * cv[i]))
+                       / greatest(
+                           sqrt(list_sum(list_transform(generate_series(1, len(qe)),
+                                                        i -> qe[i] * qe[i])))
+                         * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                                                        i -> cv[i] * cv[i]))),
+                           1e-12) AS cos
+                FROM q CROSS JOIN cents c),
+            probes AS (
+                SELECT query_id, qe, centroid_id AS cell FROM (
+                    SELECT query_id, qe, centroid_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, centroid_id ASC) AS pr
+                    FROM q_sc) WHERE pr <= 4),
+            scored AS (
+                SELECT p.query_id, a.vec_id,
+                       list_sum(list_transform(generate_series(1, len(a.ee)),
+                                               i -> a.ee[i] * p.qe[i]))
+                       / greatest(
+                           sqrt(list_sum(list_transform(generate_series(1, len(a.ee)),
+                                                        i -> a.ee[i] * a.ee[i])))
+                         * sqrt(list_sum(list_transform(generate_series(1, len(p.qe)),
+                                                        i -> p.qe[i] * p.qe[i]))),
+                           1e-12) AS score
+                FROM assigned a JOIN probes p ON a.cell = p.cell)
             SELECT query_id, vec_id, rank FROM (
                 SELECT query_id, vec_id,
                        row_number() OVER (PARTITION BY query_id

@@ -100,6 +100,8 @@ def main() -> None:
         "lsh_topk_embeddings",
         "regex_split_chunks",
         "majority_vote_lang",
+        "near_dup_pipeline_docs",
+        "fuzzy_score_docs",
     ]
     qs = entry_mod.queries()
     for name in suite:

@@ -18,3 +18,17 @@ Everything outside the extraction/scoring pandas UDFs is native Catalyst.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level surface: `from delm_spark import DelmSpark, DelmConfig`
+    # without importing pyspark at package-import time
+    if name == "DelmSpark":
+        from delm_spark.delm import DelmSpark
+
+        return DelmSpark
+    if name == "DelmConfig":
+        from delm_spark.config import DelmConfig
+
+        return DelmConfig
+    raise AttributeError(name)

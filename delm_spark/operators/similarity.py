@@ -77,6 +77,117 @@ def brute_force_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the `n_centroids` vectors
+    with the smallest md5(vec_id || '|ivf') — a reproducible pseudo-random
+    sample any SQL engine re-derives (no RNG state ships around; same
+    trick as the LSH hyperplanes). A k-means refinement would drop in here
+    without changing the search path."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("__cv"),
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|ivf"))).alias("__r"),
+        )
+        .orderBy("__r")
+        .limit(n_centroids)
+        .drop("__r")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine; ties break
+    to the smallest centroid_id). The N x C distance pass is the standard
+    IVF build cost; the centroid set is broadcast, so the build is one
+    map-side pass + one groupBy(id) — no all-pairs shuffle. Returns
+    (id_col, vec_col, __cell)."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine(F.col(vec_col), F.col("__cv")).alias("__sim"),
+    )
+    # argmax via max(struct): larger sim wins, then smaller centroid_id
+    best = F.max(
+        F.struct(F.col("__sim"), (-F.col("centroid_id")).alias("__nc"))
+    ).alias("__best")
+    return (
+        scored.groupBy(id_col)
+        .agg(best, F.first(vec_col).alias(vec_col))
+        .select(
+            id_col,
+            vec_col,
+            (-F.col("__best.__nc")).cast("long").alias("__cell"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: vectors are pre-binned into `n_centroids`
+    cells (nearest centroid); each query probes its `nprobe` closest cells
+    and exact-cosine re-ranks only the vectors inside them — the classic
+    inverted-file ANN layout, complementary to the sign-LSH path
+    (lsh_topk): IVF adapts to the data distribution, LSH is data-oblivious.
+
+    Scale shape: the centroid set and the exploded (query, cell) probe set
+    broadcast; the candidate lookup is ONE equi-join on the cell id against
+    the assigned table (at 100 TB, `ivf_assign` is materialized once and
+    the assigned table is partitioned/bucketed by cell, so the probe join
+    prunes to the probed cells); the final per-query merge ships at most k
+    rows per task via WindowGroupLimit (see brute_force_topk). Size
+    n_centroids ~ sqrt(N) so cells stay executor-sized.
+
+    Returns (query_id, vec_id, score, rank).
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    qc = qs.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "__qv",
+        "centroid_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("__sim"), F.asc("centroid_id")
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", F.col("centroid_id").alias("__cell"))
+    )
+    scored = assigned.join(F.broadcast(probes), "__cell").select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def hyperplane_signs(dim: int, plane_idx: int) -> list:
     """Deterministic pseudo-random hyperplane: component j's sign derives
     from md5('plane{p}|{j}') — reproducible in any engine (the correctness

@@ -72,3 +72,35 @@ def test_lsh_plan_single_bucket_equijoin(planted):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_topk_recall_and_exhaustive_equivalence(planted):
+    from delm_spark.operators.similarity import ivf_topk
+
+    emb, qdf = planted
+    # probing EVERY cell must reproduce brute force exactly
+    exact = brute_force_topk(emb, qdf, k=5).select("query_id", "vec_id", "rank")
+    full = ivf_topk(emb, qdf, n_centroids=8, nprobe=8, k=5).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert sorted(exact.collect()) == sorted(full.collect())
+
+    # real ANN setting: planted near-dup (cos ~0.98) recovered at rank 1
+    # for most queries even probing 2 of 8 cells
+    ann = ivf_topk(emb, qdf, n_centroids=8, nprobe=2, k=5)
+    hits = ann.filter(
+        (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
+    ).count()
+    assert hits >= 16  # >= 80% of the 20 planted pairs
+
+
+def test_ivf_assignment_is_deterministic(planted):
+    from delm_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb, _ = planted
+    c = ivf_centroids(emb, 8)
+    a1 = sorted(ivf_assign(emb, c).select("vec_id", "__cell").collect())
+    a2 = sorted(ivf_assign(emb, c).select("vec_id", "__cell").collect())
+    assert a1 == a2
+    cells = {r["__cell"] for r in a1}
+    assert cells <= {r["centroid_id"] for r in c.collect()}
