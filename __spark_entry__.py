@@ -272,6 +272,18 @@ def token_count_by_lang(spark, sf_dir):
     )
 
 
+def bpe_token_count_docs(spark, sf_dir):
+    """F8 sub-word path: BPE-ish pre-tokenization count (word runs +
+    standalone punctuation) per document, native regexp_extract_all; the
+    oracle runs the identical lookaround-free pattern in RE2."""
+    from delm_spark.operators.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
 def doc_fingerprint(spark, sf_dir):
     """F6/F7: canonical-text md5 fingerprint per document."""
     docs = _t(spark, sf_dir, "documents")
@@ -661,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_vote_lang": majority_vote_lang,
         "exact_dedup_docs": exact_dedup_docs,
         "token_count_by_lang": token_count_by_lang,
+        "bpe_token_count_docs": bpe_token_count_docs,
         "doc_fingerprint": doc_fingerprint,
         "embedding_topk_cosine": embedding_topk_cosine,
         "lsh_topk_embeddings": lsh_topk_embeddings,
@@ -802,6 +815,11 @@ def oracle_sql() -> dict[str, str]:
                    (SUM(len(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
                     / COUNT(*)) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "bpe_token_count_docs": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens
+            FROM documents ORDER BY doc_id
         """,
         "doc_fingerprint": """
             SELECT doc_id,

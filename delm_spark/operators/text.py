@@ -29,15 +29,12 @@ def whitespace_token_count(col: Column) -> Column:
 
 
 def bpe_ish_token_count(col: Column) -> Column:
-    """Sub-word-ish token count: words + digits + punctuation runs, the
-    regex analog of a BPE tokenizer's pre-tokenization pass. Documented
-    stand-in for tiktoken (reference cost_tracker.py:59-62)."""
-    return F.size(
-        F.filter(
-            F.split(col, r"(?<=\W)|(?=\W)"),
-            lambda t: F.trim(t) != "",
-        )
-    )
+    """Sub-word-ish token count: word/digit runs plus each standalone
+    punctuation character — the regex analog of a BPE tokenizer's
+    pre-tokenization pass. Documented stand-in for tiktoken (reference
+    cost_tracker.py:59-62). The pattern is lookaround-free so the same
+    regex runs in RE2 engines (the DuckDB oracle uses it verbatim)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0))
 
 
 def char_count(col: Column) -> Column:

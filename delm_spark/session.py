@@ -48,6 +48,11 @@ def get_spark(
         # tasks — worker startup is part of the measured unparallelized
         # residual (BENCH/BASELINE.md), so never let this regress silently
         .config("spark.python.worker.reuse", "true")
+        # F9: the reference zstd-compresses every persisted value
+        # (semantic_cache.py); here EVERY persisted artifact (stage
+        # checkpoints, cache table, sinks) is parquet+zstd — real zstd,
+        # better ratio than the snappy default at similar scan speed
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
