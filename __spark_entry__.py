@@ -535,6 +535,32 @@ def explode_extracted_triples(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx", "chunk_pos", "subj", "pred", "obj")
 
 
+def kg_triples_stream(spark, sf_dir):
+    """Streaming twin of explode_extracted_triples: the IDENTICAL
+    chunk -> score -> Arrow-extract -> clean -> explode operator chain run
+    as a Structured Streaming query (file source, availableNow trigger,
+    exactly-once parquet sink) over the fixture corpus — same oracle SQL
+    as the batch chain, so batch/stream parity is oracle-checked, not just
+    pytest-asserted."""
+    import tempfile
+
+    from delm_spark.streaming.stream import (
+        read_transcript_stream,
+        run_stream_to_parquet,
+        streaming_triples,
+    )
+
+    stream = read_transcript_stream(spark, str(_FIXTURES / "transcripts.parquet"))
+    out = tempfile.mkdtemp(prefix="delm_stream_triples_")
+    q = run_stream_to_parquet(streaming_triples(stream), out, out + "_ckpt")
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "chunk_pos", "subj", "pred", "obj")
+        .orderBy("conv_id", "turn_idx", "chunk_pos", "subj", "pred", "obj")
+    )
+
+
 def kg_triples_pipeline(spark, sf_dir):
     """Flagship KG pipeline (chunk/score/extract/clean/link) over the
     committed fixture corpus; the oracle reproduces the full chain plus the
@@ -690,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_features": multimodal_media_features,
         "collect_ordered_langs": collect_ordered_langs,
         "explode_extracted_triples": explode_extracted_triples,
+        "kg_triples_stream": kg_triples_stream,
         "kg_triples_pipeline": kg_triples_pipeline,
         "kg_nodes_canonical": kg_nodes_canonical,
         "connected_components_demo": connected_components_demo,
@@ -1152,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
             k=16, bands=4, jaccard_threshold=0.5
         ),
         "explode_extracted_triples": _kg_oracle_sql("triples"),
+        "kg_triples_stream": _kg_oracle_sql("triples"),
         "kg_triples_pipeline": _kg_oracle_sql("linked"),
         "kg_nodes_canonical": _kg_oracle_sql("nodes"),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(
