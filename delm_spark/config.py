@@ -54,17 +54,33 @@ _SCORER_TYPES = ("KeywordScorer", "FuzzyScorer", "None", None)
 
 @dataclass
 class LLMExtractionConfig:
-    """Reference LLMExtractionConfig (config.py:69-150); thread-pool
-    fields (max_workers) are replaced by Spark task parallelism and
-    batch_size by the Arrow batch size."""
+    """Reference LLMExtractionConfig (config.py:69-150). The full reference
+    field surface is accepted so a reference config.yaml loads unchanged
+    (e.g. examples/cost_vs_coverage/config.yaml); fields whose mechanism
+    Spark replaces are stored and honored in spirit:
+      * max_workers -> Spark task parallelism (documented no-op)
+      * batch_size  -> Arrow record-batch size hint
+      * provider    -> kept for get_provider_string parity (Instructor
+                       "provider/name" transports)
+      * track_cost  -> gates get_cost_summary like the reference
+    """
 
     name: str = "deterministic-rules"
+    provider: str = "none"
     temperature: float = 0.0
     max_retries: int = 0
     base_delay: float = 1.0
     max_budget: Optional[float] = None
+    batch_size: int = 10
+    max_workers: int = 1
+    dotenv_path: Optional[str] = None
+    track_cost: bool = True
     system_prompt: str = DEFAULT_SYSTEM_PROMPT
     prompt_template: str = DEFAULT_PROMPT_TEMPLATE
+
+    def get_provider_string(self) -> str:
+        """Instructor-style combined id (reference config.py:84-86)."""
+        return f"{self.provider}/{self.name}"
 
     def validate(self) -> None:
         if not isinstance(self.name, str) or not self.name:
@@ -79,6 +95,13 @@ class LLMExtractionConfig:
             raise ValueError("llm_extraction.base_delay must be >= 0")
         if self.max_budget is not None and self.max_budget <= 0:
             raise ValueError("llm_extraction.max_budget must be positive or null")
+        if self.batch_size <= 0:
+            raise ValueError("llm_extraction.batch_size must be positive")
+        if self.max_workers <= 0:
+            raise ValueError("llm_extraction.max_workers must be positive")
+        if self.max_budget is not None and not self.track_cost:
+            # reference config.py:126-128
+            raise ValueError("track_cost must be True if max_budget is specified")
 
     def call_spec(self) -> CallSpec:
         return CallSpec(
@@ -124,15 +147,27 @@ class DataPreprocessingConfig:
 
 @dataclass
 class SemanticCacheConfig:
-    """Reference cache config (config.py:333-400); the backend is always a
-    parquet table here (sqlite/lmdb/fs backends are single-node KV stores —
-    the distributed equivalent is the cache table + join)."""
+    """Reference cache config (config.py:418-447); the storage is always a
+    parquet table here (sqlite/lmdb/filesystem backends are single-node KV
+    stores — the distributed equivalent is the cache table + join), so
+    `backend` is accepted for config compatibility and recorded, and the
+    sqlite tuning knobs (max_size_mb, synchronous) are documented no-ops:
+    size governance is `compact_cache` + table retention, durability is
+    the parquet commit protocol."""
 
     path: Optional[str] = None
+    backend: str = "parquet"
+    max_size_mb: Optional[int] = None
+    synchronous: Optional[str] = None
 
     def validate(self) -> None:
         if self.path is not None and not isinstance(self.path, str):
             raise ValueError("semantic_cache.path must be a string path or null")
+        if self.backend not in {"parquet", "sqlite", "lmdb", "filesystem"}:
+            raise ValueError(
+                "semantic_cache.backend must be parquet, sqlite, lmdb, or "
+                f"filesystem; got {self.backend!r}"
+            )
 
 
 @dataclass
@@ -169,7 +204,9 @@ class DelmConfig:
     # -- construction --------------------------------------------------------
 
     @classmethod
-    def from_dict(cls, data: dict[str, Any]) -> "DelmConfig":
+    def from_dict(
+        cls, data: dict[str, Any], base_dir: Optional[Path] = None
+    ) -> "DelmConfig":
         known = {"llm_extraction", "data_preprocessing", "schema", "semantic_cache",
                  "pipeline"}
         unknown = set(data) - known
@@ -180,7 +217,16 @@ class DelmConfig:
         cache = SemanticCacheConfig(**data.get("semantic_cache", {}))
         pipe = PipelineSection(**data.get("pipeline", {}))
         spec, schema_cfg = None, None
-        schema_section = data.get("schema", {})
+        schema_section = dict(data.get("schema", {}))
+        # the reference schema section also carries the prompts
+        # (config.py:369-371) — thread them into the call spec; a
+        # container_name override is tolerated (the example configs carry
+        # it even though the spec file is authoritative)
+        if "prompt_template" in schema_section:
+            llm.prompt_template = schema_section.pop("prompt_template")
+        if "system_prompt" in schema_section:
+            llm.system_prompt = schema_section.pop("system_prompt")
+        schema_section.pop("container_name", None)
         if "spec" in schema_section:
             schema_cfg = schema_section["spec"]
             spec = spec_from_dict(schema_cfg)
@@ -190,6 +236,10 @@ class DelmConfig:
             import yaml
 
             p = Path(schema_section["spec_path"])
+            if not p.is_absolute() and base_dir is not None:
+                # reference example configs use paths relative to the
+                # config file (e.g. '../commodity_schema.yaml')
+                p = base_dir / p
             schema_cfg = (
                 yaml.safe_load(p.read_text())
                 if p.suffix.lower() in {".yaml", ".yml"}
@@ -206,7 +256,9 @@ class DelmConfig:
         import yaml
 
         with open(path) as f:
-            return cls.from_dict(yaml.safe_load(f) or {})
+            return cls.from_dict(
+                yaml.safe_load(f) or {}, base_dir=Path(path).resolve().parent
+            )
 
     # -- bridges into the runtime ---------------------------------------------
 

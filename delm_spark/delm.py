@@ -205,6 +205,13 @@ class DelmSpark:
     def get_cost_summary(self) -> dict:
         from delm_spark.extraction.cost import summarize_cost
 
+        if not self.config.llm_extraction.track_cost:
+            # reference delm.py:272-276
+            raise ValueError(
+                "Cost tracking is not enabled in the configuration. Please "
+                "set `track_cost` to `True` in the configuration."
+            )
+
         s = summarize_cost(
             self.get_extraction_results(), model=self.config.llm_extraction.name
         )

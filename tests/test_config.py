@@ -94,3 +94,70 @@ def test_schema_spec_path(tmp_path):
     cfg = DelmConfig.from_dict({"schema": {"spec_path": str(p)}})
     assert cfg.spec.container_name == "triples"
     assert cfg.to_pipeline_config().schema_cfg == TRIPLE_SCHEMA_CFG
+
+
+def test_reference_example_config_loads(tmp_path):
+    """A reference-format config.yaml (examples/cost_vs_coverage shape:
+    provider/batch_size/max_workers/track_cost, schema-level
+    prompt_template + container_name, sqlite cache section, relative
+    spec_path) must load unchanged."""
+    import textwrap
+
+    from delm_spark.config import DelmConfig
+
+    (tmp_path / "schema.yaml").write_text(textwrap.dedent("""
+        schema_type: nested
+        container_name: commodity_prices
+        variables:
+          - {name: good, data_type: string, required: true, description: g}
+          - {name: price, data_type: number, required: false, description: p}
+    """))
+    cfg_file = tmp_path / "sub" / "config.yaml"
+    cfg_file.parent.mkdir()
+    cfg_file.write_text(textwrap.dedent("""
+        llm_extraction:
+          provider: "openai"
+          name: "gpt-4o-mini"
+          temperature: 0.0
+          max_retries: 3
+          batch_size: 10
+          max_workers: 4
+          base_delay: 1.0
+          track_cost: true
+          max_budget: 50.0
+        data_preprocessing:
+          target_column: "text"
+          drop_target_column: false
+          splitting: {type: "ParagraphSplit"}
+          scoring:
+            type: "KeywordScorer"
+            keywords: ["price", "cost"]
+        schema:
+          spec_path: "../schema.yaml"
+          container_name: "commodity_prices"
+          prompt_template: "Extract prices. {text} {variables} {context}"
+        semantic_cache:
+          backend: "sqlite"
+          path: "./cache"
+          max_size_mb: 100
+          synchronous: "normal"
+    """))
+    cfg = DelmConfig.from_yaml(cfg_file)
+    assert cfg.llm_extraction.get_provider_string() == "openai/gpt-4o-mini"
+    assert cfg.llm_extraction.prompt_template.startswith("Extract prices.")
+    assert cfg.spec is not None and cfg.spec.container_name == "commodity_prices"
+    assert cfg.semantic_cache.backend == "sqlite"  # recorded; storage is parquet
+    # call spec carries the schema-level prompt override
+    assert "Extract prices." in cfg.llm_extraction.call_spec().prompt_template
+
+
+def test_track_cost_false_blocks_cost_summary(tmp_path):
+    from delm_spark.config import DelmConfig
+    from delm_spark.delm import DelmSpark
+
+    cfg = DelmConfig.from_dict(
+        {"llm_extraction": {"track_cost": False}}
+    )
+    d = DelmSpark(cfg, spark=object.__new__(object))  # session unused here
+    with pytest.raises(ValueError, match="track_cost"):
+        d.get_cost_summary()
