@@ -535,6 +535,29 @@ def explode_extracted_triples(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx", "chunk_pos", "subj", "pred", "obj")
 
 
+def embedding_entity_link(spark, sf_dir):
+    """North-star 'dictionary+embedding blocking': corrupted mention
+    surfaces (each fixture-dictionary surface truncated by one character)
+    linked back to their canonical entities via trigram-hash embeddings +
+    sign-LSH bucket blocking + cosine scoring. The oracle re-derives the
+    embeddings (md5 trigram buckets), the hyperplanes, the probe-radius
+    candidate set, and the (score desc, canonical_id asc) argmax in SQL —
+    exact output parity for the fuzzy-linking path."""
+    from delm_spark.kg.linking import embedding_link_candidates
+
+    d = _fixture_dictionary(spark)
+    mentions = d.filter(F.length("surface") > 6).select(
+        F.expr("substring(surface, 1, length(surface) - 1)").alias("surface")
+    )
+    return (
+        embedding_link_candidates(
+            mentions, d, dim=64, n_planes=8, probe_radius=2, threshold=0.5
+        )
+        .select("surface", "canonical_id")
+        .orderBy("surface", "canonical_id")
+    )
+
+
 def kg_triples_stream(spark, sf_dir):
     """Streaming twin of explode_extracted_triples: the IDENTICAL
     chunk -> score -> Arrow-extract -> clean -> explode operator chain run
@@ -716,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_features": multimodal_media_features,
         "collect_ordered_langs": collect_ordered_langs,
         "explode_extracted_triples": explode_extracted_triples,
+        "embedding_entity_link": embedding_entity_link,
         "kg_triples_stream": kg_triples_stream,
         "kg_triples_pipeline": kg_triples_pipeline,
         "kg_nodes_canonical": kg_nodes_canonical,
@@ -1185,7 +1209,76 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(
             dim=64, k=10, n_planes=8, probe_radius=2
         ),
+        "embedding_entity_link": _embedding_link_oracle_sql(
+            dim=64, n_planes=8, probe_radius=2, threshold=0.5
+        ),
     }
+
+
+def _embedding_link_oracle_sql(
+    dim: int, n_planes: int, probe_radius: int, threshold: float
+) -> str:
+    """DuckDB replica of embedding_link_candidates over the fixture
+    dictionary with one-char-truncated surfaces as mentions: identical
+    trigram-md5 embeddings, md5 hyperplanes, Hamming-radius blocking, and
+    (score desc, canonical_id asc) per-mention argmax."""
+    from delm_spark.operators.similarity import hyperplane_signs
+
+    dp = (_FIXTURES / "dictionary.parquet").as_posix() + "/*.parquet"
+    planes = " UNION ALL ".join(
+        f"SELECT {p} AS p, [{', '.join(str(s) for s in hyperplane_signs(dim, p))}]::DOUBLE[] AS h"
+        for p in range(n_planes)
+    )
+    emb = """
+        list_transform(generate_series(0, {dim_m1}), b ->
+            CAST(len(list_filter(
+                list_transform(
+                    generate_series(1, greatest(len('^' || lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))) || '$') - 2, 1)),
+                    i -> substr('^' || lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))) || '$', i, 3)),
+                t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % {dim} = b)) AS DOUBLE))
+    """
+    m_emb = emb.format(col="m.surface", dim=dim, dim_m1=dim - 1)
+    d_emb = emb.format(col="d.surface", dim=dim, dim_m1=dim - 1)
+    return f"""
+        WITH raw AS (SELECT surface, canonical_id FROM read_parquet('{dp}')),
+        d0 AS (SELECT surface, min(canonical_id) AS canonical_id
+               FROM raw GROUP BY surface),
+        m0 AS (SELECT DISTINCT substr(surface, 1, length(surface) - 1) AS surface
+               FROM raw WHERE length(surface) > 6),
+        d AS (SELECT d.surface, canonical_id, {d_emb} AS e FROM d0 d),
+        m AS (SELECT m.surface, {m_emb} AS e FROM m0 m),
+        planes AS ({planes}),
+        dbits AS (
+            SELECT surface, SUM(CASE WHEN list_sum(list_transform(
+                generate_series(1, {dim}), i -> e[i] * h[i])) >= 0
+                THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)::BIGINT AS bkt
+            FROM d CROSS JOIN planes GROUP BY surface),
+        mbits AS (
+            SELECT surface, SUM(CASE WHEN list_sum(list_transform(
+                generate_series(1, {dim}), i -> e[i] * h[i])) >= 0
+                THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)::BIGINT AS bkt
+            FROM m CROSS JOIN planes GROUP BY surface),
+        cand AS (
+            SELECT m.surface, d.canonical_id,
+                   list_sum(list_transform(generate_series(1, {dim}),
+                                           i -> m.e[i] * d.e[i]))
+                   / greatest(
+                       sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                    i -> m.e[i] * m.e[i])))
+                     * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                    i -> d.e[i] * d.e[i]))),
+                       1e-12) AS score
+            FROM m JOIN mbits mb ON m.surface = mb.surface
+            JOIN dbits db ON bit_count(xor(mb.bkt, db.bkt)) <= {probe_radius}
+            JOIN d ON d.surface = db.surface)
+        SELECT surface, canonical_id FROM (
+            SELECT surface, canonical_id, score,
+                   row_number() OVER (PARTITION BY surface
+                       ORDER BY score DESC, canonical_id ASC) AS rn
+            FROM cand)
+        WHERE rn = 1 AND score >= {threshold}
+        ORDER BY surface, canonical_id
+    """
 
 
 def _lsh_topk_oracle_sql(dim: int, k: int, n_planes: int, probe_radius: int) -> str:

@@ -5,6 +5,15 @@ KG extension the north rule requires: normalize mention surfaces, then
 broadcast-join the canonical entity dictionary. The dictionary is
 broadcast explicitly — it is small by construction (a curated entity
 list), so the join is shuffle-free regardless of triple volume.
+
+Beyond the exact lookup, the north star names *dictionary + embedding
+blocking* for candidate detection: `surface_embedding` (hashing-trick
+character-trigram features, fully native and oracle-reproducible) +
+`embedding_link_candidates` (sign-LSH bucket blocking + cosine scoring)
+recover surface variants exact matching misses — typos, truncations,
+re-orderings — and keep the candidate join an equi-join on the bucket id,
+the shape that survives a million-entity dictionary no longer worth
+broadcasting.
 """
 
 from __future__ import annotations
@@ -16,6 +25,92 @@ from pyspark.sql import functions as F
 def normalize_mention(col: Column) -> Column:
     """Canonical surface form: lowercase, trim, collapse whitespace."""
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def surface_embedding(col: Column, dim: int = 64) -> Column:
+    """Hashing-trick character-trigram embedding of a mention surface
+    (array<double> of bucket counts), fully native. Trigram bucket =
+    first 4 hex chars of md5 mod dim — the md5 family the LSH/minhash
+    operators already use, so an external SQL oracle re-derives identical
+    vectors. `^`/`$` padding makes leading/trailing characters count."""
+    padded = F.concat(F.lit("^"), normalize_mention(col), F.lit("$"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(1)))
+    tris = F.transform(idx, lambda i: padded.substr(i, F.lit(3)))
+
+    def bucket(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % dim
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(F.filter(tris, lambda t: bucket(t) == b)).cast("double"),
+    )
+
+
+def embedding_link_candidates(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    surface_col: str = "surface",
+    dim: int = 64,
+    n_planes: int = 8,
+    probe_radius: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding-blocked entity-link candidates: each distinct mention
+    surface is matched to its best dictionary entity by trigram-embedding
+    cosine, with sign-LSH bucket blocking so the candidate lookup is ONE
+    equi-join on the bucket id (dictionary side exploded to probe masks
+    and broadcast; at million-entity scale the same plan runs un-broadcast
+    as a plain shuffle equi-join on bounded buckets).
+
+    Returns (surface, canonical_id, link_score): the best entity per
+    mention with cosine >= threshold (ties break to the smallest
+    canonical_id). This is the scoring stage of the north star's
+    'dictionary+embedding blocking' — exact dictionary hits should be
+    resolved by `link_mentions` first; this recovers the near-miss tail.
+    """
+    from pyspark.sql import Window
+
+    from delm_spark.operators.similarity import _probe_masks, cosine, lsh_bucket
+
+    m = (
+        mentions.select(F.col(surface_col).alias("surface"))
+        .dropDuplicates(["surface"])
+        .withColumn("__me", surface_embedding(F.col("surface"), dim))
+        .withColumn("__bkt", lsh_bucket(F.col("__me"), dim, n_planes))
+    )
+    d = (
+        dictionary.select("surface", "canonical_id")
+        # deterministic on duplicate surfaces: smallest canonical id wins
+        .groupBy("surface")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+        .withColumn("__de", surface_embedding(F.col("surface"), dim))
+        .withColumn("__dbkt", lsh_bucket(F.col("__de"), dim, n_planes))
+        .select(
+            F.col("surface").alias("__dsurf"), "canonical_id", "__de", "__dbkt"
+        )
+    )
+    masks = _probe_masks(n_planes, probe_radius)
+    d_b = F.broadcast(
+        d.withColumn(
+            "__bkt",
+            F.explode(
+                F.array(*[F.col("__dbkt").bitwiseXOR(F.lit(mk)) for mk in masks])
+            ),
+        )
+    )
+    scored = m.join(d_b, "__bkt").select(
+        "surface",
+        "canonical_id",
+        cosine(F.col("__me"), F.col("__de")).alias("link_score"),
+    )
+    w = Window.partitionBy("surface").orderBy(
+        F.desc("link_score"), F.asc("canonical_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("link_score") >= threshold))
+        .drop("__rn")
+    )
 
 
 def link_mentions(

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Single spark-submit entry for the whole KG pipeline (north rule: "run
+via spark-submit --py-files on a multi-executor cluster").
+
+    zip -r delm_spark.zip delm_spark
+    spark-submit --py-files delm_spark.zip submit_job.py \\
+        --transcripts s3://bucket/transcripts_parquet_or_catalog.table \\
+        --dictionary  s3://bucket/dictionary.parquet \\
+        --output      s3://bucket/kg_out \\
+        [--config config.yaml] [--checkpoint-dir hdfs://.../staging]
+
+The script declares the job only — no master, cores, or memory are
+hard-coded; spark-submit/cluster conf owns those. Inputs containing a
+path separator are read as parquet; bare dotted names are read from the
+session catalog (Iceberg tables via a configured SparkCatalog). Output is
+nodes/ and edges/ under --output (written through the session's
+configured codec, parquet+zstd by default).
+
+ONE job, no per-row Python: the pipeline is a single linear DataFrame DAG
+whose only Python stages are Arrow-batched (mapInPandas extraction;
+plan-asserted in tests/test_plan_quality.py), matching the north star's
+"no per-row Python, vectorized pandas/Arrow UDFs only" constraint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _read(spark, ident: str):
+    if "/" in ident or ident.endswith(".parquet"):
+        return spark.read.parquet(ident)
+    return spark.table(ident)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--transcripts", required=True,
+                    help="parquet path or catalog table of transcripts")
+    ap.add_argument("--dictionary", required=True,
+                    help="parquet path or catalog table of the entity dictionary")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--config", default=None, help="DELM-format config.yaml")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="staging dir for resumable stage checkpoints")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("delm-spark-kg").getOrCreate()
+
+    from delm_spark.config import DelmConfig
+    from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
+
+    if args.config:
+        config = DelmConfig.from_yaml(args.config).to_pipeline_config()
+    else:
+        config = PipelineConfig()
+    if args.checkpoint_dir:
+        config.checkpoint_dir = args.checkpoint_dir
+
+    transcripts = _read(spark, args.transcripts)
+    dictionary = _read(spark, args.dictionary)
+    res = run_pipeline(spark, transcripts, dictionary, config)
+    res.nodes.write.mode("overwrite").parquet(f"{args.output}/nodes")
+    res.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+    n_nodes = spark.read.parquet(f"{args.output}/nodes").count()
+    n_edges = spark.read.parquet(f"{args.output}/edges").count()
+    print(json.dumps({"nodes": n_nodes, "edges": n_edges, "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

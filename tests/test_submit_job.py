@@ -1,0 +1,46 @@
+"""The north rule's execution constraint, exercised literally: the whole
+pipeline as ONE `spark-submit --py-files delm_spark.zip submit_job.py`
+invocation (real spark-submit subprocess, fixture corpus in, nodes/edges
+parquet out)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import zipfile
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+SPARK_SUBMIT = Path("/opt/spark/bin/spark-submit")
+
+
+@pytest.mark.skipif(not SPARK_SUBMIT.exists(), reason="spark-submit not on host")
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    zpath = tmp_path / "delm_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in (REPO / "delm_spark").rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+    out = tmp_path / "kg_out"
+    env = dict(os.environ, PYTHONPATH="")  # the zip must be self-sufficient
+    proc = subprocess.run(
+        [
+            str(SPARK_SUBMIT),
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath),
+            str(REPO / "submit_job.py"),
+            "--transcripts", str(REPO / "tests/fixtures/transcripts.parquet"),
+            "--dictionary", str(REPO / "tests/fixtures/dictionary.parquet"),
+            "--output", str(out),
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["nodes"] > 0 and stats["edges"] > 0
+    assert (out / "edges" / "_SUCCESS").exists()
