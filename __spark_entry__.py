@@ -134,6 +134,39 @@ def broadcast_brand_revenue(spark, sf_dir):
     )
 
 
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (customer-orders-lineitem-supplier-
+    nation-region) with the same-nation co-location predicate
+    (c_nationkey = s_nationkey). Dims broadcast; the two fact joins
+    shuffle on their keys; revenue in integer cents for engine-stable
+    hashing."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
 def semi_join_orders(spark, sf_dir):
     """P6/J3: left-semi filter of orders by European customers."""
     orders = _t(spark, sf_dir, "orders")
@@ -711,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "broadcast_brand_revenue": broadcast_brand_revenue,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "semi_join_orders": semi_join_orders,
         "anti_join_customers": anti_join_customers,
         "left_join_order_customer": left_join_order_customer,
@@ -783,6 +817,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue_cents DESC, n_name ASC
         """,
         "semi_join_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
