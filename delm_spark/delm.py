@@ -87,16 +87,46 @@ class DelmSpark:
 
     # -- stage artifacts ------------------------------------------------------
 
+    def _fingerprint(self) -> str:
+        """Config identity for artifact reuse — same guard the StageRunner
+        enforces (kg/pipeline.py config_fingerprint): artifacts persisted
+        under one config must not silently serve a different one."""
+        import dataclasses
+        import hashlib
+        import json
+
+        material = {
+            "llm": dataclasses.asdict(self.config.llm_extraction),
+            "prep": dataclasses.asdict(self.config.data_preprocessing),
+            "cache": dataclasses.asdict(self.config.semantic_cache),
+            "pipeline": dataclasses.asdict(self.config.pipeline),
+            "schema": self.config.schema_cfg,
+        }
+        return hashlib.sha256(
+            json.dumps(material, sort_keys=True, default=str).encode()
+        ).hexdigest()
+
     def _save(self, df: DataFrame, name: str) -> DataFrame:
         if self.dir is None:
             return df
         path = str(self.dir / name)
         df.write.mode("overwrite").parquet(path)
+        (self.dir / name / "_delm_config_fingerprint").write_text(
+            self._fingerprint()
+        )
         return self.spark.read.parquet(path)
 
     def _load(self, name: str) -> Optional[DataFrame]:
         if self.dir is None or not (self.dir / name / "_SUCCESS").exists():
             return None
+        fp = self.dir / name / "_delm_config_fingerprint"
+        if not fp.exists() or fp.read_text() != self._fingerprint():
+            raise RuntimeError(
+                f"experiment artifact {name!r} at {self.dir} was built with "
+                "a different config; pass overwrite_experiment=True or use "
+                "a fresh experiment_directory (reference "
+                "verify_resume_config semantics)"
+            )
         return self.spark.read.parquet(str(self.dir / name))
 
     # -- prep_data (reference delm.py:222-249) --------------------------------
@@ -133,8 +163,23 @@ class DelmSpark:
                 f"target column {prep.target_column!r} not in {df.columns}"
             )
         # content-derived record id: stable under partitioning (see module
-        # docstring); the reference's ordinal index is pandas-only
-        df = df.withColumn(RECORD_ID_COL, F.xxhash64(*sorted(df.columns)))
+        # docstring); the reference's ordinal index is pandas-only. A
+        # duplicate-row suffix keeps identical documents DISTINCT records
+        # (the reference's ordinal ids do too) — without it, n duplicate
+        # rows would share one id and the chunk-metadata join would fan
+        # out n^2.
+        from pyspark.sql import Window
+
+        content_hash = F.xxhash64(*sorted(df.columns))
+        dup_rank = F.row_number().over(
+            # duplicate rows are byte-identical, so which copy gets which
+            # rank is immaterial — any stable order works
+            Window.partitionBy(content_hash).orderBy(content_hash)
+        )
+        df = df.withColumn(
+            RECORD_ID_COL,
+            F.concat_ws("-", content_hash.cast("string"), dup_rank.cast("string")),
+        )
         if sample_size > 0:
             df = seeded_sample_records(df, sample_size, RECORD_ID_COL)
         splitting = prep.splitting or {"type": None}

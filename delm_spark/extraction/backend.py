@@ -112,25 +112,49 @@ class PromptedApiBackend:
     backend are keyed exactly like the reference's semantic cache
     (semantic_cache.py:81-103)."""
 
-    def __init__(self, spec, transport, call_spec=None):
+    def __init__(self, spec, transport, call_spec=None, pass_response_model=None):
         from delm_spark.extraction.prompts import CallSpec
 
         self.spec = spec
         self.transport = transport
         self.call_spec = call_spec or CallSpec()
+        # whether the transport takes the dynamic Pydantic response model
+        # as a 5th argument (Instructor style). None = inferred ONCE from
+        # the signature here (not per row); *args / functools.partial
+        # transports defeat signature inspection, so they should pass this
+        # explicitly.
+        if pass_response_model is None:
+            import inspect
+
+            try:
+                params = inspect.signature(transport).parameters.values()
+                pass_response_model = (
+                    sum(
+                        1
+                        for p in params
+                        if p.kind
+                        in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                    )
+                    >= 5
+                )
+            except (TypeError, ValueError):
+                pass_response_model = False
+        self.pass_response_model = bool(pass_response_model)
 
     def response_model(self):
         """Dynamic Pydantic response model (reference
         create_pydantic_schema, schemas.py:207-215/326-332/462-470) — what
         a live Instructor transport passes as `response_model=` so the
-        API validates structure before the engine's cleaning rules run."""
-        from delm_spark.schemas.models import pydantic_model_for
+        API validates structure before the engine's cleaning rules run.
+        Built once per backend instance, not per call."""
+        cached = getattr(self, "_response_model", None)
+        if cached is None:
+            from delm_spark.schemas.models import pydantic_model_for
 
-        return pydantic_model_for(self.spec)
+            cached = self._response_model = pydantic_model_for(self.spec)
+        return cached
 
     def extract_raw(self, text: str) -> Optional[dict[str, Any]]:
-        import inspect
-
         prompt = self.call_spec.prompt_for(self.spec, text or "")
         args = [
             prompt,
@@ -138,14 +162,7 @@ class PromptedApiBackend:
             self.call_spec.model_name,
             self.call_spec.temperature,
         ]
-        # an Instructor-style transport declares a 5th parameter to receive
-        # the response model; 4-parameter transports (tests, simple HTTP
-        # shims) keep the original signature
-        try:
-            n_params = len(inspect.signature(self.transport).parameters)
-        except (TypeError, ValueError):
-            n_params = 4
-        if n_params >= 5:
+        if self.pass_response_model:
             args.append(self.response_model())
         return self.transport(*args)
 

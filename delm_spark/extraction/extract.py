@@ -234,9 +234,18 @@ def extract_chunks(
             # only SUCCESS rows block re-extraction: error rows are stored
             # (single-action write) but count as misses, so failed calls
             # retry on the next run like the reference's uncached errors.
-            # Success rows are unique per key by construction — no dedup.
+            # Success rows are unique per key by construction under the
+            # SINGLE-WRITER contract (one pipeline run per cache_dir at a
+            # time, like the reference's sqlite cache); a violated contract
+            # is repaired by compact_cache, never silently re-deduped here.
             cached_ok = cached.filter(F.col(ERRORS_COL).isNull())
-        except Exception:
+        except Exception as e:
+            # ONLY a genuinely absent table means cold cache; any other
+            # read failure must propagate — treating a transient FS error
+            # as cold would re-extract every key and double-commit success
+            # rows, breaking the one-row-per-key invariant
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             cached_ok = None  # cold cache
         if cached_ok is not None:
             unique = unique.join(cached_ok, on=CACHE_KEY_COL, how="left_anti")
@@ -269,7 +278,9 @@ def extract_chunks(
     # no dedup — the warm path is filter + join, sized by the RUN.
     try:
         full = spark.read.parquet(cache_dir)
-    except Exception:
+    except Exception as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         # no parquet files anywhere (empty input on a cold cache)
         return keyed.join(
             spark.createDataFrame([], out_schema), on=CACHE_KEY_COL, how="left"
@@ -285,14 +296,28 @@ def extract_chunks(
 def compact_cache(spark, cache_dir: str) -> int:
     """Rewrite the persistent cache to exactly one row per key (success
     preferred, else the lexically-last run's error row), dropping the stale
-    error rows that accumulate while keys keep failing. Scheduled
-    maintenance — never on the warm query path. Returns rows kept."""
+    error rows that accumulate while keys keep failing — and repairing any
+    duplicate success rows a violated single-writer contract left behind.
+    Scheduled maintenance — never on the warm query path, never concurrent
+    with a run against the same cache_dir. Returns rows kept.
+
+    Local filesystem paths only: the swap is two directory renames (old
+    aside, compacted in), so no crash window loses BOTH copies — a crash
+    between the renames leaves `<cache_dir>__old` to restore by hand. On
+    object stores, run the same dedup as a table rewrite (Iceberg
+    replace-snapshot) instead."""
     import shutil
     import uuid
     from pathlib import Path
 
     from pyspark.sql import Window
 
+    if "://" in cache_dir:
+        raise NotImplementedError(
+            "compact_cache swaps local directories; for object-store caches "
+            "rewrite the table via the catalog (e.g. an Iceberg snapshot "
+            "replace) instead"
+        )
     full = spark.read.parquet(cache_dir)
     w = Window.partitionBy(CACHE_KEY_COL).orderBy(
         F.col(ERRORS_COL).isNotNull().cast("int"), F.col(RUN_ID_COL).desc()
@@ -306,6 +331,8 @@ def compact_cache(spark, cache_dir: str) -> int:
     run_id = f"compact-{uuid.uuid4().hex}"
     compacted.write.mode("overwrite").parquet(f"{tmp}/{RUN_ID_COL}={run_id}")
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(cache_dir)
+    old = f"{cache_dir}__old"
+    Path(cache_dir).rename(old)
     Path(tmp).rename(cache_dir)
+    shutil.rmtree(old)
     return n

@@ -88,10 +88,18 @@ def image_header_dims(content: bytes) -> tuple[Optional[str], Optional[int], Opt
             return "bmp", w, abs(h)
         if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
             i = 2
-            while i + 9 < len(b):
+            while i + 1 < len(b):
                 if b[i] != 0xFF:
                     break
+                # spec-legal 0xFF fill bytes may pad before any marker
+                while i + 1 < len(b) and b[i + 1] == 0xFF:
+                    i += 1
                 marker = b[i + 1]
+                if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length field
+                    continue
+                if i + 9 >= len(b):
+                    break
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                     return "jpeg", w, h

@@ -117,18 +117,17 @@ def ivf_assign(
         F.col("centroid_id"),
         cosine(F.col(vec_col), F.col("__cv")).alias("__sim"),
     )
-    # argmax via max(struct): larger sim wins, then smaller centroid_id
-    best = F.max(
-        F.struct(F.col("__sim"), (-F.col("centroid_id")).alias("__nc"))
+    # argmax via min(struct(-sim, centroid_id)): smallest -sim = largest
+    # sim, tie -> smallest centroid_id. Negating the SIM (always double)
+    # keeps this correct for any orderable id type — string vec_ids would
+    # null out under an id negation.
+    best = F.min(
+        F.struct((-F.col("__sim")).alias("__ns"), F.col("centroid_id"))
     ).alias("__best")
     return (
         scored.groupBy(id_col)
         .agg(best, F.first(vec_col).alias(vec_col))
-        .select(
-            id_col,
-            vec_col,
-            (-F.col("__best.__nc")).cast("long").alias("__cell"),
-        )
+        .select(id_col, vec_col, F.col("__best.centroid_id").alias("__cell"))
     )
 
 

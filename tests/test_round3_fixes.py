@@ -286,3 +286,106 @@ def test_iceberg_and_parquet_stage_paths_identical(spark, tmp_path, monkeypatch)
     ib3 = StageRunner(spark, str(tmp_path / "ib"), fingerprint="f2", storage="iceberg")
     with pytest.raises(RuntimeError, match="different pipeline config"):
         ib3.stage("s1", build)
+
+
+# ---------------------------------------------------------------------------
+# Code-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_facade_duplicate_rows_get_distinct_record_ids(spark):
+    from delm_spark.delm import DelmSpark
+
+    cfg = {
+        "data_preprocessing": {"target_column": "text", "splitting": {"type": None}},
+        "schema": {"spec": TRIPLE_SCHEMA_CFG},
+    }
+    d = DelmSpark.from_dict(cfg, spark)
+    df = spark.createDataFrame([("same text",)] * 3 + [("other",)], "text string")
+    prepped = d.prep_data(df)
+    assert prepped.count() == 4
+    assert prepped.select("delm_record_id").distinct().count() == 4
+    out = d.process_via_llm(prepped)
+    assert out.count() == 4  # no join fan-out
+
+
+def test_facade_refuses_stale_artifacts(spark, tmp_path):
+    from delm_spark.delm import DelmSpark
+
+    cfg = {
+        "data_preprocessing": {"target_column": "text", "splitting": {"type": None}},
+        "schema": {"spec": TRIPLE_SCHEMA_CFG},
+    }
+    d1 = DelmSpark.from_dict(cfg, spark, experiment_name="x",
+                             experiment_directory=str(tmp_path))
+    d1.prep_data(spark.createDataFrame([("Alice Smith works at Acme Corp.",)],
+                                       "text string"))
+    changed = {**cfg, "data_preprocessing": {"target_column": "text",
+                                             "splitting": {"type": "ParagraphSplit"}}}
+    d2 = DelmSpark.from_dict(changed, spark, experiment_name="x",
+                             experiment_directory=str(tmp_path))
+    with pytest.raises(RuntimeError, match="different config"):
+        d2.process_via_llm()
+    # same config still resumes
+    d3 = DelmSpark.from_dict(cfg, spark, experiment_name="x",
+                             experiment_directory=str(tmp_path))
+    assert d3.process_via_llm().count() == 1
+
+
+def test_ivf_topk_with_string_ids(spark):
+    from delm_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.createDataFrame(
+        [(f"doc_{i:03d}", [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+         for i in range(60)],
+        "vec_id string, embedding array<double>",
+    )
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    full = ivf_topk(emb, q, n_centroids=4, nprobe=4, k=5).select(
+        "query_id", "vec_id", "rank")
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "vec_id", "rank")
+    assert sorted(full.collect()) == sorted(exact.collect())
+    assert full.count() == 10  # not silently empty
+
+
+def test_jpeg_fill_bytes_and_restart_markers():
+    import struct
+
+    from delm_spark.operators.multimodal import image_header_dims
+
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 600, 800) + b"\x03" + b"\x00" * 9
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + sof  # fill bytes before SOF
+    assert image_header_dims(padded) == ("jpeg", 800, 600)
+    with_rst = b"\xff\xd8" + b"\xff\x01" + sof  # standalone TEM marker
+    assert image_header_dims(with_rst) == ("jpeg", 800, 600)
+
+
+def test_transport_star_args_needs_explicit_flag(spark):
+    from delm_spark.extraction.backend import PromptedApiBackend
+    from delm_spark.schemas.spec import spec_from_dict
+
+    spec = spec_from_dict(TRIPLE_SCHEMA_CFG)
+    calls = {}
+
+    def star_transport(*args):
+        calls["n"] = len(args)
+        return {"triples": []}
+
+    # auto-inference cannot see through *args -> defaults to 4-arg form
+    PromptedApiBackend(spec, star_transport).extract_raw("t")
+    assert calls["n"] == 4
+    # explicit opt-in passes the response model
+    PromptedApiBackend(spec, star_transport, pass_response_model=True).extract_raw("t")
+    assert calls["n"] == 5
+
+
+def test_cache_read_error_propagates(spark, tmp_path):
+    """A corrupt (non-parquet) cache table must FAIL the run, not silently
+    re-extract everything as a 'cold cache'."""
+    bad = tmp_path / "cache"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_text("this is not parquet")
+    df = _chunk_df(spark, TEXTS[:1])
+    with pytest.raises(Exception):
+        extract_chunks(df, SPEC, RuleTripleExtractor(SPEC),
+                       cache_dir=str(bad)).collect()
