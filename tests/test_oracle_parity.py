@@ -100,3 +100,9 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_every_query_has_an_oracle():
+    """Full oracle coverage is a maintained invariant: every queries()
+    entry must ship DuckDB oracle SQL (no rows-only checks)."""
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
