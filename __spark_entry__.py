@@ -380,6 +380,37 @@ def ivf_topk_embeddings(spark, sf_dir):
     )
 
 
+def embedding_near_dup_vecs(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: the embeddings table is unioned
+    with deterministically perturbed copies (vec_id+100000, first
+    component scaled 1.05) — planted near-dup pairs at cosine ~0.999 —
+    then embedding_near_dup_pairs blocks candidates by sign-LSH self-join
+    and thresholds exact cosine. The oracle re-derives the perturbation,
+    the hyperplane buckets, the Hamming-radius candidate set, and the
+    rounded-cosine threshold in SQL."""
+    from delm_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] * 1.05),
+            F.slice(F.col("embedding"), 2, 63),
+        ).alias("embedding"),
+    )
+    return (
+        embedding_near_dup_pairs(
+            emb.unionByName(perturbed), dim=64, threshold=0.99, probe_radius=1
+        )
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch analog of the streaming path)."""
     ev = _t(spark, sf_dir, "events")
@@ -761,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_cosine": embedding_topk_cosine,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
+        "embedding_near_dup_vecs": embedding_near_dup_vecs,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "stateful_sessionize_events": stateful_sessionize_events,
@@ -1261,7 +1293,56 @@ def oracle_sql() -> dict[str, str]:
         "embedding_entity_link": _embedding_link_oracle_sql(
             dim=64, n_planes=8, probe_radius=2, threshold=0.5
         ),
+        "embedding_near_dup_vecs": _near_dup_vecs_oracle_sql(
+            dim=64, n_planes=8, probe_radius=1, threshold=0.99
+        ),
     }
+
+
+def _near_dup_vecs_oracle_sql(
+    dim: int, n_planes: int, probe_radius: int, threshold: float
+) -> str:
+    """DuckDB replica of embedding_near_dup_vecs: same planted
+    perturbation, md5 hyperplanes, Hamming-radius self-blocking, and
+    6-dp-rounded cosine threshold."""
+    from delm_spark.operators.similarity import hyperplane_signs
+
+    planes = " UNION ALL ".join(
+        f"SELECT {p} AS p, [{', '.join(str(s) for s in hyperplane_signs(dim, p))}]::DOUBLE[] AS h"
+        for p in range(n_planes)
+    )
+    return f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings WHERE vec_id < 100),
+        pert AS (SELECT vec_id + 100000 AS vec_id,
+                        list_concat([v[1] * 1.05], v[2:{dim}]) AS v
+                 FROM base),
+        e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        planes AS ({planes}),
+        bits AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN list_sum(list_transform(generate_series(1, {dim}),
+                                                         i -> v[i] * h[i])) >= 0
+                            THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)::BIGINT AS bkt
+            FROM e CROSS JOIN planes GROUP BY vec_id),
+        eb AS (SELECT e.vec_id, v, bkt FROM e JOIN bits USING (vec_id)),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(generate_series(1, {dim}),
+                                                 i -> a.v[i] * b.v[i]))
+                   / greatest(
+                       sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                    i -> a.v[i] * a.v[i])))
+                     * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                    i -> b.v[i] * b.v[i]))),
+                       1e-12), 6) AS cos_sim
+            FROM eb a JOIN eb b
+              ON bit_count(xor(a.bkt, b.bkt)) <= {probe_radius}
+             AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos_sim FROM cand
+        WHERE cos_sim >= {threshold}
+        ORDER BY id_a, id_b
+    """
 
 
 def _embedding_link_oracle_sql(

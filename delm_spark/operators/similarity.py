@@ -187,6 +187,52 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold): the dedup-flavored sibling of lsh_topk — a sign-LSH
+    bucket SELF-join blocks the candidate space (pairs within Hamming
+    distance `probe_radius` of each other's bucket), exact cosine
+    re-ranks candidates only. Never all-pairs; the join key is the
+    bucket id, uniformly distributed, so the shuffle survives a 100x
+    corpus. The cosine is rounded to 6 dp before thresholding so an
+    external oracle thresholds identically.
+
+    Returns (id_a, id_b, cos_sim).
+    """
+    sig = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__bkt", lsh_bucket(F.col("__v"), dim, n_planes))
+    masks = _probe_masks(n_planes, probe_radius)
+    probed = sig.select(
+        "__id",
+        "__v",
+        F.explode(
+            F.array(*[F.col("__bkt").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("__pbkt"),
+    )
+    a, b = probed.alias("a"), sig.alias("b")
+    # a's probe set meets b's home bucket exactly once per pair within
+    # the Hamming radius (XOR masks are unique), so no post-join dedup
+    pairs = a.join(
+        b,
+        (F.col("a.__pbkt") == F.col("b.__bkt"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
 def hyperplane_signs(dim: int, plane_idx: int) -> list:
     """Deterministic pseudo-random hyperplane: component j's sign derives
     from md5('plane{p}|{j}') — reproducible in any engine (the correctness
