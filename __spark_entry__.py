@@ -70,12 +70,15 @@ def _n_convs_for(sf_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: transcripts -> chunks -> extract -> triples -> linked,
-    canonicalized KG edges. Deterministic synthetic corpus (the testdata
-    star schema has no transcript table; BASELINE.json input_hint defines
-    the shape, synthesized at small scale)."""
+    """Flagship: transcripts -> chunks -> extract -> triples -> exact
+    dictionary link -> embedding-blocked residue resolution -> canonicalized
+    KG edges (the north star's full 'dictionary + embedding blocking'
+    chain). Deterministic synthetic corpus (the testdata star schema has no
+    transcript table; BASELINE.json input_hint defines the shape,
+    synthesized at small scale)."""
     transcripts = generate_transcripts(spark, n_convs=150, n_hot=2)
-    res = run_pipeline(spark, transcripts, entity_dictionary(spark), PipelineConfig())
+    cfg = PipelineConfig(embedding_link=True)
+    res = run_pipeline(spark, transcripts, entity_dictionary(spark), cfg)
     return res.edges
 
 
@@ -657,6 +660,48 @@ def kg_triples_pipeline(spark, sf_dir):
     return res.triples.orderBy("conv_id", "turn_idx", "chunk_pos", "item_pos")
 
 
+def _typo_transcripts(spark):
+    """Fixture corpus plus one synthetic conversation per long dictionary
+    surface whose OBJECT entity is the surface truncated by one character:
+    exact dictionary lookup misses it, so the composed pipeline's embedding
+    pass must recover the canonical id."""
+    t = _fixture_transcripts(spark)
+    d = _fixture_dictionary(spark)
+    typo = d.filter(F.length("surface") > 6).select(
+        F.concat(F.lit("typo:"), F.col("surface")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit("Alice Smith works at "),
+            F.initcap(F.expr("substring(surface, 1, length(surface) - 1)")),
+            F.lit("."),
+        ).alias("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    # dictionary surfaces are stored normalized (lowercase); initcap makes
+    # the truncated surface look like a real mention so the capitalized-
+    # entity extraction regex still matches it
+    return t.unionByName(typo.select(*t.columns))
+
+
+def kg_triples_linked_pipeline(spark, sf_dir):
+    """The COMPOSED flagship chain (north-star 'dictionary + embedding
+    blocking'): chunk -> score -> extract -> clean -> exact dictionary link
+    -> embedding-blocked residue resolution (kg/linking.py
+    resolve_mention_residue). Typo'd object surfaces (one-char truncations
+    injected by _typo_transcripts) resolve to canonical ids; the oracle
+    re-derives the entire chain INCLUDING the trigram embeddings, LSH
+    blocking, and per-surface argmax in DuckDB SQL."""
+    t = _typo_transcripts(spark)
+    cfg = PipelineConfig(embedding_link=True, embedding_link_threshold=0.5)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), cfg)
+    return res.triples.select(
+        "conv_id", "turn_idx", "chunk_pos", "item_pos",
+        "subj", "pred", "obj", "subj_id", "obj_id",
+    ).orderBy("conv_id", "turn_idx", "chunk_pos", "item_pos")
+
+
 def kg_nodes_canonical(spark, sf_dir):
     """Entity canonicalization (broadcast dict link + connected components);
     the oracle derives each node's canonical id independently from the
@@ -808,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_entity_link": embedding_entity_link,
         "kg_triples_stream": kg_triples_stream,
         "kg_triples_pipeline": kg_triples_pipeline,
+        "kg_triples_linked_pipeline": kg_triples_linked_pipeline,
         "kg_nodes_canonical": kg_nodes_canonical,
         "connected_components_demo": connected_components_demo,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
@@ -1286,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         "explode_extracted_triples": _kg_oracle_sql("triples"),
         "kg_triples_stream": _kg_oracle_sql("triples"),
         "kg_triples_pipeline": _kg_oracle_sql("linked"),
+        "kg_triples_linked_pipeline": _kg_oracle_sql("linked_embedding", typos=True),
         "kg_nodes_canonical": _kg_oracle_sql("nodes"),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(
             dim=64, k=10, n_planes=8, probe_radius=2
@@ -1472,12 +1519,14 @@ _KG_ALLOWED = ["works_at", "uses_tool", "located_in", "reports_to", "created"]
 _KG_NULL_WORDS = ["none", "null", "unknown", "n/a", ""]
 
 
-def _kg_oracle_sql(kind: str) -> str:
+def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
     """DuckDB replica of the KG chain over the committed fixtures:
     paragraph-chunk -> keyword filter -> regex triple extraction (document
     order) -> cleaning rules (allowed predicate, null-word subj/obj,
     validate-in-text, required gating = row drop) -> item_pos re-index
-    [-> dictionary linking -> node canonicalization]."""
+    [-> dictionary linking -> node canonicalization | -> embedding-blocked
+    mention-residue resolution]. `typos` appends the same synthetic
+    truncated-surface conversations _typo_transcripts builds."""
     tp = (_FIXTURES / "transcripts.parquet").as_posix() + "/*.parquet"
     dp = (_FIXTURES / "dictionary.parquet").as_posix() + "/*.parquet"
     pat = f"({_KG_ENTITY})({'|'.join(p for p, _ in _KG_PHRASES)})({_KG_ENTITY})[.!?]"
@@ -1489,6 +1538,20 @@ def _kg_oracle_sql(kind: str) -> str:
     )
     allowed = ", ".join(f"'{a}'" for a in _KG_ALLOWED)
     nulls = ", ".join(f"'{w}'" for w in _KG_NULL_WORDS)
+    src = f"SELECT conv_id, turn_idx, text FROM read_parquet('{tp}')"
+    if typos:
+        # Spark-initcap replica: uppercase each word's first char (surfaces
+        # are already lowercase, so the rest needs no lowering)
+        initcap = (
+            "array_to_string(list_transform(string_split("
+            "substr(surface, 1, length(surface) - 1), ' '), "
+            "w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')"
+        )
+        src = f"""{src}
+                      UNION ALL
+                      SELECT 'typo:' || surface, 0,
+                             'Alice Smith works at ' || {initcap} || '.'
+                      FROM read_parquet('{dp}') WHERE length(surface) > 6"""
     base = f"""
             WITH chunks AS (
                 SELECT conv_id, turn_idx,
@@ -1499,7 +1562,7 @@ def _kg_oracle_sql(kind: str) -> str:
                                  regexp_split_to_array(text, '\\r?\\n\\s*\\r?\\n'),
                                  x -> regexp_replace(regexp_replace(x, '^\\s+', ''), '\\s+$', '')),
                                x -> x <> '') AS l
-                      FROM read_parquet('{tp}'))),
+                      FROM ({src}))),
             scored AS (
                 SELECT * FROM chunks WHERE {kw_filter}),
             matches AS (
@@ -1545,6 +1608,79 @@ def _kg_oracle_sql(kind: str) -> str:
             SELECT conv_id, turn_idx, chunk_pos, item_pos,
                    subj, pred, obj, subj_id, obj_id
             FROM linked ORDER BY conv_id, turn_idx, chunk_pos, item_pos
+        """
+    if kind == "linked_embedding":
+        # embedding-blocked residue resolution (resolve_mention_residue):
+        # distinct 'mention:*' surfaces -> trigram-md5 embeddings -> sign-LSH
+        # bucket blocking (Hamming <= radius == the probe-mask expansion) ->
+        # per-surface (score desc, canonical_id asc) argmax at threshold
+        dim, n_planes, probe_radius, threshold = 64, 8, 2, 0.5
+        from delm_spark.operators.similarity import hyperplane_signs
+
+        planes = " UNION ALL ".join(
+            f"SELECT {p} AS p, [{', '.join(str(s) for s in hyperplane_signs(dim, p))}]::DOUBLE[] AS h"
+            for p in range(n_planes)
+        )
+        emb = """
+        list_transform(generate_series(0, {dim_m1}), b ->
+            CAST(len(list_filter(
+                list_transform(
+                    generate_series(1, greatest(len('^' || lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))) || '$') - 2, 1)),
+                    i -> substr('^' || lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))) || '$', i, 3)),
+                t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % {dim} = b)) AS DOUBLE))
+        """
+        m_emb = emb.format(col="m.surface", dim=dim, dim_m1=dim - 1)
+        d_emb = emb.format(col="d.surface", dim=dim, dim_m1=dim - 1)
+        return linked + f""",
+            mres AS (
+                SELECT DISTINCT substr(subj_id, 9) AS surface FROM linked
+                WHERE subj_id LIKE 'mention:%'
+                UNION
+                SELECT DISTINCT substr(obj_id, 9) FROM linked
+                WHERE obj_id LIKE 'mention:%'),
+            d0 AS (SELECT surface, min(canonical_id) AS canonical_id
+                   FROM dict GROUP BY surface),
+            de AS (SELECT d.surface, canonical_id, {d_emb} AS e FROM d0 d),
+            me AS (SELECT m.surface, {m_emb} AS e FROM mres m),
+            planes AS ({planes}),
+            dbits AS (
+                SELECT surface, SUM(CASE WHEN list_sum(list_transform(
+                    generate_series(1, {dim}), i -> e[i] * h[i])) >= 0
+                    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)::BIGINT AS bkt
+                FROM de CROSS JOIN planes GROUP BY surface),
+            mbits AS (
+                SELECT surface, SUM(CASE WHEN list_sum(list_transform(
+                    generate_series(1, {dim}), i -> e[i] * h[i])) >= 0
+                    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)::BIGINT AS bkt
+                FROM me CROSS JOIN planes GROUP BY surface),
+            ecand AS (
+                SELECT m.surface, d.canonical_id,
+                       list_sum(list_transform(generate_series(1, {dim}),
+                                               i -> m.e[i] * d.e[i]))
+                       / greatest(
+                           sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                        i -> m.e[i] * m.e[i])))
+                         * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                        i -> d.e[i] * d.e[i]))),
+                           1e-12) AS score
+                FROM me m JOIN mbits mb ON m.surface = mb.surface
+                JOIN dbits db ON bit_count(xor(mb.bkt, db.bkt)) <= {probe_radius}
+                JOIN de d ON d.surface = db.surface),
+            elink AS (
+                SELECT surface, canonical_id FROM (
+                    SELECT surface, canonical_id, score,
+                           row_number() OVER (PARTITION BY surface
+                               ORDER BY score DESC, canonical_id ASC) AS rn
+                    FROM ecand)
+                WHERE rn = 1 AND score >= {threshold})
+            SELECT l.conv_id, l.turn_idx, l.chunk_pos, l.item_pos,
+                   l.subj, l.pred, l.obj,
+                   coalesce(es.canonical_id, l.subj_id) AS subj_id,
+                   coalesce(eo.canonical_id, l.obj_id) AS obj_id
+            FROM linked l
+            LEFT JOIN elink es ON l.subj_id = 'mention:' || es.surface
+            LEFT JOIN elink eo ON l.obj_id = 'mention:' || eo.surface
+            ORDER BY conv_id, turn_idx, chunk_pos, item_pos
         """
     if kind == "nodes":
         return linked + """,

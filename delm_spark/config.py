@@ -178,10 +178,16 @@ class PipelineSection:
     sample_size: Optional[int] = None
     dedup_extraction: bool = False
     extract_partitions: Optional[int] = None
+    #: second linking pass over the mention residue (north-star
+    #: 'dictionary + embedding blocking', kg/linking.py)
+    embedding_link: bool = False
+    embedding_link_threshold: float = 0.5
 
     def validate(self) -> None:
         if self.sample_size is not None and self.sample_size <= 0:
             raise ValueError("pipeline.sample_size must be positive or null")
+        if not 0.0 <= self.embedding_link_threshold <= 1.0:
+            raise ValueError("pipeline.embedding_link_threshold must be in [0, 1]")
 
 
 @dataclass
@@ -292,6 +298,8 @@ class DelmConfig:
             sample_size=self.pipeline.sample_size,
             max_retries=self.llm_extraction.max_retries,
             base_delay=self.llm_extraction.base_delay,
+            embedding_link=self.pipeline.embedding_link,
+            embedding_link_threshold=self.pipeline.embedding_link_threshold,
         )
         if self.schema_cfg is not None:
             kwargs["schema_cfg"] = self.schema_cfg

@@ -127,16 +127,23 @@ class PromptedApiBackend:
             import inspect
 
             try:
-                params = inspect.signature(transport).parameters.values()
-                pass_response_model = (
-                    sum(
-                        1
-                        for p in params
-                        if p.kind
-                        in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                positional = [
+                    p
+                    for p in inspect.signature(transport).parameters.values()
+                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                ]
+                # A 5th positional param only *means* "response model" when
+                # it is required (no default) or literally named
+                # response_model — a defaulted unrelated param (e.g.
+                # timeout=30) must NOT silently receive the model.
+                if len(positional) >= 5:
+                    fifth = positional[4]
+                    pass_response_model = (
+                        fifth.default is fifth.empty
+                        or fifth.name == "response_model"
                     )
-                    >= 5
-                )
+                else:
+                    pass_response_model = False
             except (TypeError, ValueError):
                 pass_response_model = False
         self.pass_response_model = bool(pass_response_model)

@@ -120,6 +120,75 @@ def _extract_series(
     return jsons, errors, in_toks, out_toks
 
 
+def _is_cold_cache_error(e: Exception) -> bool:
+    """True when a cache_dir read failure means "no cached data yet".
+
+    Two shapes qualify: the directory is absent (PATH_NOT_FOUND), or it
+    exists but holds no data files — a prior zero-miss/empty-input run
+    leaves `delm_run_id=<id>/` with only _SUCCESS, which surfaces as
+    UNABLE_TO_INFER_SCHEMA. Anything else (transient FS error, permission)
+    must propagate: treating it as cold would re-extract every key and
+    double-commit success rows."""
+    msg = str(e)
+    return any(
+        s in msg
+        for s in (
+            "PATH_NOT_FOUND",
+            "Path does not exist",
+            "UNABLE_TO_INFER_SCHEMA",
+            "Unable to infer schema",
+        )
+    )
+
+
+def _local_cache_path(cache_dir: str):
+    """Path for a local-filesystem cache_dir, else None (object stores get
+    no driver-side directory maintenance — see compact_cache)."""
+    from pathlib import Path
+
+    if "://" in cache_dir:
+        return None
+    p = Path(cache_dir)
+    return p if p.is_dir() else None
+
+
+def _migrate_legacy_cache_layout(cache_dir: str) -> int:
+    """Move flat part files written by the pre-partitioned cache code into
+    a `delm_run_id=legacy0/` partition directory so partition discovery
+    succeeds and the rows pick up the run-id column from the dir name.
+    Returns files moved (0 = already partitioned / not local / absent)."""
+    root = _local_cache_path(cache_dir)
+    if root is None:
+        return 0
+    flat = [
+        f
+        for f in root.iterdir()
+        if f.is_file() and f.suffix == ".parquet" and not f.name.startswith((".", "_"))
+    ]
+    if not flat:
+        return 0
+    dest = root / f"{RUN_ID_COL}=legacy0"
+    dest.mkdir(exist_ok=True)
+    for f in flat:
+        f.rename(dest / f.name)
+    # root-level _SUCCESS from the old append-mode writer would be read as
+    # a zero-byte data candidate by some tools; harmless to Spark, but the
+    # marker belongs to the moved write, so move it alongside its files.
+    marker = root / "_SUCCESS"
+    if marker.is_file():
+        marker.rename(dest / "_SUCCESS")
+    return len(flat)
+
+
+def _count_run_partitions(cache_dir: str) -> int:
+    root = _local_cache_path(cache_dir)
+    if root is None:
+        return 0
+    return sum(
+        1 for d in root.iterdir() if d.is_dir() and d.name.startswith(f"{RUN_ID_COL}=")
+    )
+
+
 def extract_chunks(
     df: DataFrame,
     spec: SchemaSpec,
@@ -130,6 +199,7 @@ def extract_chunks(
     base_delay: float = 0.0,
     cache_dir: Optional[str] = None,
     call_spec: Optional[CallSpec] = None,
+    auto_compact_runs: int = 16,
 ) -> DataFrame:
     """Run schema-guided extraction over `df[text_col]`.
 
@@ -229,6 +299,17 @@ def extract_chunks(
     spark = df.sparkSession
     cached_ok = None
     if cache_dir is not None:
+        # Legacy append-mode caches (flat part files at the root) break
+        # partition discovery once a delm_run_id=<id>/ dir lands beside
+        # them — migrate them into a legacy partition before first read.
+        _migrate_legacy_cache_layout(cache_dir)
+        # Bounded-by-construction steady state: the warm read below scans
+        # every run partition, so partition count is the one dimension that
+        # grows with run count. Compact BEFORE the read (file listings are
+        # resolved at read time; compacting after would invalidate the lazy
+        # plan's file index mid-query).
+        if auto_compact_runs and _count_run_partitions(cache_dir) >= auto_compact_runs:
+            compact_cache(spark, cache_dir)
         try:
             cached = spark.read.parquet(cache_dir)
             # only SUCCESS rows block re-extraction: error rows are stored
@@ -240,11 +321,7 @@ def extract_chunks(
             # is repaired by compact_cache, never silently re-deduped here.
             cached_ok = cached.filter(F.col(ERRORS_COL).isNull())
         except Exception as e:
-            # ONLY a genuinely absent table means cold cache; any other
-            # read failure must propagate — treating a transient FS error
-            # as cold would re-extract every key and double-commit success
-            # rows, breaking the one-row-per-key invariant
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            if not _is_cold_cache_error(e):
                 raise
             cached_ok = None  # cold cache
         if cached_ok is not None:
@@ -279,7 +356,7 @@ def extract_chunks(
     try:
         full = spark.read.parquet(cache_dir)
     except Exception as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        if not _is_cold_cache_error(e):
             raise
         # no parquet files anywhere (empty input on a cold cache)
         return keyed.join(

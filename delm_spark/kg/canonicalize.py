@@ -100,10 +100,15 @@ def connected_components(
         # neighbor label messages + own label, take min per node; the old
         # label rides along (__old: one non-null per node, from the labels
         # side) so convergence is observable inside this iteration's job
+        # the null sentinel must carry the labels frame's component type:
+        # a hardcoded string cast would make unionByName coerce BOTH sides
+        # (numeric component -> double via string), turning the observe()
+        # comparison lossy above 2^53 for 64-bit hash node ids
+        comp_type = labels.schema["component"].dataType
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"),
             F.col("component"),
-            F.lit(None).cast("string").alias("__old"),
+            F.lit(None).cast(comp_type).alias("__old"),
         )
         relaxed = (
             labels.select("node", "component", F.col("component").alias("__old"))

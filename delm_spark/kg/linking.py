@@ -113,6 +113,58 @@ def embedding_link_candidates(
     )
 
 
+def resolve_mention_residue(
+    triples: DataFrame,
+    dictionary: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    probe_radius: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Second linking pass (the north star's 'dictionary + EMBEDDING
+    blocking'): rewrite `mention:<norm>` ids that exact dictionary lookup
+    left behind through `embedding_link_candidates`, so typo'd / truncated
+    surfaces resolve to canonical entities.
+
+    Input is `link_mentions` output (subj_id / obj_id present). The
+    candidate search runs over DISTINCT unlinked surfaces — bounded by the
+    corpus's unique mention vocabulary, not its triple count — and the
+    rewrite is two left equi-joins on the mention id (AQE broadcasts the
+    resolved map when it is small; at web scale it stays a plain shuffle
+    equi-join, never a crossJoin)."""
+    mention_ids = (
+        triples.select(F.col("subj_id").alias("__mid"))
+        .unionByName(triples.select(F.col("obj_id").alias("__mid")))
+        .filter(F.col("__mid").startswith("mention:"))
+        .dropDuplicates(["__mid"])
+        # strip the 'mention:' prefix (8 chars) — the residue surface is
+        # already normalize_mention()-normalized (idempotent downstream)
+        .withColumn("surface", F.expr("substring(__mid, 9)"))
+    )
+    cands = embedding_link_candidates(
+        mention_ids,
+        dictionary,
+        dim=dim,
+        n_planes=n_planes,
+        probe_radius=probe_radius,
+        threshold=threshold,
+    )
+    remap = mention_ids.join(cands, "surface").select("__mid", "canonical_id")
+    r_s = remap.select(
+        F.col("__mid").alias("__ms"), F.col("canonical_id").alias("__cs")
+    )
+    r_o = remap.select(
+        F.col("__mid").alias("__mo"), F.col("canonical_id").alias("__co")
+    )
+    return (
+        triples.join(r_s, triples["subj_id"] == r_s["__ms"], "left")
+        .join(r_o, triples["obj_id"] == r_o["__mo"], "left")
+        .withColumn("subj_id", F.coalesce(F.col("__cs"), F.col("subj_id")))
+        .withColumn("obj_id", F.coalesce(F.col("__co"), F.col("obj_id")))
+        .drop("__ms", "__cs", "__mo", "__co")
+    )
+
+
 def link_mentions(
     triples: DataFrame,
     dictionary: DataFrame,

@@ -253,6 +253,16 @@ class PipelineConfig:
     #: the deterministic rule backend never retries.
     max_retries: int = 0
     base_delay: float = 0.0
+    #: north-star 'dictionary + embedding blocking': after exact dictionary
+    #: linking, resolve the `mention:*` residue via trigram-embedding
+    #: sign-LSH candidates (kg/linking.py) so typo'd / truncated surfaces
+    #: recover their canonical entity. Off by default: it adds a candidate
+    #: search stage, and exact-only linking is the reference-parity shape.
+    embedding_link: bool = False
+    embedding_link_threshold: float = 0.5
+    embedding_dim: int = 64
+    embedding_planes: int = 8
+    embedding_probe_radius: int = 2
 
 
 def config_fingerprint(config: "PipelineConfig", backend) -> str:
@@ -270,6 +280,13 @@ def config_fingerprint(config: "PipelineConfig", backend) -> str:
         "dedup_extraction": config.dedup_extraction,
         "sample_size": config.sample_size,
         "backend": type(backend).__name__,
+        "embedding_link": [
+            config.embedding_link,
+            config.embedding_link_threshold,
+            config.embedding_dim,
+            config.embedding_planes,
+            config.embedding_probe_radius,
+        ],
     }
     # a PromptedApiBackend with a changed model/temperature/template produces
     # different extractions — the class name alone must not pass the resume
@@ -417,10 +434,22 @@ def run_pipeline(
 
     extracted = runner.stage("s2_extracted", build_extracted)
 
-    triples = runner.stage(
-        "s3_triples",
-        lambda: link_mentions(triples_from_extracted(extracted, spec), dictionary),
-    )
+    def build_triples():
+        linked = link_mentions(triples_from_extracted(extracted, spec), dictionary)
+        if config.embedding_link:
+            from delm_spark.kg.linking import resolve_mention_residue
+
+            linked = resolve_mention_residue(
+                linked,
+                dictionary,
+                dim=config.embedding_dim,
+                n_planes=config.embedding_planes,
+                probe_radius=config.embedding_probe_radius,
+                threshold=config.embedding_link_threshold,
+            )
+        return linked
+
+    triples = runner.stage("s3_triples", build_triples)
 
     def build_edges():
         l_s = labels.select(

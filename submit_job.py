@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--config", default=None, help="DELM-format config.yaml")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="staging dir for resumable stage checkpoints")
+    ap.add_argument("--embedding-link", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="resolve unlinked mention residue via trigram-"
+                         "embedding LSH candidates after the exact "
+                         "dictionary join (north-star 'dictionary + "
+                         "embedding blocking'); a config file's "
+                         "pipeline.embedding_link takes precedence")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,7 +63,7 @@ def main() -> None:
     if args.config:
         config = DelmConfig.from_yaml(args.config).to_pipeline_config()
     else:
-        config = PipelineConfig()
+        config = PipelineConfig(embedding_link=args.embedding_link)
     if args.checkpoint_dir:
         config.checkpoint_dir = args.checkpoint_dir
 

@@ -1,0 +1,229 @@
+"""Round-4 regressions: transport signature inference with defaulted
+params, empty-cache-dir cold detection, legacy flat cache-layout migration,
+cache auto-compaction, typed CC convergence sentinel, and the composed
+embedding-linked pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delm_spark.data.synthetic import TRIPLE_SCHEMA_CFG
+from delm_spark.extraction.backend import CacheOnlyBackend, RuleTripleExtractor
+from delm_spark.extraction.extract import (
+    _count_run_partitions,
+    _migrate_legacy_cache_layout,
+    extract_chunks,
+)
+from delm_spark.schemas.spec import spec_from_dict
+
+SPEC = spec_from_dict(TRIPLE_SCHEMA_CFG)
+
+TEXTS = [
+    "Alice Smith works at Acme Corp.",
+    "Bob Jones reports to Carol Wu.",
+    "the weather was nice that day.",
+]
+
+
+def _chunk_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "chunk_id long, delm_text_chunk string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 medium: transport signature inference must not hand the dynamic
+# response model to an unrelated defaulted 5th parameter
+# ---------------------------------------------------------------------------
+
+def test_transport_defaulted_fifth_param_is_not_response_model():
+    from delm_spark.extraction.backend import PromptedApiBackend
+
+    seen = {}
+
+    def with_timeout(prompt, system, model, temp, timeout=30):
+        seen["timeout"] = timeout
+        return {"triples": []}
+
+    PromptedApiBackend(SPEC, with_timeout).extract_raw("t")
+    # the defaulted unrelated 5th param must keep its default
+    assert seen["timeout"] == 30
+
+    def instructor_shaped(prompt, system, model, temp, response_model):
+        seen["rm"] = response_model
+        return {"triples": []}
+
+    PromptedApiBackend(SPEC, instructor_shaped).extract_raw("t")
+    assert seen["rm"] is not None  # required 5th -> model passed
+
+    def named_with_default(prompt, system, model, temp, response_model=None):
+        seen["rm2"] = response_model
+        return {"triples": []}
+
+    # literally named response_model -> passed even when defaulted
+    PromptedApiBackend(SPEC, named_with_default).extract_raw("t")
+    assert seen["rm2"] is not None
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 low: a cache_dir holding only an empty run partition (prior
+# zero-miss run) must read as COLD, not poison every later run
+# ---------------------------------------------------------------------------
+
+def test_empty_run_partition_reads_as_cold_cache(spark, tmp_path):
+    cache = tmp_path / "cache"
+    empty_run = cache / "delm_run_id=rdeadbeef"
+    empty_run.mkdir(parents=True)
+    (empty_run / "_SUCCESS").touch()
+
+    df = _chunk_df(spark, TEXTS)
+    out = extract_chunks(df, SPEC, RuleTripleExtractor(SPEC), cache_dir=str(cache))
+    rows = out.collect()
+    assert len(rows) == len(TEXTS)
+    assert all(not r["delm_cache_hit"] for r in rows)
+    # and the next run is warm
+    warm = extract_chunks(df, SPEC, CacheOnlyBackend(), cache_dir=str(cache))
+    assert all(r["delm_cache_hit"] for r in warm.collect())
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 low: legacy flat cache layouts (pre-partitioned writer) migrate
+# into a delm_run_id=legacy0/ partition instead of breaking discovery
+# ---------------------------------------------------------------------------
+
+def test_legacy_flat_cache_layout_migrates_and_serves_hits(spark, tmp_path):
+    cache = tmp_path / "cache"
+    df = _chunk_df(spark, TEXTS)
+    extract_chunks(df, SPEC, RuleTripleExtractor(SPEC), cache_dir=str(cache)).collect()
+
+    # simulate the old append-mode layout: part files flat at the root
+    run_dirs = [d for d in cache.iterdir() if d.name.startswith("delm_run_id=")]
+    assert len(run_dirs) == 1
+    for f in run_dirs[0].iterdir():
+        if f.name.endswith(".parquet") or f.name == "_SUCCESS":
+            f.rename(cache / f.name)
+    run_dirs[0].rmdir() if not any(run_dirs[0].iterdir()) else None
+    import shutil
+
+    if run_dirs[0].exists():
+        shutil.rmtree(run_dirs[0])
+    assert any(f.suffix == ".parquet" for f in cache.iterdir() if f.is_file())
+
+    # a warm run must migrate the flat files and serve every key as a hit
+    warm = extract_chunks(df, SPEC, CacheOnlyBackend(), cache_dir=str(cache))
+    rows = warm.collect()
+    assert len(rows) == len(TEXTS)
+    assert all(r["delm_cache_hit"] and r["delm_errors"] is None for r in rows)
+    assert not any(
+        f.is_file() and f.suffix == ".parquet" for f in cache.iterdir()
+    )  # nothing left flat
+    assert (cache / "delm_run_id=legacy0").is_dir()
+    # idempotent second call is a no-op
+    assert _migrate_legacy_cache_layout(str(cache)) == 0
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #2: auto-compaction keeps the run-partition count bounded by
+# construction (the warm read scans every partition)
+# ---------------------------------------------------------------------------
+
+def test_auto_compaction_bounds_run_partitions(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    df = _chunk_df(spark, TEXTS)
+    limit = 3
+    baseline = None
+    for i in range(limit + 2):
+        backend = RuleTripleExtractor(SPEC) if i == 0 else CacheOnlyBackend()
+        out = extract_chunks(
+            df, SPEC, backend, cache_dir=cache, auto_compact_runs=limit
+        )
+        got = sorted(
+            (r["chunk_id"], r["delm_extracted_data_json"]) for r in out.collect()
+        )
+        if baseline is None:
+            baseline = got
+        assert got == baseline  # results unchanged across compactions
+        assert _count_run_partitions(cache) <= limit
+    # and compaction really ran at least once (partitions collapsed)
+    assert _count_run_partitions(cache) < limit + 2
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 low: the CC convergence sentinel must carry the labels frame's
+# component TYPE — 64-bit ids above 2^53 must not round-trip through double
+# ---------------------------------------------------------------------------
+
+def test_connected_components_long_ids_above_2_53(spark):
+    from delm_spark.kg.canonicalize import connected_components
+
+    base = 1 << 60  # far above double's 2^53 integer precision
+    edges = spark.createDataFrame(
+        [
+            (base + 1, base + 2),
+            (base + 2, base + 3),
+            (base + 10, base + 11),
+        ],
+        "src long, dst long",
+    )
+    cc = connected_components(edges, driver_cutoff=0)
+    # the label column keeps the node type end-to-end (no string coercion)
+    assert cc.schema["component"].dataType.simpleString() == "bigint"
+    got = {r["node"]: r["component"] for r in cc.collect()}
+    assert got == {
+        base + 1: base + 1,
+        base + 2: base + 1,
+        base + 3: base + 1,
+        base + 10: base + 10,
+        base + 11: base + 10,
+    }
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #1: embedding linking composed into run_pipeline — typo'd
+# surfaces resolve to canonical ids through the flagship chain
+# ---------------------------------------------------------------------------
+
+def test_run_pipeline_embedding_link_resolves_typos(spark):
+    from delm_spark.data.synthetic import entity_dictionary
+    from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
+
+    t = spark.createDataFrame(
+        [
+            # 'Acme Cor' is a one-char truncation of dictionary 'acme corp'
+            ("c1", 0, "user", "Alice Smith works at Acme Cor.", "", "2026-01-01"),
+            # exact hit for contrast
+            ("c2", 0, "user", "Bob Jones works at Acme Corp.", "", "2026-01-01"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = entity_dictionary(spark)
+
+    exact = run_pipeline(spark, t, d, PipelineConfig())
+    by_conv = {r["conv_id"]: r for r in exact.triples.collect()}
+    assert by_conv["c1"]["obj_id"] == "mention:acme cor"  # exact linking misses
+
+    composed = run_pipeline(
+        spark, t, d, PipelineConfig(embedding_link=True, embedding_link_threshold=0.5)
+    )
+    by_conv = {r["conv_id"]: r for r in composed.triples.collect()}
+    assert by_conv["c1"]["obj_id"] == "org:acme"  # embedding pass recovers it
+    assert by_conv["c2"]["obj_id"] == "org:acme"
+    assert by_conv["c1"]["subj_id"] == "person:alice_smith"
+    # and the canonical edge table reflects the recovered link
+    edges = {r["conv_id"]: r for r in composed.edges.collect()}
+    assert edges["c1"]["obj_canonical"] == "org:acme"
+
+
+def test_pipeline_section_embedding_link_threads_through():
+    from delm_spark.config import DelmConfig
+
+    cfg = DelmConfig.from_dict(
+        {"pipeline": {"embedding_link": True, "embedding_link_threshold": 0.7}}
+    ).to_pipeline_config()
+    assert cfg.embedding_link is True
+    assert cfg.embedding_link_threshold == 0.7
+    with pytest.raises(ValueError, match="embedding_link_threshold"):
+        DelmConfig.from_dict(
+            {"pipeline": {"embedding_link_threshold": 1.5}}
+        ).to_pipeline_config()
