@@ -10,9 +10,13 @@ blocks, honoring PDF literal-string escapes and hex strings.
 Scope (documented, like the office decoders' stdlib scope in office.py):
   * FlateDecode and uncompressed content streams — yes
   * standard-encoding text (latin-1-ish simple fonts) — yes
-  * CID/Type0 fonts with ToUnicode CMaps, encrypted files, scanned
-    image-only PDFs — no; those need the reference's OCR path, exposed
-    here as the same pluggable `decode_udf` seam the other binary
+  * CID/Type0 fonts WITH embedded ToUnicode CMaps — yes: font objects are
+    resolved through the page-resource name (/F1 ... Tf), their
+    bfchar/bfrange CMaps parsed (PDF 32000 §9.10.3), and show-strings
+    decoded through the map at the declared code width
+  * CID fonts WITHOUT a ToUnicode CMap (glyph-id-only), encrypted files,
+    scanned image-only PDFs — no; those need the reference's OCR path,
+    exposed here as the same pluggable `decode_udf` seam the other binary
     loaders use (io/loaders.py:load_binary_with_udf).
 
 The Spark side mirrors load_docx: binaryFile source + Arrow-batched
@@ -98,10 +102,111 @@ def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
         return b"", j + 1
 
 
-def _extract_block_text(block: bytes) -> str:
-    """Evaluate the text-showing operators of one BT/ET block."""
+class ToUnicodeCMap:
+    """Parsed ToUnicode CMap (PDF 32000 §9.10.3): character code ->
+    unicode string, with the code byte width from the codespace range."""
+
+    def __init__(self, code_len: int = 2):
+        self.map: dict[int, str] = {}
+        self.code_len = code_len
+
+    def decode(self, bs: bytes) -> str:
+        k = self.code_len
+        out = []
+        for j in range(0, len(bs) - (len(bs) % k), k):
+            code = int.from_bytes(bs[j : j + k], "big")
+            ch = self.map.get(code)
+            if ch is not None:
+                out.append(ch)
+        return "".join(out)
+
+
+_HEX_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.S
+)
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*(\[[^\]]*\]|<[0-9A-Fa-f\s]*>)"
+)
+
+
+def _hex_bytes(tok: bytes) -> bytes:
+    digits = re.sub(rb"\s", b"", tok)
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _utf16(dst: bytes) -> str:
+    try:
+        return dst.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return ""
+
+
+def parse_tounicode_cmap(content: bytes) -> ToUnicodeCMap:
+    """Parse a ToUnicode CMap stream's bfchar/bfrange sections. Code width
+    comes from the first codespacerange's low bound (Type0 fonts are
+    near-universally 2-byte; 1-byte simple-font CMaps also occur)."""
+    code_len = 2
+    cs = _CODESPACE_RE.search(content)
+    if cs:
+        first = _HEX_TOKEN_RE.search(cs.group(1))
+        if first:
+            code_len = max(1, len(_hex_bytes(first.group(1))))
+    cmap = ToUnicodeCMap(code_len)
+    for sect in _BFCHAR_RE.finditer(content):
+        toks = _HEX_TOKEN_RE.findall(sect.group(1))
+        for j in range(0, len(toks) - 1, 2):
+            src = int.from_bytes(_hex_bytes(toks[j]), "big")
+            cmap.map[src] = _utf16(_hex_bytes(toks[j + 1]))
+    for sect in _BFRANGE_RE.finditer(content):
+        for lo_t, hi_t, dst_t in _BFRANGE_ENTRY_RE.findall(sect.group(1)):
+            lo = int.from_bytes(_hex_bytes(lo_t), "big")
+            hi = int.from_bytes(_hex_bytes(hi_t), "big")
+            if dst_t.startswith(b"["):
+                # explicit per-code destination array
+                dsts = _HEX_TOKEN_RE.findall(dst_t)
+                for off, d in enumerate(dsts):
+                    if lo + off > hi:
+                        break
+                    cmap.map[lo + off] = _utf16(_hex_bytes(d))
+            else:
+                d0 = _hex_bytes(_HEX_TOKEN_RE.match(dst_t).group(1))
+                # incremental range: only the last code unit increments
+                base = int.from_bytes(d0, "big")
+                width = max(len(d0), 2)
+                for off in range(hi - lo + 1):
+                    try:
+                        dst = (base + off).to_bytes(width, "big")
+                    except OverflowError:  # malformed range crossing units
+                        break
+                    cmap.map[lo + off] = _utf16(dst)
+    return cmap
+
+
+_NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)")
+
+
+def _extract_block_text(block: bytes, fonts=None) -> str:
+    """Evaluate the text-showing operators of one BT/ET block. `fonts`
+    maps resource font names (the /F1 of `/F1 12 Tf`) to ToUnicodeCMap;
+    strings shown under a mapped font decode through its CMap, everything
+    else falls back to latin-1 (simple-font behavior)."""
     out: list[str] = []
     pending: list[bytes] = []
+    fonts = fonts or {}
+    current_cmap: ToUnicodeCMap | None = None
+    last_name: bytes = b""
+
+    def _show(chunks):
+        if current_cmap is not None:
+            out.extend(current_cmap.decode(p) for p in chunks)
+        else:
+            out.extend(p.decode("latin-1") for p in chunks)
+
     i, n = 0, len(block)
     while i < n:
         c = block[i : i + 1]
@@ -113,6 +218,13 @@ def _extract_block_text(block: bytes) -> str:
             pending.append(s)
         elif c == b"<":  # inline dict (e.g. BDC properties): skip
             i += 2
+        elif c == b"/":  # name token (font selection operand, marks, ...)
+            m = _NAME_RE.match(block, i)
+            if m:
+                last_name = m.group(1)
+                i = m.end()
+            else:
+                i += 1
         elif c == b"%":  # comment to end of line
             j = block.find(b"\n", i)
             i = n if j == -1 else j + 1
@@ -121,17 +233,18 @@ def _extract_block_text(block: bytes) -> str:
             op = m.group(0)
             i += len(op)
             if op in (b"Tj", b"TJ"):
-                out.extend(p.decode("latin-1") for p in pending)
+                _show(pending)
                 pending.clear()
             elif op in (b"'", b'"'):
                 out.append("\n")
-                out.extend(p.decode("latin-1") for p in pending)
+                _show(pending)
                 pending.clear()
             elif op in _NEWLINE_OPS:
                 if out and out[-1] != "\n":
                     out.append("\n")
                 pending.clear()
-            elif op == b"Tf":  # font select consumes a name + size
+            elif op == b"Tf":  # font select: operand name picks the CMap
+                current_cmap = fonts.get(last_name)
                 pending.clear()
             # other operators: positioned text (Tm) keeps pending cleared
             elif op == b"Tm":
@@ -141,9 +254,74 @@ def _extract_block_text(block: bytes) -> str:
     return "".join(out)
 
 
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONT_RES_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_RES_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _stream_payload(body: bytes):
+    """The (decompressed if Flate) stream payload of one object body, or
+    None when the object has no stream."""
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    raw = m.group(1)
+    raw = raw[:-2] if raw.endswith(b"\r\n") else (
+        raw[:-1] if raw.endswith(b"\n") else raw
+    )
+    try:
+        return zlib.decompress(raw)
+    except zlib.error:
+        return raw
+
+
+def _font_cmaps(data: bytes) -> dict[bytes, ToUnicodeCMap]:
+    """Resource-name -> ToUnicodeCMap for every font reachable through a
+    /Font resource dictionary. Names are merged across pages (a global
+    union — per-page resource scoping is a documented simplification; a
+    real corpus colliding /F1 across pages with DIFFERENT CMaps would
+    need page->content association, which digital-born writers avoid by
+    numbering fonts document-wide)."""
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    entries: list[tuple[bytes, int]] = []
+    for body in objs.values():
+        for fd in _FONT_RES_DICT_RE.finditer(body):
+            entries.extend(
+                (n, int(num)) for n, num in _FONT_ENTRY_RE.findall(fd.group(1))
+            )
+        for fr in _FONT_RES_REF_RE.finditer(body):
+            res_body = objs.get(int(fr.group(1)), b"")
+            entries.extend(
+                (n, int(num)) for n, num in _FONT_ENTRY_RE.findall(res_body)
+            )
+    fonts: dict[bytes, ToUnicodeCMap] = {}
+    for name, font_num in entries:
+        font_body = objs.get(font_num)
+        if font_body is None:
+            continue
+        ref = _TOUNICODE_REF_RE.search(font_body)
+        if not ref:
+            continue
+        cmap_body = objs.get(int(ref.group(1)))
+        if cmap_body is None:
+            continue
+        payload = _stream_payload(cmap_body)
+        if payload is None:
+            continue
+        cmap = parse_tounicode_cmap(payload)
+        if cmap.map:
+            fonts[name] = cmap
+    return fonts
+
+
 def parse_pdf_bytes(data: bytes) -> str:
     """Extract the text layer of a PDF: every FlateDecode/uncompressed
-    content stream's BT/ET blocks, in file order, newline-joined."""
+    content stream's BT/ET blocks, in file order, newline-joined.
+    Type0/CID fonts with embedded ToUnicode CMaps decode through the map
+    (resolved via the /Font resource name the Tf operator selects)."""
+    fonts = _font_cmaps(data)
     texts: list[str] = []
     for m in _STREAM_RE.finditer(data):
         raw = m.group(1)
@@ -160,7 +338,7 @@ def parse_pdf_bytes(data: bytes) -> str:
         if b"BT" not in content:
             continue
         for block in _TEXT_BLOCK_RE.finditer(content):
-            t = _extract_block_text(block.group(1)).strip()
+            t = _extract_block_text(block.group(1), fonts).strip()
             if t:
                 texts.append(t)
     return "\n".join(texts)

@@ -149,6 +149,26 @@ def test_load_directory_empty(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def _assemble_pdf(objs: list) -> bytes:
+    """Serialize numbered objects into a well-formed PDF with a correct
+    xref table (offsets computed, not hard-coded)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 def _minimal_pdf(content_stream: bytes, compress: bool = False) -> bytes:
     """A well-formed single-page PDF around `content_stream`, with a
     correct xref table (offsets computed, not hard-coded)."""
@@ -168,21 +188,7 @@ def _minimal_pdf(content_stream: bytes, compress: bool = False) -> bytes:
         + body + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, o in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += str(i).encode() + b" 0 obj\n" + o + b"\nendobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
-    out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
-    )
-    return bytes(out)
+    return _assemble_pdf(objs)
 
 
 PDF_CONTENT = (
@@ -218,6 +224,108 @@ def test_parse_pdf_skips_image_streams():
     )
     text = parse_pdf_bytes(pdf)
     assert "Hello (escaped) world" in text and "gg" not in text
+
+
+_CMAP_BODY = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0001> <0048>
+<0002> <00650301>
+endbfchar
+1 beginbfrange
+<0010> <0012> <006C>
+endbfrange
+1 beginbfrange
+<0020> <0022> [<0041> <0042> <00430043>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def _type0_pdf(compress_cmap: bool = False) -> bytes:
+    """Single page mixing a Type0 font with ToUnicode CMap (/F1) and a
+    plain simple font (/F2). The /F1 show-string uses 2-byte character
+    codes that are NOT unicode (0001, 0002, 0010.., 0020..) so a latin-1
+    fallback would produce garbage — only the CMap yields readable text."""
+    import zlib
+
+    cmap_body = _CMAP_BODY
+    filt = b""
+    if compress_cmap:
+        cmap_body = zlib.compress(cmap_body)
+        filt = b" /Filter /FlateDecode"
+    content = (
+        b"BT /F1 12 Tf <0001 0002 0010 0011 0012 0020 0021 0022> Tj "
+        b"T* /F2 10 Tf (plain latin) Tj ET"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeCID "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap_body)).encode() + filt + b" >>\nstream\n"
+        + cmap_body + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    return _assemble_pdf(objs)
+
+
+def test_parse_pdf_type0_tounicode_cmap():
+    from delm_spark.io.pdf import parse_pdf_bytes
+
+    for compress in (False, True):
+        text = parse_pdf_bytes(_type0_pdf(compress_cmap=compress))
+        # bfchar: 0001 -> H, 0002 -> e + combining acute (multi-unit dst)
+        # bfrange incremental: 0010..0012 -> l m n
+        # bfrange array: 0020 -> A, 0021 -> B, 0022 -> CC (two units)
+        assert "HélmnABCC" in text
+        # the simple-font /F2 string still decodes via latin-1 fallback
+        assert "plain latin" in text
+
+
+def test_parse_tounicode_cmap_kernel():
+    from delm_spark.io.pdf import parse_tounicode_cmap
+
+    cmap = parse_tounicode_cmap(_CMAP_BODY)
+    assert cmap.code_len == 2
+    assert cmap.map[0x0001] == "H"
+    assert cmap.map[0x0002] == "é"
+    assert [cmap.map[c] for c in (0x10, 0x11, 0x12)] == ["l", "m", "n"]
+    assert cmap.map[0x0022] == "CC"
+    # codes outside the map are dropped, not garbled
+    assert cmap.decode(bytes.fromhex("0001FFFF0010")) == "Hl"
+
+
+def test_font_resource_indirect_dict():
+    """/Font given as an indirect reference to a resource object."""
+    from delm_spark.io.pdf import parse_pdf_bytes
+
+    content = b"BT /G1 12 Tf <00010010> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font 8 0 R >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(_CMAP_BODY)).encode() + b" >>\nstream\n"
+        + _CMAP_BODY + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /G1 5 0 R >>",
+    ]
+    text = parse_pdf_bytes(_assemble_pdf(objs))
+    assert "Hl" in text
 
 
 def test_load_pdf_via_spark(spark, tmp_path):
