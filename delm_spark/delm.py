@@ -210,13 +210,51 @@ class DelmSpark:
 
     # -- process_via_llm (reference delm.py:170-219) ---------------------------
 
+    def _spend_path(self) -> Optional[Path]:
+        return (self.dir / "_delm_spend.json") if self.dir is not None else None
+
+    def _spent_usd(self) -> float:
+        if getattr(self, "_spend", None) is not None:
+            return self._spend
+        p = self._spend_path()
+        if p is not None and p.exists():
+            import json
+
+            self._spend = float(json.loads(p.read_text())["cost_usd"])
+        else:
+            self._spend = 0.0
+        return self._spend
+
+    def _record_spend(self, cost_usd: float) -> None:
+        self._spend = self._spent_usd() + cost_usd
+        p = self._spend_path()
+        if p is not None:
+            import json
+
+            p.write_text(json.dumps({"cost_usd": self._spend}))
+
     def process_via_llm(self, preprocessed: Optional[DataFrame] = None) -> DataFrame:
         """Schema-guided extraction over the prepped chunks: persistent
         semantic cache, retry/backoff, error-safe rows — then metadata
-        joined back per chunk id, persisted to `<experiment>/extracted`."""
+        joined back per chunk id, persisted to `<experiment>/extracted`.
+
+        Budget is enforced BETWEEN stages (reference
+        extraction_manager.py:193-195): the spend of each completed
+        extraction stage accumulates (surviving restarts via a sidecar
+        when an experiment directory is set), and scheduling another stage
+        past `max_budget` raises BudgetExceededError — already-computed
+        results are kept."""
         from delm_spark.extraction.backend import RuleTripleExtractor
+        from delm_spark.extraction.cost import BudgetExceededError, summarize_cost
         from delm_spark.extraction.extract import extract_chunks
 
+        max_budget = self.config.llm_extraction.max_budget
+        if max_budget is not None and self._spent_usd() > max_budget:
+            raise BudgetExceededError(
+                f"accumulated spend ${self._spent_usd():.6f} exceeds "
+                f"max_budget ${max_budget}; refusing to schedule another "
+                "extraction stage"
+            )
         data = preprocessed or self._preprocessed or self._load("preprocessed")
         if data is None:
             raise RuntimeError("run prep_data first (no preprocessed table found)")
@@ -237,6 +275,12 @@ class DelmSpark:
         meta = data.drop(CHUNK_COL)
         joined = out.join(meta, CHUNK_ID_COL, "left")
         self._extracted = self._save(joined, "extracted")
+        if max_budget is not None and self.config.llm_extraction.track_cost:
+            self._record_spend(
+                summarize_cost(
+                    self._extracted, model=self.config.llm_extraction.name
+                ).cost_usd
+            )
         return self._extracted
 
     # -- results / cost (reference delm.py:252-280) -----------------------------

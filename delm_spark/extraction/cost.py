@@ -91,6 +91,13 @@ def summarize_cost(extracted: DataFrame, model: str = "deterministic-rules") -> 
     )
 
 
+class BudgetExceededError(RuntimeError):
+    """Raised when a stage would be scheduled past the configured
+    max_budget (reference extraction_manager.py:193-195: processing stops
+    once accumulated spend crosses the budget; completed results are
+    kept)."""
+
+
 def check_budget(summary: CostSummary, max_budget: float | None) -> bool:
     """True if within budget (None = unlimited). Call between stage
     actions; on False the driver stops scheduling further stages
