@@ -116,8 +116,21 @@ def run_level(cores: int) -> dict:
         ).write.mode("overwrite").parquet(CORPUS)
     tr = spark.read.parquet(CORPUS)
     n_turns = tr.count()
+    # no-op mode (SPARK_GRAFT_SCALE_NOOP): identical plan, trivial Arrow
+    # kernel — measures how the PLAN scales when the Python kernel's
+    # memory-bandwidth ceiling is removed from the equation
+    backend = None
+    if os.environ.get("SPARK_GRAFT_SCALE_NOOP"):
+        from delm_spark.data.synthetic import TRIPLE_SCHEMA_CFG
+        from delm_spark.extraction.backend import NoOpExtractor
+        from delm_spark.schemas.spec import spec_from_dict
+
+        backend = NoOpExtractor(spec_from_dict(TRIPLE_SCHEMA_CFG))
+
     # warmup run (untimed): JIT + page cache
-    run_pipeline(spark, tr, entity_dictionary(spark), PipelineConfig()).edges.count()
+    run_pipeline(
+        spark, tr, entity_dictionary(spark), PipelineConfig(), backend=backend
+    ).edges.count()
 
     accepted, rejected, windows, n = [], [], [], 0
     for _ in range(MAX_ATTEMPTS):
@@ -125,7 +138,9 @@ def run_level(cores: int) -> dict:
         s0, t0c = steal_counters()
         w0 = int(time.time() * 1000)
         t0 = time.perf_counter()
-        res = run_pipeline(spark, tr, entity_dictionary(spark), PipelineConfig())
+        res = run_pipeline(
+            spark, tr, entity_dictionary(spark), PipelineConfig(), backend=backend
+        )
         n = res.edges.count()
         wall = round(time.perf_counter() - t0, 1)
         w1 = int(time.time() * 1000)

@@ -174,6 +174,22 @@ class PromptedApiBackend:
         return self.transport(*args)
 
 
+class NoOpExtractor:
+    """Plan-shape control backend (bench_scaling no-op mode): the SAME
+    Arrow/mapInPandas stage and DAG as RuleTripleExtractor, but ~zero
+    kernel work — isolates Spark plan/scheduler overhead from the Python
+    kernel's memory-bandwidth ceiling in scaling measurements."""
+
+    def __init__(self, spec):
+        self.container_name = spec.container_name
+
+    def extract_raw(self, text):
+        return {self.container_name: []}
+
+    def extract_raw_batch(self, texts):
+        return [{self.container_name: []} for _ in texts]
+
+
 class CacheOnlyBackend:
     """Backend that refuses to run: guarantees a run is served entirely
     from the persistent semantic cache (and proves warm reruns make zero

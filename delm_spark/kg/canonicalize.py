@@ -24,6 +24,10 @@ DRIVER_CC_MAX_EDGES = 100_000
 #: for the one-job-per-iteration property)
 LAST_RUN_ITERATIONS = 0
 
+#: wall seconds of each iteration of the last distributed run (bench hook;
+#: each entry is one propagate+jump+checkpoint job)
+LAST_RUN_ITER_SECONDS: list = []
+
 
 def _driver_union_find(pairs: list) -> dict:
     parent: dict = {}
@@ -96,7 +100,11 @@ def connected_components(
 
     global LAST_RUN_ITERATIONS
     LAST_RUN_ITERATIONS = 0
+    LAST_RUN_ITER_SECONDS.clear()
+    import time as _time
+
     for _ in range(max_iter):
+        _iter_t0 = _time.perf_counter()
         # neighbor label messages + own label, take min per node; the old
         # label rides along (__old: one non-null per node, from the labels
         # side) so convergence is observable inside this iteration's job
@@ -145,6 +153,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         LAST_RUN_ITERATIONS += 1
+        LAST_RUN_ITER_SECONDS.append(round(_time.perf_counter() - _iter_t0, 3))
         if (obs.get["changed"] or 0) == 0:
             break
     return labels
