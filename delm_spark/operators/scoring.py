@@ -8,9 +8,12 @@ Reference strategies (/root/reference/src/delm/strategies/scoring_strategies.py)
     rapidfuzz.fuzz.partial_ratio(lower(text), kw)/100 — rapidfuzz is not
     available in this environment (the reference itself raises ImportError
     without it, scoring_strategies.py:96-98), so the pandas UDF below
-    implements the classic partial-ratio definition (best sliding-window
-    SequenceMatcher ratio of the shorter string against the longer) as a
-    documented stand-in with the same 0-1 range and keyword-max shape.
+    implements the CLASSIC partial_ratio algorithm (the fuzzywuzzy
+    matching-block alignment rapidfuzz reimplements) on stdlib difflib:
+    same 0-1 range, same keyword-max shape, optimal-window alignment by
+    construction. Residual divergence vs rapidfuzz is limited to its
+    Indel-distance scoring of a window vs difflib's ratio, not to window
+    selection.
 """
 
 from __future__ import annotations
@@ -34,25 +37,32 @@ def keyword_score_expr(col: Column, keywords: Sequence[str]) -> Column:
 
 
 def _partial_ratio(text: str, keyword: str) -> float:
-    """Best sliding-window similarity of `keyword` against `text`, 0-1."""
+    """Classic partial_ratio (the fuzzywuzzy algorithm rapidfuzz
+    reimplements): align the shorter string against the longer via
+    SequenceMatcher matching blocks — each block proposes the window of
+    the longer string that lines the block up — and return the best
+    window ratio. Block-derived alignment finds the optimal window by
+    construction (no stride sampling that could skip the best offset)."""
     if not keyword or not text:
         return 0.0
     short, long_ = (keyword, text) if len(keyword) <= len(text) else (text, keyword)
     m = len(short)
-    if m == 0:
-        return 0.0
+    aligner = SequenceMatcher(a=short, b=long_, autojunk=False)
     best = 0.0
-    sm = SequenceMatcher(a=short, autojunk=False)
-    # Coarse stride keeps this O(len/4) windows; exact alignment refined by
-    # SequenceMatcher inside the window.
-    step = max(1, m // 4)
-    for start in range(0, max(1, len(long_) - m + 1), step):
-        sm.set_seq2(long_[start : start + m])
-        r = sm.ratio()
+    scorer = SequenceMatcher(a=short, autojunk=False)
+    tried: set[int] = set()
+    for a, b, _size in aligner.get_matching_blocks():
+        start = max(0, b - a)
+        if start in tried:
+            continue
+        tried.add(start)
+        # slice truncates at the end like the classic implementation
+        scorer.set_seq2(long_[start : start + m])
+        r = scorer.ratio()
         if r > best:
             best = r
             if best >= 0.995:
-                break
+                return best
     return best
 
 
