@@ -208,16 +208,20 @@ def entity_dictionary(spark: SparkSession) -> DataFrame:
     broadcast-joined). Multiple surfaces per canonical id exercise
     connected-component canonicalization.
     """
+    import pandas as pd
+
     rows = []
     for d in (PEOPLE, ORGS, TOOLS, PLACES):
         for cid, surfs in d.items():
             for s in surfs:
                 rows.append((s.lower(), cid, 1.0))
-    # single partition: createDataFrame otherwise parallelizes over
-    # defaultParallelism slices, and every downstream materialization
-    # (each CC iteration, each broadcast build) would run one Python
-    # deserializer task PER SLICE — pure scheduling overhead that grows
-    # with core count.
+    # Arrow-backed local frame (pandas input): materializes as a JVM-side
+    # LocalTableScan. The plain-rows createDataFrame path is Python-RDD
+    # backed — EVERY downstream action (each broadcast build, each CC
+    # iteration, each checkpoint) re-runs Python deserializer tasks, and
+    # at 32 cores that measured ~6 s per action for this 50-row table vs
+    # ~0.5 s through Arrow.
+    pdf = pd.DataFrame(rows, columns=["surface", "canonical_id", "weight"])
     return spark.createDataFrame(
-        rows, "surface string, canonical_id string, weight double"
+        pdf, "surface string, canonical_id string, weight double"
     ).coalesce(1)

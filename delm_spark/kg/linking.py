@@ -32,17 +32,26 @@ def surface_embedding(col: Column, dim: int = 64) -> Column:
     (array<double> of bucket counts), fully native. Trigram bucket =
     first 4 hex chars of md5 mod dim — the md5 family the LSH/minhash
     operators already use, so an external SQL oracle re-derives identical
-    vectors. `^`/`$` padding makes leading/trailing characters count."""
+    vectors. `^`/`$` padding makes leading/trailing characters count.
+
+    Built as ONE aggregate over the bucket array (fold: acc[b] += 1)
+    rather than `dim` filter branches: CollapseProject inlines lambda
+    bodies, so a per-bucket filter would duplicate the whole trigram+md5
+    subtree `dim` times — a megabyte-scale codegen unit that cost ~9 s of
+    Janino compile time per query before any row was processed."""
     padded = F.concat(F.lit("^"), normalize_mention(col), F.lit("$"))
     idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(1)))
     tris = F.transform(idx, lambda i: padded.substr(i, F.lit(3)))
-
-    def bucket(t: Column) -> Column:
-        return F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % dim
-
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.size(F.filter(tris, lambda t: bucket(t) == b)).cast("double"),
+    buckets = F.transform(
+        tris, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % dim
+    )
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    return F.aggregate(
+        buckets,
+        zeros,
+        lambda acc, b: F.transform(
+            acc, lambda v, i: F.when(i == b, v + 1).otherwise(v)
+        ),
     )
 
 
@@ -72,10 +81,20 @@ def embedding_link_candidates(
 
     from delm_spark.operators.similarity import _probe_masks, cosine, lsh_bucket
 
+    # Eager cut right after the embedding column on BOTH sides: the
+    # nested-HOF trigram expression otherwise gets CollapseProject-inlined
+    # into every downstream consumer — 8x into lsh_bucket's plane dots,
+    # again into cosine — and analysis/codegen of the composed tree costs
+    # SECONDS per action (measured 7.3 s for a 44-row frame) while the
+    # same ops over a materialized array column compile in ~0.15 s. Both
+    # frames are vocabulary-bounded (distinct mention surfaces /
+    # dictionary entries), so the materialization is small by
+    # construction.
     m = (
         mentions.select(F.col(surface_col).alias("surface"))
         .dropDuplicates(["surface"])
         .withColumn("__me", surface_embedding(F.col("surface"), dim))
+        .localCheckpoint(eager=True)
         .withColumn("__bkt", lsh_bucket(F.col("__me"), dim, n_planes))
     )
     d = (
@@ -84,6 +103,7 @@ def embedding_link_candidates(
         .groupBy("surface")
         .agg(F.min("canonical_id").alias("canonical_id"))
         .withColumn("__de", surface_embedding(F.col("surface"), dim))
+        .localCheckpoint(eager=True)
         .withColumn("__dbkt", lsh_bucket(F.col("__de"), dim, n_planes))
         .select(
             F.col("surface").alias("__dsurf"), "canonical_id", "__de", "__dbkt"

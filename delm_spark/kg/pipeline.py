@@ -439,6 +439,13 @@ def run_pipeline(
         if config.embedding_link:
             from delm_spark.kg.linking import resolve_mention_residue
 
+            # cut the DAG once: the residue resolver consumes the linked
+            # frame three times (subj mentions, obj mentions, the rewrite
+            # joins) — without a materialization each consumer would
+            # recompute the whole upstream extraction (measured 2.6x the
+            # exact pipeline's wall at sf0.1; eager avoids the AQE
+            # concurrent-branch duplication a lazy persist invites)
+            linked = linked.localCheckpoint(eager=True)
             linked = resolve_mention_residue(
                 linked,
                 dictionary,
