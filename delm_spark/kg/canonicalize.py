@@ -82,8 +82,14 @@ def connected_components(
         # createDataFrame replaces ~3 jobs per iteration
         pairs = [(r["a"], r["b"]) for r in sym.collect()]
         comp = _driver_union_find(pairs)
+        import pandas as pd
+
+        # Arrow-backed local frame: a plain-rows createDataFrame is
+        # Python-RDD backed, re-running Python deserializer tasks on every
+        # downstream action (~6 s/action at 32 cores for tiny tables)
+        pdf = pd.DataFrame(sorted(comp.items()), columns=["node", "component"])
         return spark.createDataFrame(
-            sorted(comp.items()), "node string, component string"
+            pdf, "node string, component string"
         ).coalesce(1)
     if num_partitions is None:
         # ~1M edges per partition, clamped to the session's shuffle width
@@ -205,8 +211,13 @@ def canonical_map(
                 if c not in best or node < best[c]:
                     best[c] = node
         out = sorted((node, best.get(c, c)) for node, c in comp.items())
+        import pandas as pd
+
+        # Arrow-backed (see connected_components): every broadcast build
+        # over this map must be a JVM LocalTableScan, not a Python task
+        pdf = pd.DataFrame(out, columns=["node", "canonical_id"])
         return spark.createDataFrame(
-            out, "node string, canonical_id string"
+            pdf, "node string, canonical_id string"
         ).coalesce(1)
     dict_edges = dictionary.select(
         F.concat(F.lit("mention:"), F.col("surface")).alias("src"),
