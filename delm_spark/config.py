@@ -147,13 +147,13 @@ class DataPreprocessingConfig:
 
 @dataclass
 class SemanticCacheConfig:
-    """Reference cache config (config.py:418-447); the storage is always a
-    parquet table here (sqlite/lmdb/filesystem backends are single-node KV
-    stores — the distributed equivalent is the cache table + join), so
-    `backend` is accepted for config compatibility and recorded, and the
-    sqlite tuning knobs (max_size_mb, synchronous) are documented no-ops:
-    size governance is `compact_cache` + table retention, durability is
-    the parquet commit protocol."""
+    """Reference cache config (config.py:418-447). `backend` selects the
+    store: 'parquet' (default; the cluster-scale run-partitioned table,
+    also serving 'filesystem' as a documented substitution) or 'sqlite'
+    (a real driver-side WAL sqlite store, extraction/sqlite_cache.py,
+    honoring `synchronous` and oldest-first `max_size_mb` pruning like
+    the reference SQLiteWALCache). 'lmdb' is accepted by validation but
+    raises at use (the lmdb package is not available here)."""
 
     path: Optional[str] = None
     backend: str = "parquet"

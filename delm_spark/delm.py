@@ -261,6 +261,29 @@ class DelmSpark:
         if self.config.spec is None:
             raise ValueError("config.schema.spec is required for extraction")
         backend = self.backend or RuleTripleExtractor(self.config.spec)
+        # storage backend dispatch (reference semantic_cache.py factory):
+        # 'sqlite' -> driver-side WAL sqlite (single-node compat);
+        # 'parquet'/'filesystem' -> the run-partitioned parquet table
+        # (the cluster-scale path; 'filesystem' is a documented
+        # substitution); 'lmdb' needs the lmdb package, absent here.
+        cache_cfg = self.config.semantic_cache
+        cache_dir, sqlite_cache = None, None
+        if cache_cfg.path is not None:
+            if cache_cfg.backend == "sqlite":
+                from delm_spark.extraction.sqlite_cache import SqliteSemanticCache
+
+                sqlite_cache = SqliteSemanticCache(
+                    cache_cfg.path,
+                    synchronous=cache_cfg.synchronous or "NORMAL",
+                    max_size_mb=cache_cfg.max_size_mb,
+                )
+            elif cache_cfg.backend == "lmdb":
+                raise NotImplementedError(
+                    "semantic_cache.backend='lmdb' needs the lmdb package, "
+                    "which is not available; use 'sqlite' or 'parquet'"
+                )
+            else:
+                cache_dir = cache_cfg.path
         out = extract_chunks(
             data.select(CHUNK_ID_COL, CHUNK_COL),
             self.config.spec,
@@ -268,7 +291,8 @@ class DelmSpark:
             dedup=self.config.pipeline.dedup_extraction,
             max_retries=self.config.llm_extraction.max_retries,
             base_delay=self.config.llm_extraction.base_delay,
-            cache_dir=self.config.semantic_cache.path,
+            cache_dir=cache_dir,
+            sqlite_cache=sqlite_cache,
             call_spec=self.config.llm_extraction.call_spec(),
         )
         # metadata back on chunk id (reference delm.py:208: left join)

@@ -200,6 +200,7 @@ def extract_chunks(
     cache_dir: Optional[str] = None,
     call_spec: Optional[CallSpec] = None,
     auto_compact_runs: int = 16,
+    sqlite_cache=None,
 ) -> DataFrame:
     """Run schema-guided extraction over `df[text_col]`.
 
@@ -237,7 +238,9 @@ def extract_chunks(
         ctx = TaskContext.get()
         return ctx.partitionId() if ctx else -1
 
-    if cache_dir is not None:
+    if sqlite_cache is not None and cache_dir is not None:
+        raise ValueError("pass either cache_dir (parquet) or sqlite_cache, not both")
+    if cache_dir is not None or sqlite_cache is not None:
         dedup = True
 
     if not dedup:
@@ -298,6 +301,22 @@ def extract_chunks(
 
     spark = df.sparkSession
     cached_ok = None
+    sqlite_hit_keys = None
+    if sqlite_cache is not None:
+        # driver-side sqlite backend (reference SQLiteWALCache): the
+        # pre-run snapshot is bounded by distinct-prompt cardinality, so
+        # shipping it through an Arrow-backed local frame is cheap by
+        # construction; only SUCCESS rows block re-extraction (error rows
+        # retry, like the parquet path)
+        snap = sqlite_cache.snapshot()
+        ok = snap[snap["errors"].isna()]
+        sqlite_hit_keys = set(ok["k"])
+        if len(ok):
+            cached_keys = spark.createDataFrame(
+                ok[["k"]].rename(columns={"k": CACHE_KEY_COL}),
+                f"{CACHE_KEY_COL} string",
+            )
+            unique = unique.join(cached_keys, on=CACHE_KEY_COL, how="left_anti")
     if cache_dir is not None:
         # Legacy append-mode caches (flat part files at the root) break
         # partition discovery once a delm_run_id=<id>/ dir lands beside
@@ -334,6 +353,49 @@ def extract_chunks(
     width = df.sparkSession.sparkContext.defaultParallelism * 2
     unique = unique.repartition(width)
     extracted = unique.mapInPandas(run_unique, schema=out_schema)
+
+    if sqlite_cache is not None:
+        from pyspark.sql.types import BooleanType
+
+        # ONE action materializes this run's misses; row volume = distinct
+        # missed prompts (the quantity a semantic cache stores by
+        # definition), so the driver round-trip is bounded
+        miss_rows = extracted.collect()
+        sqlite_cache.upsert(
+            (
+                r[CACHE_KEY_COL],
+                r[EXTRACTED_JSON_COL],
+                r[ERRORS_COL],
+                r[IN_TOKENS_COL],
+                r[OUT_TOKENS_COL],
+                r[PART_ID_COL],
+            )
+            for r in miss_rows
+        )
+        full_pdf = sqlite_cache.snapshot().rename(
+            columns={
+                "k": CACHE_KEY_COL,
+                "json": EXTRACTED_JSON_COL,
+                "errors": ERRORS_COL,
+                "in_tokens": IN_TOKENS_COL,
+                "out_tokens": OUT_TOKENS_COL,
+                "part_id": PART_ID_COL,
+            }
+        )
+        full_pdf[CACHE_HIT_COL] = full_pdf[CACHE_KEY_COL].isin(sqlite_hit_keys)
+        for c in (IN_TOKENS_COL, OUT_TOKENS_COL, PART_ID_COL):
+            full_pdf[c] = full_pdf[c].fillna(0).astype("int64")
+        full_schema = StructType(
+            [StructField(CACHE_KEY_COL, StringType())]
+            + _EXTRA_FIELDS
+            + [StructField(CACHE_HIT_COL, BooleanType())]
+        )
+        full = spark.createDataFrame(
+            full_pdf[[f.name for f in full_schema.fields]], schema=full_schema
+        )
+        # keys in the table but absent from this run's input drop out of
+        # the left join naturally
+        return keyed.join(full, on=CACHE_KEY_COL, how="left")
 
     if cache_dir is None:
         return keyed.join(extracted, on=CACHE_KEY_COL, how="left").withColumn(
