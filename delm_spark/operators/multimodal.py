@@ -2,12 +2,17 @@
 
 Media are opaque `binary` columns plus typed metadata structs; all heavy
 decode/feature work runs in Arrow-batched pandas UDFs over `mapInPandas`.
-The Spark-side plumbing — schemas, batch shapes, partition sizing, UDF
-signatures — is real and tested; the actual codec calls are STUBBED
-(`decoder=None` uses a deterministic fake, and `require_real_decoders()`
-raises NotImplementedError) because no image/audio libraries exist in
-this environment. Plugging Pillow/torchaudio/ffmpeg in means passing a
-`decoder` callable; nothing else changes.
+Three tiers of realness here:
+  * container-header metadata (PNG/GIF/JPEG/BMP dims) — real, stdlib;
+  * PIXEL decode for PNG and uncompressed BMP — real, stdlib
+    (operators/image_codec.py: zlib + scanline filters), feeding
+    `image_pixel_stats` (luma stats + histogram) and nearest-neighbor
+    resize;
+  * JPEG pixels / audio / video — genuinely need codec libraries, so the
+    embedding-feature stage keeps the pluggable `decoder` seam
+    (`decoder=None` uses a deterministic fake; `require_real_decoders()`
+    raises). Plugging Pillow/torchaudio/ffmpeg in means passing a
+    `decoder` callable; nothing else changes.
 
 Scale notes: media rows are large — size `spark.sql.files.maxPartitionBytes`
 (or repartition by count) so one Arrow batch holds tens of items, not
@@ -144,11 +149,73 @@ def image_metadata(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
+def image_pixel_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """media -> (media_id, format, width, height, mean_luma, std_luma,
+    luma_hist, n_pixels): REAL pixel decode for PNG / uncompressed BMP
+    payloads (operators/image_codec.py, pure stdlib+numpy); rows whose
+    payload needs an actual codec library (JPEG etc.) or is not an image
+    come back with null pixel columns instead of failing the scan."""
+    from delm_spark.operators.image_codec import decode_image, pixel_stats
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_luma", FloatType()),
+            StructField("std_luma", FloatType()),
+            StructField("luma_hist", ArrayType(FloatType())),
+            StructField("n_pixels", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[start : start + batch_rows]
+                out = {k: [] for k in ("format", "width", "height", "mean_luma",
+                                       "std_luma", "luma_hist", "n_pixels")}
+                for content in part["content"]:
+                    b = bytes(content) if content is not None else b""
+                    fmt, w, h = image_header_dims(b)
+                    img = decode_image(b)
+                    out["format"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    if img is None:
+                        for k in ("mean_luma", "std_luma", "luma_hist", "n_pixels"):
+                            out[k].append(None)
+                    else:
+                        st = pixel_stats(img)
+                        out["mean_luma"].append(st["mean_luma"])
+                        out["std_luma"].append(st["std_luma"])
+                        out["luma_hist"].append(st["luma_hist"])
+                        out["n_pixels"].append(st["n_pixels"])
+                yield pd.DataFrame(
+                    {
+                        "media_id": part["media_id"].values,
+                        "format": out["format"],
+                        "width": pd.array(out["width"], dtype="Int32"),
+                        "height": pd.array(out["height"], dtype="Int32"),
+                        "mean_luma": pd.array(out["mean_luma"], dtype="Float32"),
+                        "std_luma": pd.array(out["std_luma"], dtype="Float32"),
+                        "luma_hist": out["luma_hist"],
+                        "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+                    }
+                )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
 def require_real_decoders() -> None:
-    """Real codec path — unavailable in this environment by design."""
+    """Real codec path for JPEG pixels / audio / video — unavailable in
+    this environment by design (PNG/BMP pixels ARE decoded natively, see
+    image_pixel_stats)."""
     raise NotImplementedError(
-        "real media decoding needs Pillow/torchaudio/ffmpeg; pass a "
-        "`decoder` callable to extract_media_features instead"
+        "JPEG/audio/video decoding needs Pillow/torchaudio/ffmpeg; pass a "
+        "`decoder` callable to extract_media_features instead (PNG and "
+        "uncompressed BMP decode natively via operators/image_codec.py)"
     )
 
 
