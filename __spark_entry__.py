@@ -795,6 +795,72 @@ def multimodal_media_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "content_sha").orderBy("media_id")
 
 
+def image_pixel_stats_docs(spark, sf_dir):
+    """REAL pixel-decode path under the correctness gate: each document's
+    text becomes a 32x32 gray BMP (pixel i = codepoint of char i%len, mod
+    256 — pure function of the text), flows through the binary column +
+    Arrow image_pixel_stats operator (stdlib BMP decode -> luma stats),
+    and comes back as integers (luma sum, 16-bin histogram counts) the
+    oracle re-derives closed-form from the SAME text — so the
+    encode->decode->stats roundtrip must be numerically exact. (Gray
+    pixels make float32 luma exact: the Rec.601 coefficients sum to 1.0
+    in float32.)"""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from delm_spark.operators.multimodal import image_pixel_stats
+
+    W = H = 32
+
+    def _to_bmp(texts):
+        import numpy as np
+
+        from delm_spark.operators.image_codec import encode_bmp
+
+        def one(t):
+            t = t or "\x00"
+            vals = np.frombuffer(
+                "".join(t[i % len(t)] for i in range(W * H)).encode("latin-1"),
+                np.uint8,
+            )
+            img = np.repeat(vals.reshape(H, W)[:, :, None], 3, axis=2)
+            return encode_bmp(img)
+
+        return texts.map(one)
+
+    # returnType passed explicitly: pd.Series annotations break typehint
+    # resolution when pandas is imported inside the enclosing function
+    to_bmp = F.pandas_udf(_to_bmp, BinaryType())
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.length("text") > 0)
+    )
+    media = docs.select(
+        F.format_string("m%08d", F.col("doc_id")).alias("media_id"),
+        to_bmp(F.col("text")).alias("content"),
+    )
+    stats = image_pixel_stats(media)
+    return stats.select(
+        "media_id",
+        "format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.round(F.col("mean_luma").cast("double") * F.col("n_pixels"))
+        .cast("long")
+        .alias("luma_sum"),
+        F.array_join(
+            F.transform(
+                "luma_hist",
+                lambda hh: F.round(hh.cast("double") * F.col("n_pixels")).cast(
+                    "long"
+                ),
+            ),
+            "|",
+        ).alias("hist_counts"),
+    ).orderBy("media_id")
+
+
 def fuzzy_score_docs(spark, sf_dir):
     """R2: pandas-UDF fuzzy scoring (rapidfuzz-equivalent partial ratio)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
@@ -848,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_docs": quality_score_docs,
         "salted_user_counts": salted_user_counts,
         "multimodal_media_features": multimodal_media_features,
+        "image_pixel_stats_docs": image_pixel_stats_docs,
         "collect_ordered_langs": collect_ordered_langs,
         "explode_extracted_triples": explode_extracted_triples,
         "embedding_entity_link": embedding_entity_link,
@@ -1263,6 +1330,25 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::BIGINT AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents ORDER BY media_id
+        """,
+        # re-derives the pixel values closed-form from the text that built
+        # the BMP payload — the Spark side must round-trip the bytes
+        # through the real encoder+decoder to produce the same integers
+        "image_pixel_stats_docs": """
+            WITH px AS (
+                SELECT doc_id,
+                       list_transform(generate_series(0, 1023), i ->
+                           ord(substr(text, (i % length(text)) + 1, 1)) % 256) AS p
+                FROM documents WHERE doc_id < 200 AND length(text) > 0)
+            SELECT printf('m%08d', doc_id) AS media_id,
+                   'bmp' AS format,
+                   32 AS width, 32 AS height,
+                   CAST(1024 AS BIGINT) AS n_pixels,
+                   CAST(list_sum(p) AS BIGINT) AS luma_sum,
+                   array_to_string(list_transform(generate_series(0, 15), b ->
+                       CAST(len(list_filter(p, v -> v // 16 = b)) AS BIGINT)),
+                       '|') AS hist_counts
+            FROM px ORDER BY media_id
         """,
         # DuckDB cannot run SequenceMatcher, so the expected FuzzyScorer
         # output is a committed lookup table keyed by md5(text) — the same

@@ -172,6 +172,25 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> uncompressed 24-bit bottom-up BMP (4-byte row
+    padding) — the mirror of decode_bmp; any image viewer opens it."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = img[y][:, [2, 1, 0]].astype(np.uint8).tobytes()  # RGB -> BGR
+        pix += line + b"\x00" * (row_bytes - len(line))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+        )
+    )
+    return bytes(header + pix)
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """Uncompressed 24/32-bit BMP -> HxWx3 uint8 (BGR converted to RGB)."""
     if data[:2] != b"BM":
