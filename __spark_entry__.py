@@ -501,6 +501,45 @@ def stateful_sessionize_events(spark, sf_dir):
     return spark.read.parquet(out).orderBy("user_id", "session_start")
 
 
+def stream_dedup_events(spark, sf_dir):
+    """Streaming STATEFUL dedup (dropDuplicatesWithinWatermark): the
+    events feed deduped on (user_id, event_type) in the streaming state
+    store under an event-time watermark, availableNow trigger, exactly-
+    once parquet sink. Over the bounded corpus with a watermark spanning
+    the full time range, the emitted key set equals batch DISTINCT —
+    which is the closed-form oracle (only the key columns are emitted:
+    which duplicate's payload survives is explicitly unspecified)."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="delm_streamdedup_src_")
+    os.symlink(path, f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "365 days")
+    )
+    dd = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    out = tempfile.mkdtemp(prefix="delm_streamdedup_out_")
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )
+
+
 def dedup_events_first(spark, sf_dir):
     """dropDuplicates-with-order: earliest event per (user, type)."""
     from pyspark.sql import Window
@@ -908,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "stateful_sessionize_events": stateful_sessionize_events,
         "dedup_events_first": dedup_events_first,
+        "stream_dedup_events": stream_dedup_events,
         "minhash_signature_docs": minhash_signature_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "lang_id_docs": lang_id_docs,
@@ -1224,6 +1264,13 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY ts, event_id) AS rn
                 FROM events)
             WHERE rn = 1 ORDER BY user_id, event_type
+        """,
+        # streaming state-store dedup over the bounded feed == batch
+        # DISTINCT on the dedup keys (survivor payloads are unspecified by
+        # the operator, so only keys are compared)
+        "stream_dedup_events": """
+            SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type
         """,
         "minhash_signature_docs": """
             WITH sh AS (
