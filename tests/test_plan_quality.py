@@ -138,3 +138,26 @@ def test_merge_records_single_exchange(spark):
         )
         assert plan.count("Exchange") == 1, plan
         assert "Join" not in plan, plan
+
+
+def test_pipeline_has_no_python_rdd_scans(spark):
+    """Regression guard for the round-4 perf class: plain-rows
+    createDataFrame frames are Python-RDD backed ('Scan ExistingRDD' fed
+    by a Python runner), and EVERY downstream action re-runs Python
+    deserializer tasks (~6 s/action at 32 cores for a 50-row dictionary).
+    The dictionary and the driver-CC canonical map must materialize as
+    Arrow-backed LocalTableScans, and the exact pipeline's plans (which
+    contain no localCheckpoint, the one legitimate JVM ExistingRDD
+    source) must be ExistingRDD-free end-to-end."""
+    from delm_spark.data.synthetic import entity_dictionary, generate_transcripts
+    from delm_spark.kg.canonicalize import canonical_map
+    from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
+
+    d = entity_dictionary(spark)
+    assert "ExistingRDD" not in _plan(d)
+    assert "ExistingRDD" not in _plan(canonical_map(d))
+
+    t = generate_transcripts(spark, n_convs=20, n_hot=1)
+    res = run_pipeline(spark, t, d, PipelineConfig())
+    for df in (res.edges, res.nodes, res.triples):
+        assert "ExistingRDD" not in _plan(df), _plan(df)[:2000]
