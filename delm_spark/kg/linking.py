@@ -63,13 +63,23 @@ def embedding_link_candidates(
     n_planes: int = 8,
     probe_radius: int = 2,
     threshold: float = 0.5,
+    bands: int = 1,
 ) -> DataFrame:
     """Embedding-blocked entity-link candidates: each distinct mention
     surface is matched to its best dictionary entity by trigram-embedding
     cosine, with sign-LSH bucket blocking so the candidate lookup is ONE
-    equi-join on the bucket id (dictionary side exploded to probe masks
+    equi-join on (band, bucket) (dictionary side exploded to probe masks
     and broadcast; at million-entity scale the same plan runs un-broadcast
     as a plain shuffle equi-join on bounded buckets).
+
+    `bands` > 1 uses that many INDEPENDENT n_planes-bit hash tables (the
+    MinHash-LSH banding discipline): a pair is a candidate when ANY band
+    matches, so recall is 1-(1-p^r)^b instead of a single table's
+    P(Hamming <= radius) — the right regime once the dictionary outgrows
+    what one table's bucket count can block (one 8-plane table has only
+    256 buckets; with bands, blocking power and recall scale
+    independently). bands=1 is the single-table multi-probe scheme the
+    oracle queries pin.
 
     Returns (surface, canonical_id, link_score): the best entity per
     mention with cosine >= threshold (ties break to the smallest
@@ -81,6 +91,11 @@ def embedding_link_candidates(
 
     from delm_spark.operators.similarity import _probe_masks, cosine, lsh_bucket
 
+    def band_buckets(vec: Column) -> Column:
+        return F.array(
+            *[lsh_bucket(vec, dim, n_planes, b * n_planes) for b in range(bands)]
+        )
+
     # Eager cut right after the embedding column on BOTH sides: the
     # nested-HOF trigram expression otherwise gets CollapseProject-inlined
     # into every downstream consumer — 8x into lsh_bucket's plane dots,
@@ -90,12 +105,22 @@ def embedding_link_candidates(
     # frames are vocabulary-bounded (distinct mention surfaces /
     # dictionary entries), so the materialization is small by
     # construction.
+    # Explicit width for the embedding projection: AQE sizes the dedup
+    # shuffle for JVM bytes, and 100k short surfaces coalesce to ONE
+    # partition — which would run the (interpreted-HOF) embedding
+    # single-threaded. Explicit repartitions are AQE-exempt.
+    width = mentions.sparkSession.sparkContext.defaultParallelism
     m = (
         mentions.select(F.col(surface_col).alias("surface"))
         .dropDuplicates(["surface"])
+        .repartition(width)
         .withColumn("__me", surface_embedding(F.col("surface"), dim))
         .localCheckpoint(eager=True)
-        .withColumn("__bkt", lsh_bucket(F.col("__me"), dim, n_planes))
+    )
+    m_b = m.select(
+        "surface",
+        "__me",
+        F.posexplode(band_buckets(F.col("__me"))).alias("__band", "__bkt"),
     )
     d = (
         dictionary.select("surface", "canonical_id")
@@ -104,24 +129,41 @@ def embedding_link_candidates(
         .agg(F.min("canonical_id").alias("canonical_id"))
         .withColumn("__de", surface_embedding(F.col("surface"), dim))
         .localCheckpoint(eager=True)
-        .withColumn("__dbkt", lsh_bucket(F.col("__de"), dim, n_planes))
-        .select(
-            F.col("surface").alias("__dsurf"), "canonical_id", "__de", "__dbkt"
-        )
+        .select(F.col("surface").alias("__dsurf"), "canonical_id", "__de")
     )
     masks = _probe_masks(n_planes, probe_radius)
     d_b = F.broadcast(
-        d.withColumn(
+        d.select(
+            "__dsurf",
+            "canonical_id",
+            "__de",
+            F.posexplode(band_buckets(F.col("__de"))).alias("__band", "__b0"),
+        )
+        .withColumn(
             "__bkt",
             F.explode(
-                F.array(*[F.col("__dbkt").bitwiseXOR(F.lit(mk)) for mk in masks])
+                F.array(*[F.col("__b0").bitwiseXOR(F.lit(mk)) for mk in masks])
             ),
         )
+        .drop("__b0")
     )
-    scored = m.join(d_b, "__bkt").select(
+    cand = m_b.join(d_b, ["__band", "__bkt"])
+    # A pair matching in several bands is scored once per match rather
+    # than deduped first: a pre-score dropDuplicates would shuffle the
+    # WIDE rows (two dim-sized arrays each), while duplicate matches are
+    # rare (most near pairs agree in one band) and the post-score argmax
+    # window — which shuffles only (surface, id, score) — absorbs them.
+    # Arrow-vectorized scoring: candidate volume is mentions x bucket
+    # load, and the interpreted HOF cosine dominates wall at millions of
+    # pairs; for integer trigram embeddings the numpy result is
+    # bit-identical (exact float64 integer arithmetic).
+    from delm_spark.operators.similarity import cosine_pandas_udf
+
+    _cos = cosine_pandas_udf()
+    scored = cand.select(
         "surface",
         "canonical_id",
-        cosine(F.col("__me"), F.col("__de")).alias("link_score"),
+        _cos(F.col("__me"), F.col("__de")).alias("link_score"),
     )
     w = Window.partitionBy("surface").orderBy(
         F.desc("link_score"), F.asc("canonical_id")
