@@ -44,9 +44,7 @@ EDGES = f"/tmp/delm_cc_edges_{N_STAR_EDGES}_{N_CHAIN_EDGES}"
 EVDIR = "/tmp/delm_cc_eventlog"
 
 
-def steal_counters():
-    f = open("/proc/stat").readline().split()
-    return int(f[8]), sum(int(x) for x in f[1:9])
+from bench_util import parse_task_windows, steal_counters  # noqa: E402
 
 
 def make_edges(spark):
@@ -73,48 +71,11 @@ def make_edges(spark):
 
 
 def shuffle_per_window(app_dir: Path, windows: list) -> list:
-    """Shuffle write bytes/records + task counts per wall window from the
-    uncompressed event log (TaskEnd metrics)."""
-    out = [
-        {"shuffle_write_mb": 0.0, "shuffle_records": 0, "n_tasks": 0, "n_jobs": 0}
-        for _ in windows
+    """Shuffle/task/job sums per wall window (bench_util event-log walk)."""
+    return [
+        {k: w[k] for k in ("shuffle_write_mb", "shuffle_records", "n_tasks", "n_jobs")}
+        for w in parse_task_windows(app_dir, windows)
     ]
-    files = sorted(app_dir.glob("**/*")) if app_dir.is_dir() else []
-    for fp in files:
-        if not fp.is_file():
-            continue
-        with open(fp, errors="replace") as f:
-            for line in f:
-                if (
-                    '"SparkListenerTaskEnd"' not in line
-                    and '"SparkListenerJobStart"' not in line
-                ):
-                    continue
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if ev.get("Event") == "SparkListenerJobStart":
-                    ts = ev.get("Submission Time", 0)
-                    for i, (a, b) in enumerate(windows):
-                        if a <= ts <= b:
-                            out[i]["n_jobs"] += 1
-                    continue
-                ts = ev.get("Task Info", {}).get("Launch Time", 0)
-                m = ev.get("Task Metrics") or {}
-                sw = m.get("Shuffle Write Metrics") or {}
-                for i, (a, b) in enumerate(windows):
-                    if a <= ts <= b:
-                        out[i]["n_tasks"] += 1
-                        out[i]["shuffle_write_mb"] += sw.get(
-                            "Shuffle Bytes Written", 0
-                        ) / 1e6
-                        out[i]["shuffle_records"] += sw.get(
-                            "Shuffle Records Written", 0
-                        )
-    for o in out:
-        o["shuffle_write_mb"] = round(o["shuffle_write_mb"], 1)
-    return out
 
 
 def main() -> None:

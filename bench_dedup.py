@@ -36,9 +36,7 @@ VOCAB = 2000
 WORDS_PER_DOC = 120
 
 
-def steal_counters():
-    f = open("/proc/stat").readline().split()
-    return int(f[8]), sum(int(x) for x in f[1:9])
+from bench_util import steal_counters  # noqa: E402
 
 
 def make_corpus(spark):

@@ -39,9 +39,7 @@ THRESHOLD = float(os.environ.get("SPARK_GRAFT_LINK_THRESHOLD", "0.75"))
 VOCAB = int(os.environ.get("SPARK_GRAFT_LINK_VOCAB", "20000"))
 
 
-def steal_counters():
-    f = open("/proc/stat").readline().split()
-    return int(f[8]), sum(int(x) for x in f[1:9])
+from bench_util import steal_counters  # noqa: E402
 
 
 def make_tables(spark):

@@ -44,48 +44,16 @@ CORPUS = f"/tmp/delm_scaling_transcripts_{N_CONVS}_p{N_FILES}"
 EVDIR = "/tmp/delm_scaling_eventlogs"
 
 
-def steal_counters():
-    f = open("/proc/stat").readline().split()
-    return int(f[8]), sum(int(x) for x in f[1:9])
+from bench_util import parse_task_windows, steal_counters  # noqa: E402
 
 
 def parse_event_log(app_dir: Path, windows: list) -> list:
-    """Sum TaskEnd metrics + job counts per (t0_ms, t1_ms) wall window."""
-    out = [
-        {"task_sec": 0.0, "cpu_sec": 0.0, "gc_sec": 0.0, "n_tasks": 0, "n_jobs": 0}
-        for _ in windows
+    """Thin wrapper over bench_util.parse_task_windows keeping this
+    report's historical field subset."""
+    return [
+        {k: w[k] for k in ("task_sec", "cpu_sec", "gc_sec", "n_tasks", "n_jobs")}
+        for w in parse_task_windows(app_dir, windows)
     ]
-    files = sorted(app_dir.glob("**/*")) if app_dir.is_dir() else [app_dir]
-    for fp in files:
-        if not fp.is_file():
-            continue
-        with open(fp, errors="replace") as f:
-            for line in f:
-                if '"SparkListenerTaskEnd"' not in line and '"SparkListenerJobStart"' not in line:
-                    continue
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if ev.get("Event") == "SparkListenerJobStart":
-                    ts = ev.get("Submission Time", 0)
-                    for i, (a, b) in enumerate(windows):
-                        if a <= ts <= b:
-                            out[i]["n_jobs"] += 1
-                    continue
-                info = ev.get("Task Info", {})
-                ts = info.get("Launch Time", 0)
-                m = ev.get("Task Metrics") or {}
-                for i, (a, b) in enumerate(windows):
-                    if a <= ts <= b:
-                        out[i]["n_tasks"] += 1
-                        out[i]["task_sec"] += m.get("Executor Run Time", 0) / 1e3
-                        out[i]["cpu_sec"] += m.get("Executor CPU Time", 0) / 1e9
-                        out[i]["gc_sec"] += m.get("JVM GC Time", 0) / 1e3
-    for o in out:
-        for k in ("task_sec", "cpu_sec", "gc_sec"):
-            o[k] = round(o[k], 1)
-    return out
 
 
 def run_level(cores: int) -> dict:

@@ -24,6 +24,7 @@ from delm_spark.constants import (
     CHUNK_COL,
     CHUNK_ID_COL,
     CHUNK_POS_COL,
+    FILE_NAME_COL,
     RECORD_ID_COL,
     SCORE_COL,
 )
@@ -144,17 +145,21 @@ class DelmSpark:
         from delm_spark.operators.splitting import explode_chunks, split_strategy_expr
 
         prep = self.config.data_preprocessing
+        one_row_per_file = False
         if isinstance(data, DataFrame):
             df = data
         else:
             from delm_spark.io.loaders import load_directory, load_path
 
             p = Path(data)
-            df = (
-                load_directory(self.spark, str(p), prep.target_column)[0]
-                if p.is_dir()
-                else load_path(self.spark, str(p), prep.target_column)
-            )
+            if p.is_dir():
+                df, ext = load_directory(self.spark, str(p), prep.target_column)
+            else:
+                df = load_path(self.spark, str(p), prep.target_column)
+                ext = p.suffix.lower()
+            # whole-file loaders emit exactly one row per input file, so
+            # the file name is a shuffle-free positional record suffix
+            one_row_per_file = ext in {".txt", ".md", ".html", ".docx", ".pdf"}
         target = prep.target_column if prep.target_column in df.columns else (
             "delm_raw_data" if "delm_raw_data" in df.columns else None
         )
@@ -167,18 +172,47 @@ class DelmSpark:
         # duplicate-row suffix keeps identical documents DISTINCT records
         # (the reference's ordinal ids do too) — without it, n duplicate
         # rows would share one id and the chunk-metadata join would fan
-        # out n^2.
-        from pyspark.sql import Window
-
+        # out n^2. The suffix source is tiered by cost:
+        #   1. whole-file corpora (txt/md/html/docx/pdf we loaded
+        #      ourselves): the file name IS the row's position — pure map.
+        #   2. row-tracked file sources (parquet): the hidden _metadata
+        #      (file_path, row_index) pair — deterministic file position,
+        #      NO exchange; the dominant corpus-scale case stays a pure
+        #      map stage.
+        #   3. anything else (in-memory frames, sources without row
+        #      metadata): a row_number window over the content hash — one
+        #      full shuffle, but deterministic and only on the fallback
+        #      path. monotonically_increasing_id is NOT an option here:
+        #      it is marked nondeterministic, and with no experiment dir
+        #      the un-persisted plan recomputes per action, so ids could
+        #      differ between the joins that consume them.
         content_hash = F.xxhash64(*sorted(df.columns))
-        dup_rank = F.row_number().over(
+        dup_suffix = None
+        if one_row_per_file and FILE_NAME_COL in df.columns:
+            dup_suffix = F.xxhash64(F.col(FILE_NAME_COL))
+        else:
+            try:
+                dup_suffix = F.xxhash64(
+                    F.col("_metadata.file_path"), F.col("_metadata.row_index")
+                )
+                # force analysis NOW: _metadata only resolves over
+                # row-tracked file-source scans
+                df.withColumn(RECORD_ID_COL, dup_suffix).schema
+            except Exception:
+                dup_suffix = None
+        if dup_suffix is None:
+            from pyspark.sql import Window
+
             # duplicate rows are byte-identical, so which copy gets which
             # rank is immaterial — any stable order works
-            Window.partitionBy(content_hash).orderBy(content_hash)
-        )
+            dup_suffix = F.row_number().over(
+                Window.partitionBy(content_hash).orderBy(content_hash)
+            )
         df = df.withColumn(
             RECORD_ID_COL,
-            F.concat_ws("-", content_hash.cast("string"), dup_rank.cast("string")),
+            F.concat_ws(
+                "-", content_hash.cast("string"), dup_suffix.cast("string")
+            ),
         )
         if sample_size > 0:
             df = seeded_sample_records(df, sample_size, RECORD_ID_COL)

@@ -120,25 +120,32 @@ def _extract_series(
     return jsons, errors, in_toks, out_toks
 
 
-def _is_cold_cache_error(e: Exception) -> bool:
+def _is_cold_cache_error(e: Exception, cache_dir: str) -> bool:
     """True when a cache_dir read failure means "no cached data yet".
 
     Two shapes qualify: the directory is absent (PATH_NOT_FOUND), or it
     exists but holds no data files — a prior zero-miss/empty-input run
     leaves `delm_run_id=<id>/` with only _SUCCESS, which surfaces as
-    UNABLE_TO_INFER_SCHEMA. Anything else (transient FS error, permission)
-    must propagate: treating it as cold would re-extract every key and
-    double-commit success rows."""
+    UNABLE_TO_INFER_SCHEMA. The second shape is verified STRUCTURALLY
+    (no non-marker files anywhere under the dir), not by message alone: a
+    cache_dir misconfigured onto a foreign directory of non-parquet files
+    must raise, not silently re-extract and write partitions into it.
+    Anything else (transient FS error, permission) must propagate:
+    treating it as cold would re-extract every key and double-commit
+    success rows."""
     msg = str(e)
-    return any(
-        s in msg
-        for s in (
-            "PATH_NOT_FOUND",
-            "Path does not exist",
-            "UNABLE_TO_INFER_SCHEMA",
-            "Unable to infer schema",
-        )
-    )
+    if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        return True
+    if "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg:
+        root = _local_cache_path(cache_dir)
+        if root is None:
+            # cannot probe object stores structurally; stay conservative
+            return False
+        for f in root.rglob("*"):
+            if f.is_file() and not f.name.startswith((".", "_")):
+                return False  # real data files present -> not cold
+        return True
+    return False
 
 
 def _local_cache_path(cache_dir: str):
@@ -340,7 +347,7 @@ def extract_chunks(
             # is repaired by compact_cache, never silently re-deduped here.
             cached_ok = cached.filter(F.col(ERRORS_COL).isNull())
         except Exception as e:
-            if not _is_cold_cache_error(e):
+            if not _is_cold_cache_error(e, cache_dir):
                 raise
             cached_ok = None  # cold cache
         if cached_ok is not None:
@@ -372,6 +379,9 @@ def extract_chunks(
             )
             for r in miss_rows
         )
+        # snapshot BEFORE pruning: the returned plan is built from this
+        # in-memory frame, so size-cap eviction (maintenance for future
+        # runs) can never delete rows the current run still needs
         full_pdf = sqlite_cache.snapshot().rename(
             columns={
                 "k": CACHE_KEY_COL,
@@ -382,6 +392,7 @@ def extract_chunks(
                 "part_id": PART_ID_COL,
             }
         )
+        sqlite_cache.maybe_prune()
         full_pdf[CACHE_HIT_COL] = full_pdf[CACHE_KEY_COL].isin(sqlite_hit_keys)
         for c in (IN_TOKENS_COL, OUT_TOKENS_COL, PART_ID_COL):
             full_pdf[c] = full_pdf[c].fillna(0).astype("int64")
@@ -418,7 +429,7 @@ def extract_chunks(
     try:
         full = spark.read.parquet(cache_dir)
     except Exception as e:
-        if not _is_cold_cache_error(e):
+        if not _is_cold_cache_error(e, cache_dir):
             raise
         # no parquet files anywhere (empty input on a cold cache)
         return keyed.join(

@@ -85,32 +85,44 @@ class SqliteSemanticCache:
                     "VALUES (?, ?, ?, ?, ?, ?)",
                     rows,
                 )
+        # NOTE: no auto-prune here — the caller must snapshot() the table
+        # (capturing this run's values in memory) BEFORE maybe_prune(),
+        # or size-cap eviction could delete rows the in-flight run still
+        # needs (its cache hits exist only in the table).
+        return len(rows)
+
+    def maybe_prune(self) -> None:
+        """Apply the configured max_size_mb cap, if any. Call AFTER the
+        run's snapshot has been taken."""
         if self.max_size_mb is not None:
             self.prune(self.max_size_mb * 1024 * 1024)
-        return len(rows)
+
+    #: per-row payload size expression (shared by stats and prune)
+    _ROW_BYTES = "LENGTH(IFNULL(json,'')) + LENGTH(IFNULL(errors,''))"
 
     def payload_bytes(self) -> int:
         with self._connect() as db:
             return db.execute(
-                "SELECT IFNULL(SUM(LENGTH(IFNULL(json,'')) + LENGTH(IFNULL(errors,''))), 0) "
-                "FROM cache"
+                f"SELECT IFNULL(SUM({self._ROW_BYTES}), 0) FROM cache"
             ).fetchone()[0]
 
     def prune(self, max_size_bytes: int) -> None:
         """Oldest-first eviction until payload size fits (reference
-        semantic_cache.py:331-352)."""
+        semantic_cache.py:331-352 semantics) — ONE pass: a running total
+        over newest-first rows keeps every row while the cumulative
+        payload fits and deletes the rest (the 10-rows-then-rescan loop
+        was O(deleted * table_size))."""
         with self._connect() as db:
-            size = db.execute(
-                "SELECT IFNULL(SUM(LENGTH(IFNULL(json,'')) + LENGTH(IFNULL(errors,''))), 0) FROM cache"
-            ).fetchone()[0]
-            while size > max_size_bytes:
-                db.execute(
-                    "DELETE FROM cache WHERE k IN "
-                    "(SELECT k FROM cache ORDER BY ts ASC, k ASC LIMIT 10)"
-                )
-                size = db.execute(
-                    "SELECT IFNULL(SUM(LENGTH(IFNULL(json,'')) + LENGTH(IFNULL(errors,''))), 0) FROM cache"
-                ).fetchone()[0]
+            db.execute(
+                f"""DELETE FROM cache WHERE k IN (
+                    SELECT k FROM (
+                        SELECT k, SUM({self._ROW_BYTES}) OVER (
+                            ORDER BY ts DESC, k DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+                        FROM cache)
+                    WHERE cum > ?)""",
+                (max_size_bytes,),
+            )
 
     def stats(self) -> dict:
         with self._connect() as db:

@@ -190,15 +190,21 @@ def parse_tounicode_cmap(content: bytes) -> ToUnicodeCMap:
 _NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)")
 
 
-def _extract_block_text(block: bytes, fonts=None) -> str:
+def _extract_block_text(
+    block: bytes, fonts=None, initial_cmap: "ToUnicodeCMap | None" = None
+) -> tuple[str, "ToUnicodeCMap | None"]:
     """Evaluate the text-showing operators of one BT/ET block. `fonts`
     maps resource font names (the /F1 of `/F1 12 Tf`) to ToUnicodeCMap;
     strings shown under a mapped font decode through its CMap, everything
-    else falls back to latin-1 (simple-font behavior)."""
+    else falls back to latin-1 (simple-font behavior). Font selection is
+    GRAPHICS STATE: it persists across BT/ET blocks of a stream, so the
+    caller threads `initial_cmap` in and the final selection back out —
+    a block without its own Tf keeps the previously selected font.
+    Returns (text, final_cmap)."""
     out: list[str] = []
     pending: list[bytes] = []
     fonts = fonts or {}
-    current_cmap: ToUnicodeCMap | None = None
+    current_cmap: ToUnicodeCMap | None = initial_cmap
     last_name: bytes = b""
 
     def _show(chunks):
@@ -251,7 +257,7 @@ def _extract_block_text(block: bytes, fonts=None) -> str:
                 pending.clear()
         else:
             i += 1
-    return "".join(out)
+    return "".join(out), current_cmap
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
@@ -337,8 +343,13 @@ def parse_pdf_bytes(data: bytes) -> str:
             content = body
         if b"BT" not in content:
             continue
+        # font selection is graphics state shared by the blocks of ONE
+        # content stream; it resets between streams (each page's stream
+        # starts with default state)
+        cmap: ToUnicodeCMap | None = None
         for block in _TEXT_BLOCK_RE.finditer(content):
-            t = _extract_block_text(block.group(1), fonts).strip()
+            t, cmap = _extract_block_text(block.group(1), fonts, cmap)
+            t = t.strip()
             if t:
                 texts.append(t)
     return "\n".join(texts)

@@ -83,13 +83,24 @@ def connected_components(
         pairs = [(r["a"], r["b"]) for r in sym.collect()]
         comp = _driver_union_find(pairs)
         import pandas as pd
+        from pyspark.sql.types import StructField, StructType
 
         # Arrow-backed local frame: a plain-rows createDataFrame is
         # Python-RDD backed, re-running Python deserializer tasks on every
-        # downstream action (~6 s/action at 32 cores for tiny tables)
+        # downstream action (~6 s/action at 32 cores for tiny tables).
+        # The schema carries the EDGE COLUMN'S type: a hardcoded string
+        # schema would make Arrow conversion of int64 ids fail and fall
+        # back to that Python-RDD path silently, AND flip the output
+        # dtype between the driver and distributed paths (string vs
+        # bigint), reintroducing the lossy >2^53 string/numeric coercion
+        # on downstream joins.
+        node_type = sym.schema["a"].dataType
         pdf = pd.DataFrame(sorted(comp.items()), columns=["node", "component"])
         return spark.createDataFrame(
-            pdf, "node string, component string"
+            pdf,
+            StructType(
+                [StructField("node", node_type), StructField("component", node_type)]
+            ),
         ).coalesce(1)
     if num_partitions is None:
         # ~1M edges per partition, clamped to the session's shuffle width
@@ -187,6 +198,13 @@ def canonical_map(
     against the driver path in tests/test_connected_components.py).
     """
     spark = dictionary.sparkSession
+    # The node namespace of this graph is inherently string ('mention:'
+    # prefix), so a numeric canonical_id column is normalized up front:
+    # without the cast the driver path mixes str and int nodes (startswith
+    # raises) and the distributed path unions string/bigint edge columns.
+    dictionary = dictionary.select(
+        "surface", F.col("canonical_id").cast("string").alias("canonical_id")
+    )
     # ONE job decides the path AND fetches the rows (limit cutoff+1: if the
     # extra row comes back the dictionary is over-cutoff -> distributed)
     rows = (

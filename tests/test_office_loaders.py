@@ -306,6 +306,36 @@ def test_parse_tounicode_cmap_kernel():
     assert cmap.decode(bytes.fromhex("0001FFFF0010")) == "Hl"
 
 
+def test_font_state_persists_across_text_blocks():
+    """Tf is graphics state: a BT/ET block WITHOUT its own Tf keeps the
+    previously selected font's CMap (common writer pattern)."""
+    from delm_spark.io.pdf import parse_pdf_bytes
+
+    content = (
+        b"BT /F1 12 Tf <0001> Tj ET "
+        b"BT <0010> Tj ET "          # no Tf: still the /F1 CMap
+        b"BT /F2 9 Tf (plain) Tj ET "
+        b"BT (more) Tj ET"           # still the simple font -> latin-1
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(_CMAP_BODY)).encode() + b" >>\nstream\n"
+        + _CMAP_BODY + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    text = parse_pdf_bytes(_assemble_pdf(objs))
+    lines = text.split("\n")
+    assert lines[0] == "H"      # 0001 via CMap
+    assert lines[1] == "l"      # 0010 via the SAME CMap (no Tf in block)
+    assert lines[2] == "plain" and lines[3] == "more"
+
+
 def test_font_resource_indirect_dict():
     """/Font given as an indirect reference to a resource object."""
     from delm_spark.io.pdf import parse_pdf_bytes
