@@ -148,12 +148,14 @@ class DataPreprocessingConfig:
 @dataclass
 class SemanticCacheConfig:
     """Reference cache config (config.py:418-447). `backend` selects the
-    store: 'parquet' (default; the cluster-scale run-partitioned table,
-    also serving 'filesystem' as a documented substitution) or 'sqlite'
-    (a real driver-side WAL sqlite store, extraction/sqlite_cache.py,
-    honoring `synchronous` and oldest-first `max_size_mb` pruning like
-    the reference SQLiteWALCache). 'lmdb' is accepted by validation but
-    raises at use (the lmdb package is not available here)."""
+    store: 'parquet' (default; the cluster-scale run-partitioned table),
+    'sqlite' (a real driver-side WAL sqlite store,
+    extraction/sqlite_cache.py, honoring `synchronous` and oldest-first
+    `max_size_mb` pruning like the reference SQLiteWALCache), or
+    'filesystem' (one file per key in the reference FilesystemJSONCache
+    layout, extraction/fs_cache.py, mtime-ordered pruning). 'lmdb' is
+    accepted by validation but raises at use (the lmdb package is not
+    available here)."""
 
     path: Optional[str] = None
     backend: str = "parquet"

@@ -297,24 +297,32 @@ class DelmSpark:
         backend = self.backend or RuleTripleExtractor(self.config.spec)
         # storage backend dispatch (reference semantic_cache.py factory):
         # 'sqlite' -> driver-side WAL sqlite (single-node compat);
-        # 'parquet'/'filesystem' -> the run-partitioned parquet table
-        # (the cluster-scale path; 'filesystem' is a documented
-        # substitution); 'lmdb' needs the lmdb package, absent here.
+        # 'filesystem' -> driver-side one-file-per-key JSON store
+        # (reference FilesystemJSONCache layout); 'parquet' -> the
+        # run-partitioned parquet table (the cluster-scale path);
+        # 'lmdb' needs the lmdb package, absent here.
         cache_cfg = self.config.semantic_cache
-        cache_dir, sqlite_cache = None, None
+        cache_dir, driver_cache = None, None
         if cache_cfg.path is not None:
             if cache_cfg.backend == "sqlite":
                 from delm_spark.extraction.sqlite_cache import SqliteSemanticCache
 
-                sqlite_cache = SqliteSemanticCache(
+                driver_cache = SqliteSemanticCache(
                     cache_cfg.path,
                     synchronous=cache_cfg.synchronous or "NORMAL",
                     max_size_mb=cache_cfg.max_size_mb,
                 )
+            elif cache_cfg.backend == "filesystem":
+                from delm_spark.extraction.fs_cache import FilesystemSemanticCache
+
+                driver_cache = FilesystemSemanticCache(
+                    cache_cfg.path, max_size_mb=cache_cfg.max_size_mb
+                )
             elif cache_cfg.backend == "lmdb":
                 raise NotImplementedError(
                     "semantic_cache.backend='lmdb' needs the lmdb package, "
-                    "which is not available; use 'sqlite' or 'parquet'"
+                    "which is not available; use 'sqlite', 'filesystem' or "
+                    "'parquet'"
                 )
             else:
                 cache_dir = cache_cfg.path
@@ -326,7 +334,7 @@ class DelmSpark:
             max_retries=self.config.llm_extraction.max_retries,
             base_delay=self.config.llm_extraction.base_delay,
             cache_dir=cache_dir,
-            sqlite_cache=sqlite_cache,
+            driver_cache=driver_cache,
             call_spec=self.config.llm_extraction.call_spec(),
         )
         # metadata back on chunk id (reference delm.py:208: left join)

@@ -207,7 +207,7 @@ def extract_chunks(
     cache_dir: Optional[str] = None,
     call_spec: Optional[CallSpec] = None,
     auto_compact_runs: int = 16,
-    sqlite_cache=None,
+    driver_cache=None,
 ) -> DataFrame:
     """Run schema-guided extraction over `df[text_col]`.
 
@@ -245,9 +245,9 @@ def extract_chunks(
         ctx = TaskContext.get()
         return ctx.partitionId() if ctx else -1
 
-    if sqlite_cache is not None and cache_dir is not None:
-        raise ValueError("pass either cache_dir (parquet) or sqlite_cache, not both")
-    if cache_dir is not None or sqlite_cache is not None:
+    if driver_cache is not None and cache_dir is not None:
+        raise ValueError("pass either cache_dir (parquet) or driver_cache, not both")
+    if cache_dir is not None or driver_cache is not None:
         dedup = True
 
     if not dedup:
@@ -308,16 +308,18 @@ def extract_chunks(
 
     spark = df.sparkSession
     cached_ok = None
-    sqlite_hit_keys = None
-    if sqlite_cache is not None:
-        # driver-side sqlite backend (reference SQLiteWALCache): the
+    driver_hit_keys = None
+    if driver_cache is not None:
+        # driver-side KV backend (reference SQLiteWALCache /
+        # FilesystemJSONCache — anything with the snapshot/upsert/
+        # maybe_prune protocol): the
         # pre-run snapshot is bounded by distinct-prompt cardinality, so
         # shipping it through an Arrow-backed local frame is cheap by
         # construction; only SUCCESS rows block re-extraction (error rows
         # retry, like the parquet path)
-        snap = sqlite_cache.snapshot()
+        snap = driver_cache.snapshot()
         ok = snap[snap["errors"].isna()]
-        sqlite_hit_keys = set(ok["k"])
+        driver_hit_keys = set(ok["k"])
         if len(ok):
             cached_keys = spark.createDataFrame(
                 ok[["k"]].rename(columns={"k": CACHE_KEY_COL}),
@@ -361,14 +363,14 @@ def extract_chunks(
     unique = unique.repartition(width)
     extracted = unique.mapInPandas(run_unique, schema=out_schema)
 
-    if sqlite_cache is not None:
+    if driver_cache is not None:
         from pyspark.sql.types import BooleanType
 
         # ONE action materializes this run's misses; row volume = distinct
         # missed prompts (the quantity a semantic cache stores by
         # definition), so the driver round-trip is bounded
         miss_rows = extracted.collect()
-        sqlite_cache.upsert(
+        driver_cache.upsert(
             (
                 r[CACHE_KEY_COL],
                 r[EXTRACTED_JSON_COL],
@@ -382,7 +384,7 @@ def extract_chunks(
         # snapshot BEFORE pruning: the returned plan is built from this
         # in-memory frame, so size-cap eviction (maintenance for future
         # runs) can never delete rows the current run still needs
-        full_pdf = sqlite_cache.snapshot().rename(
+        full_pdf = driver_cache.snapshot().rename(
             columns={
                 "k": CACHE_KEY_COL,
                 "json": EXTRACTED_JSON_COL,
@@ -392,8 +394,8 @@ def extract_chunks(
                 "part_id": PART_ID_COL,
             }
         )
-        sqlite_cache.maybe_prune()
-        full_pdf[CACHE_HIT_COL] = full_pdf[CACHE_KEY_COL].isin(sqlite_hit_keys)
+        driver_cache.maybe_prune()
+        full_pdf[CACHE_HIT_COL] = full_pdf[CACHE_KEY_COL].isin(driver_hit_keys)
         for c in (IN_TOKENS_COL, OUT_TOKENS_COL, PART_ID_COL):
             full_pdf[c] = full_pdf[c].fillna(0).astype("int64")
         full_schema = StructType(

@@ -1,8 +1,10 @@
-"""Sqlite semantic-cache backend (reference SQLiteWALCache parity):
-warm-run hit semantics, error retry/heal, oldest-first pruning, and the
-facade backend dispatch."""
+"""Filesystem semantic-cache backend (reference FilesystemJSONCache
+parity, semantic_cache.py:130-213): layout, warm-run hit semantics,
+error retry/heal, mtime-ordered pruning, and the facade dispatch."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -13,7 +15,7 @@ from delm_spark.extraction.backend import (
     RuleTripleExtractor,
 )
 from delm_spark.extraction.extract import extract_chunks
-from delm_spark.extraction.sqlite_cache import SqliteSemanticCache
+from delm_spark.extraction.fs_cache import FilesystemSemanticCache
 from delm_spark.schemas.spec import spec_from_dict
 
 SPEC = spec_from_dict(TRIPLE_SCHEMA_CFG)
@@ -32,73 +34,77 @@ def _chunk_df(spark, texts):
     )
 
 
-def test_sqlite_cold_then_warm(spark, tmp_path):
-    cache = SqliteSemanticCache(str(tmp_path / "cache.db"))
+def test_fs_layout_matches_reference(tmp_path):
+    """One file per key at <root>/<k[:2]>/<k[2:4]>/<key>.zst (reference
+    FilesystemJSONCache._path, semantic_cache.py:156)."""
+    cache = FilesystemSemanticCache(str(tmp_path / "fscache"))
+    cache.upsert([("abcdef0123", '{"x":1}', None, 3, 4, 0)])
+    p = tmp_path / "fscache" / "ab" / "cd" / "abcdef0123.zst"
+    assert p.is_file()
+    snap = cache.snapshot()
+    assert list(snap["k"]) == ["abcdef0123"]
+    assert snap.iloc[0]["json"] == '{"x":1}'
+    assert snap.iloc[0]["in_tokens"] == 3
+
+
+def test_fs_cold_then_warm(spark, tmp_path):
+    cache = FilesystemSemanticCache(str(tmp_path / "fscache"))
     df = _chunk_df(spark, TEXTS)
     cold = extract_chunks(df, SPEC, RuleTripleExtractor(SPEC), driver_cache=cache)
     rows = cold.collect()
     assert len(rows) == len(TEXTS)
     assert all(not r["delm_cache_hit"] for r in rows)
-    assert cache.stats()["entries"] == len(set(TEXTS))  # one row per key
+    assert cache.stats()["entries"] == len(set(TEXTS))
 
-    # warm: zero backend calls, every row a hit, extraction values intact
     warm = extract_chunks(df, SPEC, CacheOnlyBackend(), driver_cache=cache)
     wrows = warm.collect()
     assert all(r["delm_cache_hit"] and r["delm_errors"] is None for r in wrows)
     by_id_cold = {r["chunk_id"]: r["delm_extracted_data_json"] for r in rows}
     by_id_warm = {r["chunk_id"]: r["delm_extracted_data_json"] for r in wrows}
     assert by_id_cold == by_id_warm
-    # cost accounting matches the parquet path: warm run costs nothing
-    from delm_spark.extraction.cost import summarize_cost
-
-    s = summarize_cost(warm)
-    assert s.input_tokens == 0 and s.cached_input_tokens > 0
 
 
-def test_sqlite_error_rows_retry_and_heal(spark, tmp_path):
-    cache = SqliteSemanticCache(str(tmp_path / "cache.db"))
+def test_fs_error_rows_retry_and_heal(spark, tmp_path):
+    cache = FilesystemSemanticCache(str(tmp_path / "fscache"))
     df = _chunk_df(spark, TEXTS[:2])
     bad = FailingBackend(RuleTripleExtractor(SPEC), fail_pattern="Bob Jones")
     out1 = extract_chunks(df, SPEC, bad, driver_cache=cache).collect()
     assert sum(r["delm_errors"] is not None for r in out1) == 1
-    # error keys are misses: the healed backend replaces the error row
     out2 = extract_chunks(
         df, SPEC, RuleTripleExtractor(SPEC), driver_cache=cache
     ).collect()
     assert all(r["delm_errors"] is None for r in out2)
-    # the previously-good key was a hit, the healed key was not
     hits = {r["chunk_id"]: r["delm_cache_hit"] for r in out2}
     assert hits[0] is True and hits[1] is False
     assert cache.stats()["entries"] == 2
 
 
-def test_sqlite_prune_oldest_first(tmp_path):
-    cache = SqliteSemanticCache(str(tmp_path / "cache.db"))
-    rows = [(f"k{i:03d}", "x" * 100, None, 1, 1, 0) for i in range(50)]
-    cache.upsert(rows)
+def test_fs_prune_oldest_first(tmp_path):
+    cache = FilesystemSemanticCache(str(tmp_path / "fscache"))
+    for i in range(10):
+        cache.upsert([(f"k{i:03d}aaaa", "x" * 100, None, 1, 1, 0)])
+        # distinct mtimes: oldest-first must evict k000... upward
+        os.utime(cache._path(f"k{i:03d}aaaa"), (1000 + i, 1000 + i))
     before = cache.payload_bytes()
     cache.prune(before // 2)
     assert cache.payload_bytes() <= before // 2
-    # oldest (lowest ts, tie-broken by key) went first: the highest keys
-    # survive because they were inserted in one batch (same ts) and the
-    # tie-break deletes k000... upward
     snap = cache.snapshot()
-    assert len(snap) < 50 and snap["k"].min() > "k000"
+    assert 0 < len(snap) < 10 and snap["k"].min() > "k000"
 
 
-def test_parquet_and_sqlite_are_mutually_exclusive(spark, tmp_path):
-    cache = SqliteSemanticCache(str(tmp_path / "c.db"))
-    with pytest.raises(ValueError, match="not both"):
-        extract_chunks(
-            _chunk_df(spark, TEXTS[:1]),
-            SPEC,
-            RuleTripleExtractor(SPEC),
-            cache_dir=str(tmp_path / "p"),
-            driver_cache=cache,
-        )
+def test_fs_cap_prunes_after_snapshot(spark, tmp_path):
+    """max_size_mb=0 evicts everything — but only AFTER the run's
+    snapshot, so the run's own rows still come back non-null."""
+    cache = FilesystemSemanticCache(str(tmp_path / "fscache"), max_size_mb=0)
+    df = _chunk_df(spark, TEXTS[:2])
+    rows = extract_chunks(
+        df, SPEC, RuleTripleExtractor(SPEC), driver_cache=cache
+    ).collect()
+    assert all(r["delm_extracted_data_json"] is not None for r in rows)
+    assert cache.stats()["entries"] == 0
 
 
-def test_facade_dispatches_sqlite_backend(spark, tmp_path):
+def test_facade_dispatches_filesystem_backend(spark, tmp_path):
     from delm_spark.delm import DelmSpark
 
     cfg = {
@@ -106,25 +112,18 @@ def test_facade_dispatches_sqlite_backend(spark, tmp_path):
         "data_preprocessing": {"target_column": "text"},
         "schema": {"spec": TRIPLE_SCHEMA_CFG},
         "semantic_cache": {
-            "backend": "sqlite",
-            "path": str(tmp_path / "cache.db"),
+            "backend": "filesystem",
+            "path": str(tmp_path / "fscache"),
             "max_size_mb": 100,
-            "synchronous": "normal",
         },
     }
     texts = spark.createDataFrame([("Alice Smith works at Acme Corp.",)], "text string")
     d = DelmSpark.from_dict(cfg, spark)
     d.prep_data(texts)
     d.process_via_llm().collect()
-    assert (tmp_path / "cache.db").exists()
-    # warm facade run through the sqlite store makes zero backend calls
+    assert (tmp_path / "fscache").is_dir()
+    # warm facade run through the store makes zero backend calls
     d2 = DelmSpark.from_dict(cfg, spark, backend=CacheOnlyBackend())
     d2.prep_data(texts)
     rows = d2.process_via_llm().collect()
     assert all(r["delm_cache_hit"] and r["delm_errors"] is None for r in rows)
-
-    cfg["semantic_cache"]["backend"] = "lmdb"
-    d3 = DelmSpark.from_dict(cfg, spark)
-    d3.prep_data(texts)
-    with pytest.raises(NotImplementedError, match="lmdb"):
-        d3.process_via_llm()
