@@ -119,39 +119,57 @@ def minhash_lsh_pairs(
     Signature is banded into `bands` groups of k/bands rows; each band is
     hashed to a bucket; a self-equi-join on (band, bucket) yields the
     candidates. Shuffle key is the bucket hash — uniformly distributed.
+
+    Each candidate pair is emitted EXACTLY ONCE — from its first shared
+    band (the join requires every earlier band's buckets to differ, read
+    off the carried bucket array) — so no distinct() pass over the
+    candidate set is needed. At corpus scale that removes a full shuffle
+    of the candidate pairs, the largest intermediate for clustered
+    corpora; the carried array costs `bands` extra strings per exploded
+    row on the (uniform) bucket shuffle instead.
     """
     rows_per_band = k // bands
     sig = (
         minhash_signatures_agg(df, text_col, id_col, k=k, n=n)
         .withColumnRenamed(id_col, "__id")
     )
+    buckets = F.array(
+        *[
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                    "|",
+                )
+            )
+            for b in range(bands)
+        ]
+    )
     banded = sig.select(
         "__id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.array_join(
-                            F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                            "|",
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band", "__bucket"),
+        buckets.alias("__bkts"),
+    ).select(
+        "__id",
+        "__bkts",
+        F.posexplode("__bkts").alias("__band", "__bucket"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # first-match guard: an earlier shared band already emitted this pair
+    not_earlier = F.lit(True)
+    for band in range(bands - 1):
+        not_earlier = not_earlier & (
+            (F.col("a.__band") <= F.lit(band))
+            | (F.col("a.__bkts")[band] != F.col("b.__bkts")[band])
+        )
     return (
         a.join(
             b,
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            & not_earlier,
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
     )
 
 
@@ -252,13 +270,26 @@ def simhash_dedup_pairs(
     every block (one posexplode + equi-join on (block_pos, block_value))
     gives FULL recall for max_hamming <= n_blocks - 1. Bucket sizes stay
     bounded per block value; the pair join is a plain equi-join AQE can
-    re-plan at scale. Returns (id_a, id_b, hamming).
+    re-plan at scale.
+
+    Each qualifying pair is emitted EXACTLY ONCE — from its first
+    matching block (the join condition requires every earlier block to
+    differ) — so no distinct() pass is needed. At corpus scale that
+    removes a full shuffle of the near-dup pair set, which for clustered
+    corpora (the common case for near-dup detection) is the largest
+    intermediate of the whole query. Returns (id_a, id_b, hamming).
     """
     sig = simhash_signatures_agg(df, text_col, id_col).withColumnRenamed(
         id_col, "__id"
     )
     bits_per_block = SIMHASH_BITS // n_blocks
     mask = (1 << bits_per_block) - 1
+
+    def _block(side: str, k: int):
+        return F.shiftrightunsigned(
+            F.col(f"{side}.__sh"), k * bits_per_block
+        ).bitwiseAND(F.lit(mask))
+
     blocked = sig.select(
         "__id",
         "__sh",
@@ -274,13 +305,21 @@ def simhash_dedup_pairs(
         ).alias("__bpos", "__blk"),
     )
     a, b = blocked.alias("a"), blocked.alias("b")
+    # first-match guard: drop a candidate when ANY earlier block already
+    # matched (that copy of the pair is emitted by the earlier bucket)
+    not_earlier = F.lit(True)
+    for k in range(n_blocks - 1):
+        not_earlier = not_earlier & (
+            (F.col("a.__bpos") <= F.lit(k)) | (_block("a", k) != _block("b", k))
+        )
     xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
     return (
         a.join(
             b,
             (F.col("a.__bpos") == F.col("b.__bpos"))
             & (F.col("a.__blk") == F.col("b.__blk"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            & not_earlier,
         )
         .select(
             F.col("a.__id").alias("id_a"),
@@ -288,5 +327,4 @@ def simhash_dedup_pairs(
             F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )

@@ -161,3 +161,24 @@ def test_pipeline_has_no_python_rdd_scans(spark):
     res = run_pipeline(spark, t, d, PipelineConfig())
     for df in (res.edges, res.nodes, res.triples):
         assert "ExistingRDD" not in _plan(df), _plan(df)[:2000]
+
+
+def test_lsh_pair_plans_have_no_distinct_aggregate(spark):
+    """Both pair generators emit each pair exactly once from its first
+    matching block/band, so no post-join distinct (a full shuffle of the
+    candidate set — the largest intermediate on clustered corpora) may
+    appear in the plan. Exactly-once-ness itself is asserted on data."""
+    from delm_spark.operators.dedup import minhash_lsh_pairs, simhash_dedup_pairs
+
+    docs = spark.read.parquet(str(TESTDATA / "sf0.001" / "documents.parquet"))
+    for pairs in (
+        minhash_lsh_pairs(docs, "text", "doc_id"),
+        simhash_dedup_pairs(docs, "text", "doc_id"),
+    ):
+        plan = _plan(pairs, "simple")
+        # a distinct() would plan as HashAggregate over the join output
+        after_join = plan.split("SortMergeJoin")[0]
+        assert "HashAggregate(keys=[id_a" not in plan
+        assert "HashAggregate(keys=[__id" not in after_join
+        rows = [tuple(r) for r in pairs.collect()]
+        assert len(rows) == len(set(rows))
