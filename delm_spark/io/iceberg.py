@@ -47,10 +47,16 @@ def configured_catalog(spark: SparkSession) -> Optional[str]:
     return None
 
 
-def write_stage(df: DataFrame, ident: str) -> None:
+def write_stage(df: DataFrame, ident: str, partition_by=None) -> None:
     """Commit one staged table as an Iceberg snapshot (atomic swap — the
-    Iceberg analog of the parquet path's _SUCCESS marker)."""
-    df.writeTo(ident).using("iceberg").createOrReplace()
+    Iceberg analog of the parquet path's _SUCCESS marker). `partition_by`
+    columns become identity partitions of the table spec."""
+    w = df.writeTo(ident).using("iceberg")
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        w = w.partitionedBy(*[F.col(c) for c in partition_by])
+    w.createOrReplace()
 
 
 def read_stage(spark: SparkSession, ident: str) -> DataFrame:

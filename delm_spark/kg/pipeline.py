@@ -123,13 +123,24 @@ class StageRunner:
     def _ident(self, name: str) -> str:
         return f"{self.iceberg_namespace}.{name}"
 
-    def _write_stage(self, df: DataFrame, name: str) -> None:
+    def _write_stage(
+        self, df: DataFrame, name: str, partition_by=None, sort_by=None
+    ) -> None:
+        """`partition_by`: low-cardinality value partitioning (Hive dirs /
+        Iceberg identity partitions — partition pruning for readers).
+        `sort_by`: within-partition clustering so parquet row-group
+        min/max stats prune point/range lookups on that column."""
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         if self.storage == "iceberg":
             from delm_spark.io import iceberg
 
-            iceberg.write_stage(df, self._ident(name))
+            iceberg.write_stage(df, self._ident(name), partition_by=partition_by)
         else:
-            df.write.mode("overwrite").parquet(str(self._path(name)))
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(str(self._path(name)))
 
     def _read_stage(self, name: str) -> DataFrame:
         if self.storage == "iceberg":
@@ -161,7 +172,13 @@ class StageRunner:
         if self._path(name).exists():
             shutil.rmtree(self._path(name))
 
-    def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        partition_by=None,
+        sort_by=None,
+    ) -> DataFrame:
         # Without a checkpoint dir the pipeline is ONE lazy linear DAG —
         # no persist, no eager counts. Measured on this box: in-memory
         # cache writes convoy badly above ~16 concurrent tasks (single-JVM
@@ -211,7 +228,7 @@ class StageRunner:
             if tok_col in df.columns:
                 exprs.append(F.coalesce(F.sum(tok_col), F.lit(0)).alias(alias))
         df = df.observe(obs, *exprs)
-        self._write_stage(df, name)
+        self._write_stage(df, name, partition_by=partition_by, sort_by=sort_by)
         self.metrics[name] = {k: int(v) for k, v in obs.get.items()}
         self._save_state()
         if self.fingerprint is not None:
@@ -485,7 +502,12 @@ def run_pipeline(
             )
         )
 
-    edges = runner.stage("s4_edges", build_edges)
+    # graph materialization (north star: PARTITIONED edge/node tables):
+    # edges partition by predicate — bounded cardinality (the schema's
+    # allowed_values) — so per-relation readers prune whole directories /
+    # Iceberg partitions; nodes cluster by entity_id so row-group min/max
+    # stats prune point lookups without a high-cardinality partition key.
+    edges = runner.stage("s4_edges", build_edges, partition_by=["pred"])
 
     def build_nodes():
         # node table derived from the edge output (one scan of the final
@@ -505,7 +527,7 @@ def run_pipeline(
             .dropDuplicates(["entity_id"])
         )
 
-    nodes = runner.stage("s5_nodes", build_nodes)
+    nodes = runner.stage("s5_nodes", build_nodes, sort_by=["entity_id"])
 
     return PipelineResult(
         chunks=chunks,

@@ -70,8 +70,15 @@ def main() -> None:
     transcripts = _read(spark, args.transcripts)
     dictionary = _read(spark, args.dictionary)
     res = run_pipeline(spark, transcripts, dictionary, config)
-    res.nodes.write.mode("overwrite").parquet(f"{args.output}/nodes")
-    res.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+    # partitioned graph tables (north star): edges by predicate (bounded
+    # cardinality -> per-relation partition pruning), nodes clustered by
+    # entity_id (row-group min/max stats prune point lookups)
+    res.nodes.sortWithinPartitions("entity_id").write.mode("overwrite").parquet(
+        f"{args.output}/nodes"
+    )
+    res.edges.write.partitionBy("pred").mode("overwrite").parquet(
+        f"{args.output}/edges"
+    )
     n_nodes = spark.read.parquet(f"{args.output}/nodes").count()
     n_edges = spark.read.parquet(f"{args.output}/edges").count()
     print(json.dumps({"nodes": n_nodes, "edges": n_edges, "output": args.output}))

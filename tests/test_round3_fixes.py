@@ -244,9 +244,12 @@ def test_iceberg_and_parquet_stage_paths_identical(spark, tmp_path, monkeypatch)
     # fake catalog: writeTo-style snapshot commit backed by a temp dir
     tables: dict = {}
 
-    def fake_write(df, ident):
+    def fake_write(df, ident, partition_by=None):
         path = str(tmp_path / "warehouse" / ident.replace(".", "_"))
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         tables[ident] = path
 
     monkeypatch.setattr(ice, "write_stage", fake_write)

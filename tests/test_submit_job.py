@@ -44,3 +44,6 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     stats = json.loads(line)
     assert stats["nodes"] > 0 and stats["edges"] > 0
     assert (out / "edges" / "_SUCCESS").exists()
+    # the edge table is value-partitioned by predicate (north-star
+    # "partitioned edges table"): Hive pred= directories present
+    assert [p for p in (out / "edges").iterdir() if p.name.startswith("pred=")]
