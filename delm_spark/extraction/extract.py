@@ -139,8 +139,13 @@ def _is_cold_cache_error(e: Exception, cache_dir: str) -> bool:
     if "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg:
         root = _local_cache_path(cache_dir)
         if root is None:
-            # cannot probe object stores structurally; stay conservative
-            return False
+            # object stores can't be probed structurally from the driver;
+            # treat schema-inference failure as cold there (best available
+            # evidence — and the legitimate marker-only-partition state a
+            # zero-miss run leaves MUST keep working on s3/hdfs; hard-
+            # failing it would wedge every later run). The foreign-
+            # directory guard below applies only where we can look.
+            return True
         for f in root.rglob("*"):
             if f.is_file() and not f.name.startswith((".", "_")):
                 return False  # real data files present -> not cold

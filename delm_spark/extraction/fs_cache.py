@@ -21,6 +21,7 @@ returned plan.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -32,16 +33,42 @@ except ImportError:  # pragma: no cover - environment-dependent
 _FIELDS = ("json", "errors", "in_tokens", "out_tokens", "part_id")
 
 
+#: zstd frame magic — entries are sniffed on read so a cache written
+#: with zstd available stays readable where it isn't (and vice versa)
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
 class FilesystemSemanticCache:
     def __init__(self, root: str, max_size_mb: Optional[int] = None):
         self.root = Path(root).expanduser()
         self.root.mkdir(parents=True, exist_ok=True)
+        # a parquet-table cache (the previous meaning of
+        # backend='filesystem', and backend='parquet' today) in the same
+        # directory would be silently ignored by the *.zst glob — fail
+        # loudly instead of re-extracting everything beside it
+        if any(self.root.glob("delm_run_id=*")) or any(self.root.glob("*.parquet")):
+            raise ValueError(
+                f"{self.root} holds a parquet semantic-cache table; "
+                "backend='filesystem' now stores one file per key "
+                "(reference FilesystemJSONCache layout). Keep "
+                "backend='parquet' for this directory or point "
+                "'filesystem' at a fresh one."
+            )
         self.max_size_mb = max_size_mb
         if _zstd is not None:  # pragma: no cover - environment-dependent
             self._compress = _zstd.ZstdCompressor(level=3).compress
-            self._decompress = _zstd.ZstdDecompressor().decompress
         else:
-            self._compress = self._decompress = lambda b: b
+            self._compress = lambda b: b
+
+    def _decompress(self, b: bytes) -> bytes:
+        if b[:4] == _ZSTD_MAGIC:
+            if _zstd is None:  # pragma: no cover - environment-dependent
+                raise RuntimeError(
+                    "cache entry is zstd-compressed but the zstandard "
+                    "package is not available in this environment"
+                )
+            return _zstd.ZstdDecompressor().decompress(b)
+        return b
 
     def _path(self, key: str) -> Path:
         # reference layout: <root>/<first2>/<next2>/<key>.zst
@@ -79,11 +106,15 @@ class FilesystemSemanticCache:
             }
             p = self._path(k)
             p.parent.mkdir(parents=True, exist_ok=True)
-            p.write_bytes(
-                self._compress(
-                    json.dumps(rec, sort_keys=True, separators=(",", ":")).encode()
-                )
+            payload = self._compress(
+                json.dumps(rec, sort_keys=True, separators=(",", ":")).encode()
             )
+            # durable like the reference's set() contract: write to a
+            # sibling temp file, then atomically swap — a crash mid-write
+            # can never leave a truncated entry that poisons snapshot()
+            tmp = p.with_name(p.name + ".tmp")
+            tmp.write_bytes(payload)
+            os.replace(tmp, p)
             n += 1
         return n
 

@@ -322,36 +322,69 @@ def _font_cmaps(data: bytes) -> dict[bytes, ToUnicodeCMap]:
     return fonts
 
 
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b")
+_PAGE_CONTENTS_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _extract_content_text(
+    content: bytes, fonts: dict, texts: list[str]
+) -> None:
+    """Evaluate one LOGICAL content stream: font selection (Tf) persists
+    across its BT/ET blocks and resets at its start (fresh page graphics
+    state)."""
+    cmap: ToUnicodeCMap | None = None
+    for block in _TEXT_BLOCK_RE.finditer(content):
+        t, cmap = _extract_block_text(block.group(1), fonts, cmap)
+        t = t.strip()
+        if t:
+            texts.append(t)
+
+
 def parse_pdf_bytes(data: bytes) -> str:
-    """Extract the text layer of a PDF: every FlateDecode/uncompressed
-    content stream's BT/ET blocks, in file order, newline-joined.
-    Type0/CID fonts with embedded ToUnicode CMaps decode through the map
-    (resolved via the /Font resource name the Tf operator selects)."""
+    """Extract the text layer of a PDF: each page's content, in file
+    order, newline-joined. Type0/CID fonts with embedded ToUnicode CMaps
+    decode through the map (resolved via the /Font resource name the Tf
+    operator selects).
+
+    A page's /Contents ARRAY is one logical stream split across objects
+    (PDF 32000-1 §7.8.2) — the split pieces are concatenated before
+    evaluation, so a Tf issued in one piece still governs text shown in
+    the next (common writer pattern). Streams not reachable through any
+    page's /Contents (Form XObjects, files with unparseable page trees)
+    are evaluated individually in file order as a fallback."""
     fonts = _font_cmaps(data)
+    objs_in_order = [
+        (int(m.group(1)), m.group(2)) for m in _OBJ_RE.finditer(data)
+    ]
+    objs = dict(objs_in_order)
     texts: list[str] = []
-    for m in _STREAM_RE.finditer(data):
-        raw = m.group(1)
-        # streams may end with \r\n/\n before 'endstream'
-        body = raw[:-2] if raw.endswith(b"\r\n") else (
-            raw[:-1] if raw.endswith(b"\n") else raw
-        )
-        try:
-            content = zlib.decompress(body)
-        except zlib.error:
-            # uncompressed content stream, or a non-Flate stream (image);
-            # only treat as content if it shows text
-            content = body
-        if b"BT" not in content:
+    consumed: set[int] = set()
+    for _, body in objs_in_order:
+        if not _PAGE_TYPE_RE.search(body):
             continue
-        # font selection is graphics state shared by the blocks of ONE
-        # content stream; it resets between streams (each page's stream
-        # starts with default state)
-        cmap: ToUnicodeCMap | None = None
-        for block in _TEXT_BLOCK_RE.finditer(content):
-            t, cmap = _extract_block_text(block.group(1), fonts, cmap)
-            t = t.strip()
-            if t:
-                texts.append(t)
+        m = _PAGE_CONTENTS_RE.search(body)
+        if not m:
+            continue
+        parts = []
+        for r in _REF_RE.finditer(m.group(1)):
+            num = int(r.group(1))
+            payload = _stream_payload(objs.get(num, b""))
+            if payload is not None:
+                parts.append(payload)
+                consumed.add(num)
+        if parts:
+            # split pieces may butt an operator against the next piece's
+            # first token — the spec requires treating them as a single
+            # stream with whitespace between
+            _extract_content_text(b"\n".join(parts), fonts, texts)
+    for num, body in objs_in_order:
+        if num in consumed:
+            continue
+        payload = _stream_payload(body)
+        if payload is None or b"BT" not in payload:
+            continue
+        _extract_content_text(payload, fonts, texts)
     return "\n".join(texts)
 
 

@@ -127,3 +127,54 @@ def test_facade_dispatches_filesystem_backend(spark, tmp_path):
     d2.prep_data(texts)
     rows = d2.process_via_llm().collect()
     assert all(r["delm_cache_hit"] and r["delm_errors"] is None for r in rows)
+
+
+def test_fs_rejects_parquet_table_directory(tmp_path):
+    """A directory holding the parquet cache layout (backend='parquet',
+    or pre-upgrade 'filesystem' runs) must fail loudly, not silently
+    re-extract beside it."""
+    root = tmp_path / "cache"
+    (root / "delm_run_id=r1").mkdir(parents=True)
+    with pytest.raises(ValueError, match="parquet semantic-cache table"):
+        FilesystemSemanticCache(str(root))
+
+
+def test_fs_snapshot_ignores_tmp_and_sniffs_compression(tmp_path):
+    """Atomic-write leftovers (*.zst.tmp) are invisible to snapshot();
+    a zstd-compressed entry read where zstandard is absent raises an
+    actionable error instead of a JSON decode failure."""
+    cache = FilesystemSemanticCache(str(tmp_path / "cache"))
+    cache.upsert([("abcdef", '{"v":1}', None, 1, 1, 0)])
+    p = cache._path("abcdef")
+    p.with_name(p.name + ".tmp").write_bytes(b"partial garbage")
+    snap = cache.snapshot()
+    assert list(snap["k"]) == ["abcdef"]
+
+    try:
+        import zstandard  # noqa: F401
+        has_zstd = True
+    except ImportError:
+        has_zstd = False
+    if not has_zstd:
+        # fabricate a zstd-framed entry: read must fail with the
+        # actionable message, not a JSONDecodeError
+        q = cache._path("ffffff")
+        q.parent.mkdir(parents=True, exist_ok=True)
+        q.write_bytes(b"\x28\xb5\x2f\xfd" + b"\x00" * 8)
+        with pytest.raises(RuntimeError, match="zstandard"):
+            cache.snapshot()
+
+
+def test_cold_cache_probe_object_store_is_cold(tmp_path):
+    """URI cache_dirs (s3/hdfs) can't be probed structurally: a schema-
+    inference failure there must read as COLD (the marker-only partition
+    a zero-miss run leaves is legitimate), never a hard failure."""
+    from delm_spark.extraction.extract import _is_cold_cache_error
+
+    e = Exception("[UNABLE_TO_INFER_SCHEMA] ...")
+    assert _is_cold_cache_error(e, "s3a://bucket/cache") is True
+    # local foreign directory with real data files: NOT cold
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "data.csv").write_text("a,b\n1,2\n")
+    assert _is_cold_cache_error(e, str(foreign)) is False

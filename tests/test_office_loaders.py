@@ -373,3 +373,28 @@ def test_load_pdf_via_spark(spark, tmp_path):
     assert ext == ".pdf"
     assert "Hello (escaped) world" in rows["a.pdf"]
     assert rows["b.pdf"] == "Second doc"
+
+
+def test_font_state_persists_across_contents_array_pieces():
+    """A page's /Contents ARRAY is one logical stream split across
+    objects (PDF 32000-1 s7.8.2): a Tf issued in piece 1 still governs
+    text shown in piece 2."""
+    from delm_spark.io.pdf import parse_pdf_bytes
+
+    piece1 = b"BT /F1 12 Tf <0001> Tj ET"
+    piece2 = b"BT <0010> Tj ET"  # no Tf: decodes via piece 1's CMap
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 7 0 R] "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(piece1)).encode() + b" >>\nstream\n"
+        + piece1 + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(_CMAP_BODY)).encode() + b" >>\nstream\n"
+        + _CMAP_BODY + b"\nendstream",
+        b"<< /Length " + str(len(piece2)).encode() + b" >>\nstream\n"
+        + piece2 + b"\nendstream",
+    ]
+    text = parse_pdf_bytes(_assemble_pdf(objs))
+    assert text.split("\n") == ["H", "l"]
