@@ -571,7 +571,9 @@ def minhash_signature_docs(spark, sf_dir):
 def ngram_jaccard_docs(spark, sf_dir):
     """Exact n-gram Jaccard similarity pairs (all-pairs on a 200-doc slice)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).orderBy(
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, allow_all_pairs=True
+    ).orderBy(
         "id_a", "id_b"
     )
 

@@ -180,17 +180,27 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs.
 
     With `candidates` (e.g. from minhash_lsh_pairs) only those pairs are
-    scored — the scale path. Without, scores all pairs (test scale only).
-    Returns (id_a, id_b, jaccard).
+    scored — the scale path. Without, scores ALL O(n^2) pairs, which is
+    only sane at test scale, so that path must be opted into explicitly
+    with `allow_all_pairs=True`; reaching it by accident on a corpus is
+    the classic quadratic blow-up. Returns (id_a, id_b, jaccard).
     """
     sh = df.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
     )
     if candidates is None:
+        if not allow_all_pairs:
+            raise ValueError(
+                "ngram_jaccard_pairs without `candidates` scores all "
+                "O(n^2) pairs; pass candidates from minhash_lsh_pairs "
+                "(the scale path) or opt in with allow_all_pairs=True "
+                "(test scale only)"
+            )
         a, b = sh.alias("a"), sh.alias("b")
         pairs = a.join(b, F.col("a.__id") < F.col("b.__id"))
     else:

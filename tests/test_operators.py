@@ -166,7 +166,9 @@ def test_minhash_and_jaccard_find_near_dups(spark):
              minhash_lsh_pairs(df, "text", "id", k=16, bands=8).collect()}
     assert (1, 2) in pairs
     jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
-           ngram_jaccard_pairs(df, "text", "id", threshold=0.5).collect()}
+           ngram_jaccard_pairs(
+               df, "text", "id", threshold=0.5, allow_all_pairs=True
+           ).collect()}
     assert (1, 2) in jac and jac[(1, 2)] > 0.5
 
 
@@ -216,3 +218,14 @@ def test_fuzzy_fixture_determinism():
     committed = pq.read_table(FIXTURE_DIR / "fuzzy_scores.parquet")
     fresh = make_fuzzy_fixture()
     assert committed.equals(fresh)
+
+
+def test_ngram_jaccard_all_pairs_requires_opt_in(spark):
+    """The O(n^2) no-candidates path must be explicit: reaching it by
+    accident on a corpus is the classic quadratic blow-up."""
+    import pytest as _pytest
+    from delm_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "id long, text string")
+    with _pytest.raises(ValueError, match="allow_all_pairs"):
+        ngram_jaccard_pairs(df, "text", "id")
