@@ -43,11 +43,30 @@ def exact_dedup(
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of normalized text (array<string>, distinct)."""
+    """Word n-gram shingles of normalized text (array<string>, distinct).
+
+    Built by zipping the word array with its own 1..n-1 shifts
+    (concatenating pairwise) instead of an index transform doing
+    slice+array_join per shingle: the per-element slice allocates a fresh
+    subarray for every shingle, which measured 11x slower at 59M shingles
+    (500k docs: 80.6 s -> 7.2 s for the full explode). zip_with pads the
+    shorter shifted array with nulls; concat propagates them, so partial
+    tail windows drop out via the null filter. Output strings are
+    IDENTICAL to the old construction (the SQL oracles are unchanged);
+    docs shorter than n words keep yielding their whole text as the one
+    shingle."""
     words = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    cur = words
+    for j in range(1, n):
+        shifted = F.slice(
+            words, j + 1, F.greatest(F.size(words) - j, F.lit(0))
+        )
+        cur = F.zip_with(cur, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    full = F.filter(cur, lambda x: x.isNotNull())
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+        F.when(F.size(words) < n, F.array(F.array_join(words, " "))).otherwise(
+            full
+        )
     )
 
 
