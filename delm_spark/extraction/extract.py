@@ -120,32 +120,51 @@ def _extract_series(
     return jsons, errors, in_toks, out_toks
 
 
-def _is_cold_cache_error(e: Exception, cache_dir: str) -> bool:
+def _cache_has_data_files(spark, cache_dir: str) -> bool:
+    """True when any non-marker file (name not starting with '.'/'_')
+    exists anywhere under cache_dir, through the Hadoop FileSystem API —
+    the same connector Spark reads with, so the probe works uniformly on
+    local paths AND object stores (s3a/hdfs/gs)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(cache_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(".") and not name.startswith("_"):
+            return True
+    return False
+
+
+def _is_cold_cache_error(e: Exception, cache_dir: str, spark=None) -> bool:
     """True when a cache_dir read failure means "no cached data yet".
 
     Two shapes qualify: the directory is absent (PATH_NOT_FOUND), or it
     exists but holds no data files — a prior zero-miss/empty-input run
     leaves `delm_run_id=<id>/` with only _SUCCESS, which surfaces as
     UNABLE_TO_INFER_SCHEMA. The second shape is verified STRUCTURALLY
-    (no non-marker files anywhere under the dir), not by message alone: a
-    cache_dir misconfigured onto a foreign directory of non-parquet files
-    must raise, not silently re-extract and write partitions into it.
-    Anything else (transient FS error, permission) must propagate:
+    (no non-marker files anywhere under the dir, probed through Hadoop's
+    FileSystem so object stores are covered too), not by message alone:
+    a cache_dir misconfigured onto a foreign directory of non-parquet
+    files must raise, not silently re-extract and write partitions into
+    it. Anything else (transient FS error, permission) must propagate:
     treating it as cold would re-extract every key and double-commit
-    success rows."""
+    success rows. If the structural probe itself fails (exotic FS), the
+    original read error propagates — conservative against double-commit."""
     msg = str(e)
     if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
         return True
     if "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg:
+        if spark is not None:
+            try:
+                return not _cache_has_data_files(spark, cache_dir)
+            except Exception:
+                return False  # probe failed -> original read error raises
         root = _local_cache_path(cache_dir)
         if root is None:
-            # object stores can't be probed structurally from the driver;
-            # treat schema-inference failure as cold there (best available
-            # evidence — and the legitimate marker-only-partition state a
-            # zero-miss run leaves MUST keep working on s3/hdfs; hard-
-            # failing it would wedge every later run). The foreign-
-            # directory guard below applies only where we can look.
-            return True
+            return False
         for f in root.rglob("*"):
             if f.is_file() and not f.name.startswith((".", "_")):
                 return False  # real data files present -> not cold
@@ -354,7 +373,7 @@ def extract_chunks(
             # is repaired by compact_cache, never silently re-deduped here.
             cached_ok = cached.filter(F.col(ERRORS_COL).isNull())
         except Exception as e:
-            if not _is_cold_cache_error(e, cache_dir):
+            if not _is_cold_cache_error(e, cache_dir, spark):
                 raise
             cached_ok = None  # cold cache
         if cached_ok is not None:
@@ -436,7 +455,7 @@ def extract_chunks(
     try:
         full = spark.read.parquet(cache_dir)
     except Exception as e:
-        if not _is_cold_cache_error(e, cache_dir):
+        if not _is_cold_cache_error(e, cache_dir, spark):
             raise
         # no parquet files anywhere (empty input on a cold cache)
         return keyed.join(

@@ -40,13 +40,17 @@ _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 class FilesystemSemanticCache:
     def __init__(self, root: str, max_size_mb: Optional[int] = None):
+        from delm_spark.constants import RUN_ID_COL
+
         self.root = Path(root).expanduser()
         self.root.mkdir(parents=True, exist_ok=True)
         # a parquet-table cache (the previous meaning of
         # backend='filesystem', and backend='parquet' today) in the same
         # directory would be silently ignored by the *.zst glob — fail
         # loudly instead of re-extracting everything beside it
-        if any(self.root.glob("delm_run_id=*")) or any(self.root.glob("*.parquet")):
+        if any(self.root.glob(f"{RUN_ID_COL}=*")) or any(
+            self.root.glob("*.parquet")
+        ):
             raise ValueError(
                 f"{self.root} holds a parquet semantic-cache table; "
                 "backend='filesystem' now stores one file per key "
@@ -54,20 +58,27 @@ class FilesystemSemanticCache:
                 "backend='parquet' for this directory or point "
                 "'filesystem' at a fresh one."
             )
+        # a crash between write_bytes and os.replace leaves *.tmp orphans
+        # that no glob counts — sweep them on open (single-writer contract,
+        # same as the reference's cache)
+        for t in self.root.rglob("*.tmp"):
+            t.unlink(missing_ok=True)
         self.max_size_mb = max_size_mb
+        self._zdecompress = None
         if _zstd is not None:  # pragma: no cover - environment-dependent
             self._compress = _zstd.ZstdCompressor(level=3).compress
+            self._zdecompress = _zstd.ZstdDecompressor().decompress
         else:
             self._compress = lambda b: b
 
     def _decompress(self, b: bytes) -> bytes:
         if b[:4] == _ZSTD_MAGIC:
-            if _zstd is None:  # pragma: no cover - environment-dependent
+            if self._zdecompress is None:  # pragma: no cover - env-dependent
                 raise RuntimeError(
                     "cache entry is zstd-compressed but the zstandard "
                     "package is not available in this environment"
                 )
-            return _zstd.ZstdDecompressor().decompress(b)
+            return self._zdecompress(b)
         return b
 
     def _path(self, key: str) -> Path:

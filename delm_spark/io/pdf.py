@@ -350,39 +350,64 @@ def parse_pdf_bytes(data: bytes) -> str:
     A page's /Contents ARRAY is one logical stream split across objects
     (PDF 32000-1 §7.8.2) — the split pieces are concatenated before
     evaluation, so a Tf issued in one piece still governs text shown in
-    the next (common writer pattern). Streams not reachable through any
-    page's /Contents (Form XObjects, files with unparseable page trees)
-    are evaluated individually in file order as a fallback."""
+    the next (common writer pattern). `/Contents N 0 R` pointing at an
+    array OBJECT (one indirection) resolves the same way. Each page
+    object number is evaluated once, latest version winning —
+    incrementally-updated files (signing, annotation) rewrite page dicts
+    under the same number and must not emit their text twice. The
+    fallback for streams not reachable through any page's /Contents
+    (Form XObjects, unparseable page trees, objects truncated by binary
+    bytes that happen to spell 'endobj') is a file-wide stream/endstream
+    scan in file order — it keys on stream markers only, so it survives
+    object-segmentation damage; payloads already evaluated via a page
+    are skipped."""
     fonts = _font_cmaps(data)
     objs_in_order = [
         (int(m.group(1)), m.group(2)) for m in _OBJ_RE.finditer(data)
     ]
-    objs = dict(objs_in_order)
+    objs = dict(objs_in_order)  # latest version per object number wins
     texts: list[str] = []
-    consumed: set[int] = set()
-    for _, body in objs_in_order:
+    consumed: list[bytes] = []
+    seen_pages: set[int] = set()
+    for num, _ in objs_in_order:
+        if num in seen_pages:
+            continue
+        seen_pages.add(num)
+        body = objs[num]
         if not _PAGE_TYPE_RE.search(body):
             continue
         m = _PAGE_CONTENTS_RE.search(body)
         if not m:
             continue
+        refs = [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+        if len(refs) == 1 and _stream_payload(objs.get(refs[0], b"")) is None:
+            # one level of indirection: /Contents N 0 R where object N is
+            # itself the pieces array [A 0 R B 0 R ...]
+            refs = [
+                int(r.group(1))
+                for r in _REF_RE.finditer(objs.get(refs[0], b""))
+            ]
         parts = []
-        for r in _REF_RE.finditer(m.group(1)):
-            num = int(r.group(1))
-            payload = _stream_payload(objs.get(num, b""))
+        for num_ in refs:
+            payload = _stream_payload(objs.get(num_, b""))
             if payload is not None:
                 parts.append(payload)
-                consumed.add(num)
+                consumed.append(payload)
         if parts:
             # split pieces may butt an operator against the next piece's
             # first token — the spec requires treating them as a single
             # stream with whitespace between
             _extract_content_text(b"\n".join(parts), fonts, texts)
-    for num, body in objs_in_order:
-        if num in consumed:
-            continue
-        payload = _stream_payload(body)
-        if payload is None or b"BT" not in payload:
+    for m in _STREAM_RE.finditer(data):
+        raw = m.group(1)
+        body = raw[:-2] if raw.endswith(b"\r\n") else (
+            raw[:-1] if raw.endswith(b"\n") else raw
+        )
+        try:
+            payload = zlib.decompress(body)
+        except zlib.error:
+            payload = body
+        if b"BT" not in payload or payload in consumed:
             continue
         _extract_content_text(payload, fonts, texts)
     return "\n".join(texts)

@@ -63,10 +63,15 @@ def shingles(col: Column, n: int = 3) -> Column:
         )
         cur = F.zip_with(cur, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
     full = F.filter(cur, lambda x: x.isNotNull())
+    # words.isNull() (null text): size() is NULL, so the when() must test
+    # it explicitly to reproduce the old construction's [null] output —
+    # a null-text row keeps contributing one (null) shingle, exactly as
+    # sequence(0, greatest(size-n, 0)) did
     return F.array_distinct(
-        F.when(F.size(words) < n, F.array(F.array_join(words, " "))).otherwise(
-            full
-        )
+        F.when(
+            words.isNull() | (F.size(words) < n),
+            F.array(F.array_join(words, " ")),
+        ).otherwise(full)
     )
 
 

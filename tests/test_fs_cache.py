@@ -165,16 +165,26 @@ def test_fs_snapshot_ignores_tmp_and_sniffs_compression(tmp_path):
             cache.snapshot()
 
 
-def test_cold_cache_probe_object_store_is_cold(tmp_path):
-    """URI cache_dirs (s3/hdfs) can't be probed structurally: a schema-
-    inference failure there must read as COLD (the marker-only partition
-    a zero-miss run leaves is legitimate), never a hard failure."""
+def test_cold_cache_probe_is_structural_via_hadoop_fs(spark, tmp_path):
+    """The cold-vs-foreign decision probes the directory through Hadoop's
+    FileSystem (the connector Spark reads with), so it works the same on
+    local paths and object stores: marker-only dirs are cold, dirs with
+    real data files are not, and an unreachable probe propagates the
+    original read error."""
     from delm_spark.extraction.extract import _is_cold_cache_error
 
     e = Exception("[UNABLE_TO_INFER_SCHEMA] ...")
-    assert _is_cold_cache_error(e, "s3a://bucket/cache") is True
-    # local foreign directory with real data files: NOT cold
+    # marker-only partition (a zero-miss run's leftovers): COLD
+    marker = tmp_path / "cache" / "delm_run_id=r1"
+    marker.mkdir(parents=True)
+    (marker / "_SUCCESS").touch()
+    assert _is_cold_cache_error(e, str(tmp_path / "cache"), spark) is True
+    # foreign directory with real data files: NOT cold
     foreign = tmp_path / "foreign"
     foreign.mkdir()
     (foreign / "data.csv").write_text("a,b\n1,2\n")
-    assert _is_cold_cache_error(e, str(foreign)) is False
+    assert _is_cold_cache_error(e, str(foreign), spark) is False
+    # absent path: cold
+    assert _is_cold_cache_error(e, str(tmp_path / "nope"), spark) is True
+    # without a session, URI paths stay conservative (error propagates)
+    assert _is_cold_cache_error(e, "s3a://bucket/cache") is False

@@ -398,3 +398,55 @@ def test_font_state_persists_across_contents_array_pieces():
     ]
     text = parse_pdf_bytes(_assemble_pdf(objs))
     assert text.split("\n") == ["H", "l"]
+
+
+def test_incremental_update_page_not_duplicated():
+    """An incrementally-updated PDF rewrites a page dict under the SAME
+    object number (signing/annotation); only the latest version may emit
+    text — not once per surviving copy."""
+    from delm_spark.io.pdf import parse_pdf_bytes
+
+    content = b"BT (Hello) Tj ET"
+    body3 = (
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        body3,
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    parts = [b"%PDF-1.4\n"]
+    for i, o in enumerate(objs, 1):
+        parts.append(str(i).encode() + b" 0 obj\n" + o + b"\nendobj\n")
+    # incremental update: object 3 appears AGAIN (annotated page dict)
+    parts.append(b"3 0 obj\n" + body3 + b" \nendobj\n")
+    parts.append(b"trailer << /Root 1 0 R >>\n%%EOF")
+    assert parse_pdf_bytes(b"".join(parts)) == "Hello"
+
+
+def test_contents_ref_to_array_object_keeps_font_state():
+    """/Contents N 0 R where object N is itself the pieces array (legal
+    per PDF 32000-1): pieces still concatenate into one logical stream,
+    so a Tf in piece 1 governs piece 2."""
+    from delm_spark.io.pdf import parse_pdf_bytes
+
+    piece1 = b"BT /F1 12 Tf <0001> Tj ET"
+    piece2 = b"BT <0010> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 8 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(piece1)).encode() + b" >>\nstream\n"
+        + piece1 + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(_CMAP_BODY)).encode() + b" >>\nstream\n"
+        + _CMAP_BODY + b"\nendstream",
+        b"<< /Length " + str(len(piece2)).encode() + b" >>\nstream\n"
+        + piece2 + b"\nendstream",
+        b"[4 0 R 7 0 R]",  # the indirect Contents array (object 8)
+    ]
+    text = parse_pdf_bytes(_assemble_pdf(objs))
+    assert text.split("\n") == ["H", "l"]
