@@ -91,15 +91,22 @@ def main() -> None:
     # configuration entry(spark)/submit_job.py ship by default. Timed
     # separately so the linking stage's cost is visible; the headline
     # metric stays the exact-link pipeline for cross-round comparability.
-    t0 = time.perf_counter()
-    res_l = run_pipeline(
-        spark,
-        transcripts,
-        entity_dictionary(spark),
-        PipelineConfig(embedding_link=True),
-    )
-    res_l.edges.count()
-    timings["kg_pipeline_linked"] = round(time.perf_counter() - t0, 3)
+    # Best-of-N like the headline: the linking stages add ~35 s of one-time
+    # JVM JIT/codegen compilation that a single timed run would book as
+    # steady-state cost (measured 47 s -> 10 s run 1 -> run 3 at sf0.1).
+    linked_runs = []
+    for _ in range(n_runs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        res_l = run_pipeline(
+            spark,
+            transcripts,
+            entity_dictionary(spark),
+            PipelineConfig(embedding_link=True),
+        )
+        res_l.edges.count()
+        linked_runs.append(round(time.perf_counter() - t0, 3))
+    timings["kg_pipeline_linked"] = min(linked_runs)
 
     # --- operator suite on driver testdata --------------------------------
     suite = [
@@ -137,6 +144,7 @@ def main() -> None:
                 "total_sec": total,
                 "n_triples": n_triples,
                 "kg_runs": kg_runs,
+                "linked_runs": linked_runs,
                 "n_turns": n_turns,
                 "n_convs": n_convs,
                 "cores": CORES,
