@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from delm_spark.data.synthetic import entity_dictionary, generate_transcripts
+from delm_spark.kg.graph import (
+    degree_distribution,
+    k_hop_neighbors,
+    pagerank,
+    triangles,
+)
 from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
 from delm_spark.operators.dedup import (
     exact_dedup,
@@ -775,6 +781,107 @@ def connected_components_demo(spark, sf_dir):
     return connected_components(edges, driver_cutoff=0).orderBy("node")
 
 
+def _kg_graph_edges(spark):
+    """Entity-id edge table of the fixture KG: one (src, dst) row per
+    linked triple — the input every graph-analytics query consumes."""
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return res.triples.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+
+
+def kg_degree_distribution(spark, sf_dir):
+    """Graph analytics over the materialized KG: node-degree histogram of
+    the linked triple table (degree = incident triple endpoints). The
+    oracle re-derives the full extraction+linking chain in DuckDB and
+    aggregates it the same way."""
+    return degree_distribution(_kg_graph_edges(spark)).orderBy("degree")
+
+
+def kg_two_hop_entities(spark, sf_dir):
+    """Graph analytics over the materialized KG: 2-hop BFS neighborhood
+    (undirected) of the three lexicographically-first canonical entities,
+    with minimal hop counts — frontier expansion via per-hop equi-joins
+    (kg/graph.py k_hop_neighbors)."""
+    seeds = (
+        _fixture_dictionary(spark)
+        .select(F.col("canonical_id").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+    )
+    return k_hop_neighbors(_kg_graph_edges(spark), seeds, k=2).orderBy(
+        "hops", "node"
+    )
+
+
+def _rn_graph_base(spark, sf_dir, n):
+    """Dense-rank node ids 0..n-1 over the n smallest orderkeys: a
+    deterministic synthetic graph substrate both engines derive
+    identically (sort+limit bounds the row_number window to n rows)."""
+    from pyspark.sql.window import Window
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(n)
+    )
+    w = Window.orderBy("o_orderkey")
+    return base.select(
+        (F.row_number().over(w) - 1).cast("long").alias("rn")
+    )
+
+
+_PR_N, _PR_ITERS, _PR_DAMPING = 1024, 3, 0.85
+
+
+def pagerank_demo(spark, sf_dir):
+    """Power-iteration PageRank (kg/graph.py) on a deterministic synthetic
+    graph: 64-node blocks with a chain i->i+1 plus hub edges i->block head;
+    block tails (i%64==63) are dangling, exercising the dangling-mass
+    redistribution. The oracle unrolls the identical 3 iterations as CTEs;
+    ranks are scaled by N and rounded to 4dp for FP-stable comparison."""
+    rn = _rn_graph_base(spark, sf_dir, _PR_N)
+    chain = rn.filter(F.col("rn") % 64 != 63).select(
+        F.col("rn").alias("u"), (F.col("rn") + 1).alias("v")
+    )
+    hub = rn.filter((F.col("rn") % 64).between(1, 62)).select(
+        F.col("rn").alias("u"), (F.col("rn") - F.col("rn") % 64).alias("v")
+    )
+    ranks = pagerank(
+        chain.unionByName(hub),
+        iters=_PR_ITERS,
+        damping=_PR_DAMPING,
+        src="u",
+        dst="v",
+    )
+    return ranks.select(
+        "node", F.round(F.col("rank") * _PR_N, 4).alias("rank_scaled")
+    ).orderBy("node")
+
+
+def triangle_blocks_demo(spark, sf_dir):
+    """Degree-ordered triangle enumeration (kg/graph.py triangles) on a
+    synthetic graph whose 64-node blocks carry chain (i,i+1) and skip
+    (i,i+2) edges — 62 triangles per block; counts grouped by block. The
+    oracle counts the same triangles with an a<b<c three-way self-join."""
+    rn = _rn_graph_base(spark, sf_dir, _PR_N)
+    chain = rn.filter(F.col("rn") % 64 != 63).select(
+        F.col("rn").alias("u"), (F.col("rn") + 1).alias("v")
+    )
+    skip = rn.filter(F.col("rn") % 64 <= 61).select(
+        F.col("rn").alias("u"), (F.col("rn") + 2).alias("v")
+    )
+    tri = triangles(chain.unionByName(skip), src="u", dst="v")
+    return (
+        tri.groupBy(F.floor(F.col("a") / 64).cast("long").alias("block"))
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy("block")
+    )
+
+
 def minhash_lsh_pairs_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs over documents. The local
     corpus is one parquet file (one scan task); the explicit round-robin
@@ -964,6 +1071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_pipeline": kg_triples_pipeline,
         "kg_triples_linked_pipeline": kg_triples_linked_pipeline,
         "kg_nodes_canonical": kg_nodes_canonical,
+        "kg_degree_distribution": kg_degree_distribution,
+        "kg_two_hop_entities": kg_two_hop_entities,
+        "pagerank_demo": pagerank_demo,
+        "triangle_blocks_demo": triangle_blocks_demo,
         "connected_components_demo": connected_components_demo,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "near_dup_pipeline_docs": near_dup_pipeline_docs,
@@ -1469,6 +1580,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_pipeline": _kg_oracle_sql("linked"),
         "kg_triples_linked_pipeline": _kg_oracle_sql("linked_embedding", typos=True),
         "kg_nodes_canonical": _kg_oracle_sql("nodes"),
+        "kg_degree_distribution": _kg_oracle_sql("degree"),
+        "kg_two_hop_entities": _kg_oracle_sql("two_hop"),
+        "pagerank_demo": _pagerank_oracle_sql(_PR_N, _PR_ITERS, _PR_DAMPING),
+        "triangle_blocks_demo": _triangle_oracle_sql(_PR_N),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(
             dim=64, k=10, n_planes=8, probe_radius=2
         ),
@@ -1828,7 +1943,124 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             FROM ids i LEFT JOIN cmap c ON i.entity_id = c.node
             ORDER BY entity_id
         """
+    if kind == "degree":
+        return linked + """,
+            endpoints AS (
+                SELECT subj_id AS node FROM linked
+                UNION ALL
+                SELECT obj_id FROM linked),
+            deg AS (SELECT node, count(*) AS degree FROM endpoints GROUP BY node)
+            SELECT degree, count(*) AS n_nodes
+            FROM deg GROUP BY degree ORDER BY degree
+        """
+    if kind == "two_hop":
+        return linked + f""",
+            und AS (
+                SELECT subj_id AS a, obj_id AS b FROM linked
+                UNION
+                SELECT obj_id, subj_id FROM linked),
+            seeds AS (
+                SELECT node FROM (
+                    SELECT DISTINCT canonical_id AS node
+                    FROM read_parquet('{dp}'))
+                ORDER BY node LIMIT 3),
+            h1 AS (
+                SELECT DISTINCT b AS node
+                FROM und JOIN seeds ON und.a = seeds.node
+                WHERE b NOT IN (SELECT node FROM seeds)),
+            h2 AS (
+                SELECT DISTINCT b AS node
+                FROM und JOIN h1 ON und.a = h1.node
+                WHERE b NOT IN (SELECT node FROM seeds)
+                  AND b NOT IN (SELECT node FROM h1))
+            SELECT node, 0 AS hops FROM seeds
+            UNION ALL SELECT node, 1 FROM h1
+            UNION ALL SELECT node, 2 FROM h2
+            ORDER BY hops, node
+        """
     raise ValueError(kind)
+
+
+def _rn_graph_sql(n: int) -> str:
+    """Shared CTE prefix of the synthetic-graph oracles: dense-rank node
+    ids 0..n-1 over the n smallest orderkeys (mirrors _rn_graph_base)."""
+    return f"""
+            WITH base AS (
+                SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT {n}),
+            rn AS (
+                SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS rn
+                FROM base)"""
+
+
+def _pagerank_oracle_sql(n: int, iters: int, damping: float) -> str:
+    """Unrolled power-iteration replica of kg/graph.py pagerank over the
+    chain+hub synthetic graph: per iteration, contributions reduce over
+    in-edges, dangling mass (block tails have no out-edges) redistributes
+    uniformly; identical FP formula to the Spark side, output scaled by N
+    and rounded to 4dp."""
+    teleport = repr((1.0 - damping) / n)
+    it, prev = "", "r0"
+    for i in range(1, iters + 1):
+        it += f""",
+            c{i} AS (
+                SELECT e.v AS node, sum(r.rank / e.outdeg) AS c
+                FROM edeg e JOIN {prev} r ON e.u = r.node GROUP BY e.v),
+            d{i} AS (
+                SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+                WHERE node NOT IN (SELECT u FROM outdeg)),
+            r{i} AS (
+                SELECT nd.node,
+                       {teleport} + {damping!r} * (coalesce(c{i}.c, 0) + d{i}.dm / {n}) AS rank
+                FROM nodes nd
+                LEFT JOIN c{i} ON nd.node = c{i}.node
+                CROSS JOIN d{i})"""
+        prev = f"r{i}"
+    return (
+        _rn_graph_sql(n)
+        + f""",
+            edges AS (
+                SELECT rn AS u, rn + 1 AS v FROM rn WHERE rn % 64 <> 63
+                UNION ALL
+                SELECT rn, rn - rn % 64 FROM rn WHERE rn % 64 BETWEEN 1 AND 62),
+            nodes AS (
+                SELECT DISTINCT u AS node FROM edges
+                UNION
+                SELECT DISTINCT v FROM edges),
+            outdeg AS (
+                SELECT u, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
+            edeg AS (SELECT e.u, e.v, o.outdeg FROM edges e JOIN outdeg o ON e.u = o.u),
+            r0 AS (SELECT node, 1.0 / {n} AS rank FROM nodes){it}
+            SELECT node, round(rank * {n}, 4)::DOUBLE AS rank_scaled
+            FROM {prev} ORDER BY node
+        """
+    )
+
+
+def _triangle_oracle_sql(n: int) -> str:
+    """Triangle counts per 64-block over the chain+skip synthetic graph:
+    canonical u<v edge set, then the a<b<c three-way self-join — an
+    implementation-independent enumeration the degree-ordered Spark
+    operator must reproduce exactly."""
+    return (
+        _rn_graph_sql(n)
+        + """,
+            edges0 AS (
+                SELECT rn AS u, rn + 1 AS v FROM rn WHERE rn % 64 <> 63
+                UNION ALL
+                SELECT rn, rn + 2 FROM rn WHERE rn % 64 <= 61),
+            e AS (
+                SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+                FROM edges0 WHERE u <> v),
+            t AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+            SELECT CAST(floor(a / 64) AS BIGINT) AS block,
+                   count(*) AS n_triangles
+            FROM t GROUP BY block ORDER BY block
+        """
+    )
 
 
 def _minhash_lsh_oracle_sql(

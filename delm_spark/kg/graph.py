@@ -1,0 +1,222 @@
+"""Graph analytics over the materialized KG (north-star extension).
+
+The north star materializes the knowledge graph "into partitioned
+nodes/edges Iceberg tables"; these operators are the consumers of those
+tables — the queries a KG user runs the day after construction: degree
+profiling, neighborhood expansion, centrality, and clustering structure.
+The reference (Center-for-Applied-AI/delm) stops at extraction, so these
+have no reference counterpart; they follow the same scale discipline as
+`kg/canonicalize.py`: every step is an equi-join or a map-side-combinable
+aggregation, never an all-pairs product, and iterative loops cut lineage
+with an eager `localCheckpoint()` per round (one job per iteration).
+
+Scale notes (100 TB / 1000-executor framing):
+
+- `degree_distribution` is two hash aggregations; the first shuffles on
+  node id (skew-safe: hot entities land on one reducer but carry only a
+  count), the second on the (tiny-cardinality) degree value.
+- `k_hop_neighbors` shuffles the frontier per hop — cost is bounded by
+  the true neighborhood size, not the graph, because the frontier is
+  deduplicated and visited nodes are anti-joined out before expansion.
+- `pagerank` is the standard power iteration: one shuffle per iteration
+  on dst (contribution reduce), dangling mass folded in via a broadcast
+  one-row aggregate so each iteration is exactly one job.
+- `triangles` uses the degree-ordered orientation (each triangle is
+  counted at its lowest-(degree,id) apex), which bounds wedge fan-out by
+  arboricity — the standard trick that keeps hub nodes from generating
+  O(d_max^2) wedges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Histogram of node degrees: (degree, n_nodes).
+
+    Degree counts edge *endpoints* (a self-loop contributes 2, parallel
+    edges each contribute 1) — the raw multigraph profile of the triple
+    table. Two map-side-combinable aggregations, no joins.
+    """
+    endpoints = edges.select(F.col(src).alias("node")).unionByName(
+        edges.select(F.col(dst).alias("node"))
+    )
+    deg = endpoints.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def undirected_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonical simple undirected edge set (u < v, loops dropped,
+    parallel edges collapsed). One distinct (= one shuffle on the pair)."""
+    u, v = F.col(src), F.col(dst)
+    return (
+        edges.filter(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+
+
+def k_hop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """BFS frontier expansion: every node within k hops of a seed set,
+    with its minimal hop count. `seeds` is a one-column ("node")
+    DataFrame; seeds are emitted at hops=0 whether or not they occur in
+    the edge table. Each hop is one equi-join on node id plus a distinct
+    and an anti-join against the visited set; the frontier is
+    checkpointed eagerly so hop h+1 does not recompute hops 1..h
+    (lineage doubling is the classic iterative-Spark trap)."""
+    adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, k + 1):
+        nxt = (
+            adj.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("int"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("hops") == hop).select("node")
+    return visited
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge table: (node, rank).
+
+    rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + dangling/N)
+
+    where `dangling` is the rank mass sitting on nodes with no out-edges
+    (redistributed uniformly, the standard correction). The dangling sum
+    is a one-row aggregate broadcast-crossed into the update so each
+    iteration is ONE job (the eager checkpoint); contributions reduce
+    map-side before the dst shuffle. Ranks sum to 1 at every step.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = (
+        e.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
+    )
+    e_deg = e.join(outdeg, "u").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            e_deg.join(ranks.withColumnRenamed("node", "u"), "u")
+            .select("v", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("u", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("v", "node"), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dangling") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Enumerate triangles of the undirected simple graph: one row
+    (a, b, c) per triangle with a < b < c.
+
+    Degree-ordered orientation: each undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, so every triangle has
+    exactly one apex with two out-edges and is emitted exactly once.
+    Wedge generation joins oriented edges on the apex; closure is an
+    equi-join of the wedge's (b, c) against the oriented edge set. All
+    equi-joins — hub nodes rank high and therefore never serve as an
+    apex, which is what bounds the wedge count on skewed graphs.
+    """
+    und = undirected_edges(edges, src, dst)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, node): lower endpoint -> higher endpoint
+    with_deg = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("sd"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("td"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(
+        F.col("s").alias("apex"),
+        F.col("t").alias("b"),
+        F.col("td").alias("bd"),
+    )
+    o2 = oriented.select(
+        F.col("s").alias("apex"),
+        F.col("t").alias("c"),
+        F.col("td").alias("cd"),
+    )
+    wedges = o1.join(o2, "apex").filter(
+        F.struct("bd", "b") < F.struct("cd", "c")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("s").alias("b"), F.col("t").alias("c")),
+        ["b", "c"],
+    )
+    tri = F.array_sort(F.array("apex", "b", "c"))
+    return closed.select(
+        tri[0].alias("a"), tri[1].alias("b"), tri[2].alias("c")
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Total triangle count: single row (n_triangles)."""
+    return triangles(edges, src, dst).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

@@ -1,0 +1,134 @@
+"""Graph-analytics operator tests (kg/graph.py): known-answer graphs,
+loop/parallel-edge handling, BFS min-hop semantics, PageRank mass
+conservation and dangling redistribution, degree-ordered triangle
+enumeration, and plan shape (equi-joins only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delm_spark.kg.graph import (
+    degree_distribution,
+    k_hop_neighbors,
+    pagerank,
+    triangle_count,
+    triangles,
+    undirected_edges,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_degree_distribution_counts_endpoints(spark):
+    # parallel edge counts twice, self-loop contributes 2 to its node
+    e = _edges(spark, [(1, 2), (1, 2), (2, 3), (4, 4)])
+    got = {
+        r["degree"]: r["n_nodes"]
+        for r in degree_distribution(e).collect()
+    }
+    # degrees: 1 -> 2, 2 -> 3, 3 -> 1, 4 -> 2
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_undirected_edges_canonicalize(spark):
+    e = _edges(spark, [(2, 1), (1, 2), (3, 3), (1, 3)])
+    got = sorted((r["u"], r["v"]) for r in undirected_edges(e).collect())
+    assert got == [(1, 2), (1, 3)]
+
+
+def test_k_hop_min_hops_with_shortcut(spark):
+    # path 1-2-3-4-5 plus shortcut 1-3: 3 is 1 hop away, 4 is 2
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)])
+    got = {
+        r["node"]: r["hops"]
+        for r in k_hop_neighbors(e, _seeds(spark, [1]), k=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_k_hop_directed_respects_orientation(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {
+        r["node"]: r["hops"]
+        for r in k_hop_neighbors(e, _seeds(spark, [3]), k=2, directed=True).collect()
+    }
+    assert got == {3: 0, 4: 1, 5: 2}
+
+
+def test_k_hop_emits_absent_seed_at_hop_zero(spark):
+    e = _edges(spark, [(1, 2)])
+    got = {
+        r["node"]: r["hops"]
+        for r in k_hop_neighbors(e, _seeds(spark, [99]), k=2).collect()
+    }
+    assert got == {99: 0}
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    rows = pagerank(e, iters=5).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["rank"] == pytest.approx(0.25, abs=1e-12)
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # 1 -> 2, node 2 dangling; one iteration closed-form:
+    # rank(1) = 0.15/2 + 0.85 * (0.5/2)          = 0.2875
+    # rank(2) = 0.15/2 + 0.85 * (0.5 + 0.5/2)    = 0.7125
+    e = _edges(spark, [(1, 2)])
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=1).collect()}
+    assert got[1] == pytest.approx(0.075 + 0.85 * 0.25, abs=1e-12)
+    assert got[2] == pytest.approx(0.075 + 0.85 * 0.75, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_conserves_mass(spark):
+    e = _edges(
+        spark,
+        [(i, i + 1) for i in range(9)] + [(i, 0) for i in range(1, 9, 2)],
+    )
+    total = (
+        pagerank(e, iters=3).agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangles_k4(spark):
+    e = _edges(
+        spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    )
+    got = sorted(
+        (r["a"], r["b"], r["c"]) for r in triangles(e).collect()
+    )
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_triangles_ignore_loops_parallel_and_direction(spark):
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (1, 1)])
+    got = [(r["a"], r["b"], r["c"]) for r in triangles(e).collect()]
+    assert got == [(1, 2, 3)]
+
+
+def test_triangle_count_skewed_hub(spark):
+    # hub 0 touches 1..6; only (1,2) and (3,4) close triangles — the
+    # degree-ordered orientation never uses the hub as an apex
+    e = _edges(
+        spark,
+        [(0, i) for i in range(1, 7)] + [(1, 2), (3, 4)],
+    )
+    assert triangle_count(e).collect()[0]["n_triangles"] == 2
+
+
+def test_triangles_plan_equi_joins_only(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    plan = triangles(e)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
