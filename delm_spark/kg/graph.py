@@ -116,8 +116,9 @@ def pagerank(
     where `dangling` is the rank mass sitting on nodes with no out-edges
     (redistributed uniformly, the standard correction). The dangling sum
     is a one-row aggregate broadcast-crossed into the update so each
-    iteration is ONE job (the eager checkpoint); contributions reduce
-    map-side before the dst shuffle. Ranks sum to 1 at every step.
+    iteration is one checkpoint action (no separate driver collect;
+    AQE may split the action into query-stage jobs); contributions
+    reduce map-side before the dst shuffle. Ranks sum to 1 at every step.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     nodes = (
