@@ -51,9 +51,16 @@ def main() -> None:
                          "dictionary join (north-star 'dictionary + "
                          "embedding blocking'); a config file's "
                          "pipeline.embedding_link takes precedence")
+    ap.add_argument("--analytics", action="store_true",
+                    help="also materialize graph analytics over the "
+                         "canonical graph: degree_distribution/ and "
+                         "pagerank/ under --output (kg/graph.py)")
+    ap.add_argument("--pagerank-iters", type=int, default=10,
+                    help="power iterations for --analytics PageRank")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("delm-spark-kg").getOrCreate()
 
@@ -81,7 +88,28 @@ def main() -> None:
     )
     n_nodes = spark.read.parquet(f"{args.output}/nodes").count()
     n_edges = spark.read.parquet(f"{args.output}/edges").count()
-    print(json.dumps({"nodes": n_nodes, "edges": n_edges, "output": args.output}))
+    out = {"nodes": n_nodes, "edges": n_edges, "output": args.output}
+
+    if args.analytics:
+        # day-after queries over the *written* canonical graph — one scan
+        # of the final partitioned table, not a recompute of the pipeline
+        # DAG (kg/graph.py scale notes apply: hash aggs + one shuffle per
+        # PageRank iteration, no all-pairs work)
+        from delm_spark.kg.graph import degree_distribution, pagerank
+
+        graph = spark.read.parquet(f"{args.output}/edges").select(
+            F.col("subj_canonical").alias("src"),
+            F.col("obj_canonical").alias("dst"),
+        )
+        degree_distribution(graph).write.mode("overwrite").parquet(
+            f"{args.output}/degree_distribution"
+        )
+        pagerank(graph, iters=args.pagerank_iters).write.mode("overwrite").parquet(
+            f"{args.output}/pagerank"
+        )
+        out["analytics"] = ["degree_distribution", "pagerank"]
+
+    print(json.dumps(out))
     spark.stop()
 
 

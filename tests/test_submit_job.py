@@ -36,6 +36,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             "--transcripts", str(REPO / "tests/fixtures/transcripts.parquet"),
             "--dictionary", str(REPO / "tests/fixtures/dictionary.parquet"),
             "--output", str(out),
+            "--analytics", "--pagerank-iters", "3",
         ],
         capture_output=True, text=True, timeout=420, env=env,
     )
@@ -47,3 +48,18 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     # the edge table is value-partitioned by predicate (north-star
     # "partitioned edges table"): Hive pred= directories present
     assert [p for p in (out / "edges").iterdir() if p.name.startswith("pred=")]
+    # --analytics materializes the day-after queries over the written graph
+    assert stats["analytics"] == ["degree_distribution", "pagerank"]
+    assert (out / "degree_distribution" / "_SUCCESS").exists()
+    assert (out / "pagerank" / "_SUCCESS").exists()
+    import duckdb
+
+    con = duckdb.connect()
+    deg = con.execute(
+        f"SELECT sum(degree * n_nodes) FROM '{out}/degree_distribution/*.parquet'"
+    ).fetchone()[0]
+    assert deg == 2 * stats["edges"]  # every edge contributes two endpoints
+    pr = con.execute(
+        f"SELECT count(*), sum(rank) FROM '{out}/pagerank/*.parquet'"
+    ).fetchone()
+    assert pr[0] > 0 and abs(pr[1] - 1.0) < 1e-6  # ranks sum to 1
