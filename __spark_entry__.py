@@ -1009,6 +1009,120 @@ def image_pixel_stats_docs(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def audio_features_docs(spark, sf_dir):
+    """REAL audio-decode path under the correctness gate: each document's
+    text becomes a 1000-sample 8 kHz mono PCM WAV (sample i = (codepoint
+    of char i%len mod 256 - 128) * 256 — a pure function of the text),
+    flows through the binary column + Arrow audio_features operator
+    (stdlib RIFF/PCM decode -> integer features), and comes back as
+    integers the oracle re-derives closed-form from the SAME text — so
+    the encode->decode->stats roundtrip must be numerically exact."""
+    from pyspark.sql.types import BinaryType
+
+    from delm_spark.operators.multimodal import audio_features
+
+    N = 1000
+
+    def _to_wav(texts):
+        import numpy as np
+
+        from delm_spark.operators.av_codec import encode_wav
+
+        def one(t):
+            t = t or "\x00"
+            vals = np.frombuffer(
+                "".join(t[i % len(t)] for i in range(N)).encode("latin-1"),
+                np.uint8,
+            )
+            samples = ((vals.astype(np.int16) - 128) << 8).astype(np.int16)
+            return encode_wav(samples, 8000)
+
+        return texts.map(one)
+
+    to_wav = F.pandas_udf(_to_wav, BinaryType())
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.length("text") > 0)
+    )
+    media = docs.select(
+        F.format_string("m%08d", F.col("doc_id")).alias("media_id"),
+        to_wav(F.col("text")).alias("content"),
+    )
+    return audio_features(media).select(
+        "media_id",
+        "format",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("sample_sum").cast("long").alias("sample_sum"),
+        F.col("peak_abs").cast("long").alias("peak_abs"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+    ).orderBy("media_id")
+
+
+def video_frame_sample_docs(spark, sf_dir):
+    """REAL video-decode + frame-sampling path under the correctness
+    gate: each document's text becomes an 8-frame 8x8 uncompressed-DIB
+    AVI (pixel j of frame f = codepoint of char (f*64+j)%len mod 256,
+    gray), flows through the Arrow video_frame_stats operator sampling
+    every 2nd frame, and the per-frame luma sums come back as integers
+    the oracle re-derives closed-form from the SAME text. (Gray pixels
+    make float32 luma exact, as in image_pixel_stats_docs.)"""
+    from pyspark.sql.types import BinaryType
+
+    from delm_spark.operators.multimodal import video_frame_stats
+
+    FRAMES, W = 8, 8
+
+    def _to_avi(texts):
+        import numpy as np
+
+        from delm_spark.operators.av_codec import encode_avi
+
+        def one(t):
+            t = t or "\x00"
+            vals = np.frombuffer(
+                "".join(
+                    t[i % len(t)] for i in range(FRAMES * W * W)
+                ).encode("latin-1"),
+                np.uint8,
+            )
+            frames = [
+                np.repeat(
+                    vals[f * W * W : (f + 1) * W * W].reshape(W, W)[:, :, None],
+                    3,
+                    axis=2,
+                )
+                for f in range(FRAMES)
+            ]
+            return encode_avi(frames, fps=4)
+
+        return texts.map(one)
+
+    to_avi = F.pandas_udf(_to_avi, BinaryType())
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
+    media = docs.select(
+        F.format_string("m%08d", F.col("doc_id")).alias("media_id"),
+        to_avi(F.col("text")).alias("content"),
+    )
+    return video_frame_stats(media, every_k=2).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("fps").cast("int").alias("fps"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.round(F.col("mean_luma").cast("double") * F.col("n_pixels"))
+        .cast("long")
+        .alias("luma_sum"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+    ).orderBy("media_id", "frame_idx")
+
+
 def fuzzy_score_docs(spark, sf_dir):
     """R2: pandas-UDF fuzzy scoring (rapidfuzz-equivalent partial ratio)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
@@ -1064,6 +1178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_counts": salted_user_counts,
         "multimodal_media_features": multimodal_media_features,
         "image_pixel_stats_docs": image_pixel_stats_docs,
+        "audio_features_docs": audio_features_docs,
+        "video_frame_sample_docs": video_frame_sample_docs,
         "collect_ordered_langs": collect_ordered_langs,
         "explode_extracted_triples": explode_extracted_triples,
         "embedding_entity_link": embedding_entity_link,
@@ -1509,6 +1625,47 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(list_filter(p, v -> v // 16 = b)) AS BIGINT)),
                        '|') AS hist_counts
             FROM px ORDER BY media_id
+        """,
+        # re-derives the PCM sample values closed-form from the text that
+        # built the WAV payload — the Spark side must round-trip the bytes
+        # through the real RIFF encoder+decoder to produce the same
+        # integers (1000 samples, 8 kHz mono 16-bit => 125 ms exactly)
+        "audio_features_docs": """
+            WITH sm AS (
+                SELECT doc_id,
+                       list_transform(generate_series(0, 999), i ->
+                           (ord(substr(text, (i % length(text)) + 1, 1)) % 256
+                            - 128) * 256) AS s
+                FROM documents WHERE doc_id < 200 AND length(text) > 0)
+            SELECT printf('m%08d', doc_id) AS media_id,
+                   'wav' AS format,
+                   8000 AS sample_rate, 1 AS channels,
+                   CAST(1000 AS BIGINT) AS n_samples,
+                   CAST(125 AS BIGINT) AS duration_ms,
+                   CAST(list_sum(s) AS BIGINT) AS sample_sum,
+                   CAST(list_max(list_transform(s, v -> abs(v))) AS BIGINT)
+                       AS peak_abs,
+                   CAST(len(list_filter(generate_series(2, 1000), i ->
+                       (s[i-1] < 0) != (s[i] < 0))) AS BIGINT) AS zero_crossings
+            FROM sm ORDER BY media_id
+        """,
+        # re-derives each sampled frame's luma sum closed-form from the
+        # text that built the AVI payload (8 frames of 8x8 gray, every
+        # 2nd frame sampled -> frames 0,2,4,6)
+        "video_frame_sample_docs": """
+            WITH fr AS (
+                SELECT doc_id, text, f
+                FROM documents
+                CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS f) t
+                WHERE doc_id < 100 AND length(text) > 0)
+            SELECT printf('m%08d', doc_id) AS media_id,
+                   CAST(f AS INT) AS frame_idx,
+                   8 AS n_frames, 4 AS fps, 8 AS width, 8 AS height,
+                   CAST(list_sum(list_transform(generate_series(0, 63), j ->
+                       ord(substr(text, ((f * 64 + j) % length(text)) + 1, 1))
+                       % 256)) AS BIGINT) AS luma_sum,
+                   CAST(64 AS BIGINT) AS n_pixels
+            FROM fr ORDER BY media_id, frame_idx
         """,
         # DuckDB cannot run SequenceMatcher, so the expected FuzzyScorer
         # output is a committed lookup table keyed by md5(text) — the same

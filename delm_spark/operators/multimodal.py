@@ -8,11 +8,16 @@ Three tiers of realness here:
     (operators/image_codec.py: zlib + scanline filters), feeding
     `image_pixel_stats` (luma stats + histogram) and nearest-neighbor
     resize;
-  * JPEG pixels / audio / video — genuinely need codec libraries, so the
-    embedding-feature stage keeps the pluggable `decoder` seam
-    (`decoder=None` uses a deterministic fake; `require_real_decoders()`
-    raises). Plugging Pillow/torchaudio/ffmpeg in means passing a
-    `decoder` callable; nothing else changes.
+  * audio SAMPLE decode for PCM WAV and video FRAME decode + fixed-rate
+    frame sampling for uncompressed-DIB AVI — real, stdlib
+    (operators/av_codec.py: RIFF chunk walking), feeding
+    `audio_features` and `video_frame_stats`;
+  * JPEG pixels / compressed audio/video (MP3, H.264, MJPEG) —
+    genuinely need codec libraries, so the embedding-feature stage keeps
+    the pluggable `decoder` seam (`decoder=None` uses a deterministic
+    fake; `require_real_decoders()` raises). Plugging
+    Pillow/torchaudio/ffmpeg in means passing a `decoder` callable;
+    nothing else changes.
 
 Scale notes: media rows are large — size `spark.sql.files.maxPartitionBytes`
 (or repartition by count) so one Arrow batch holds tens of items, not
@@ -22,6 +27,7 @@ thousands; `maxRecordsPerBatch` should be lowered for >1 MB payloads.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterator, Optional
 
 import numpy as np
@@ -208,14 +214,137 @@ def image_pixel_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
+def audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """media -> (media_id, format, sample_rate, channels, n_samples,
+    duration_ms, sample_sum, peak_abs, zero_crossings): REAL audio decode
+    for PCM WAV payloads (operators/av_codec.py, pure stdlib+numpy);
+    rows whose payload needs an actual codec library (MP3/AAC) or is not
+    audio come back with null feature columns instead of failing the
+    scan. All features are integer-exact so oracles can re-derive them."""
+    from delm_spark.operators.av_codec import audio_stats, decode_wav
+
+    cols = ("sample_rate", "channels", "n_samples", "duration_ms",
+            "sample_sum", "peak_abs", "zero_crossings")
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("format", StringType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("sample_sum", LongType()),
+            StructField("peak_abs", LongType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[start : start + batch_rows]
+                out: dict = {k: [] for k in ("format",) + cols}
+                for content in part["content"]:
+                    b = bytes(content) if content is not None else b""
+                    try:
+                        rate, samples = decode_wav(b)
+                    except (ValueError, struct.error):
+                        rate = None
+                    if rate is None:
+                        out["format"].append(None)
+                        for k in cols:
+                            out[k].append(None)
+                    else:
+                        st = audio_stats(rate, samples)
+                        out["format"].append("wav")
+                        for k in cols:
+                            out[k].append(st[k])
+                yield pd.DataFrame(
+                    {
+                        "media_id": part["media_id"].values,
+                        "format": out["format"],
+                        "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                        "channels": pd.array(out["channels"], dtype="Int32"),
+                        **{
+                            k: pd.array(out[k], dtype="Int64")
+                            for k in cols[2:]
+                        },
+                    }
+                )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+def video_frame_stats(
+    media: DataFrame, every_k: int = 1, max_frames: Optional[int] = None,
+    batch_rows: int = 16,
+) -> DataFrame:
+    """media -> one row per SAMPLED frame (media_id, frame_idx, n_frames,
+    fps, width, height, mean_luma, n_pixels): REAL video decode + fixed-
+    rate frame sampling for uncompressed-DIB AVI payloads
+    (operators/av_codec.py) — the frame-sample step of a video training
+    pipeline. Undecodable payloads yield one row with null frame columns
+    (so the scan is total, mirroring image_pixel_stats)."""
+    from delm_spark.operators.av_codec import sample_frames
+    from delm_spark.operators.image_codec import pixel_stats
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("fps", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_luma", FloatType()),
+            StructField("n_pixels", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for mid, content in zip(part["media_id"], part["content"]):
+                    b = bytes(content) if content is not None else b""
+                    try:
+                        fps, n_frames, picked = sample_frames(
+                            b, every_k=every_k, max_frames=max_frames
+                        )
+                    except ValueError:
+                        rows.append((mid, None, None, None, None, None, None, None))
+                        continue
+                    for idx, frame in picked:
+                        st = pixel_stats(frame)
+                        h, w = frame.shape[:2]
+                        rows.append(
+                            (mid, idx, n_frames, fps, w, h,
+                             st["mean_luma"], st["n_pixels"])
+                        )
+                pdf_out = pd.DataFrame(
+                    rows, columns=[f.name for f in schema.fields]
+                )
+                for c, dt in (("frame_idx", "Int32"), ("n_frames", "Int32"),
+                              ("fps", "Int32"), ("width", "Int32"),
+                              ("height", "Int32"), ("n_pixels", "Int64")):
+                    pdf_out[c] = pd.array(pdf_out[c], dtype=dt)
+                pdf_out["mean_luma"] = pd.array(pdf_out["mean_luma"], dtype="Float32")
+                yield pdf_out
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
 def require_real_decoders() -> None:
-    """Real codec path for JPEG pixels / audio / video — unavailable in
-    this environment by design (PNG/BMP pixels ARE decoded natively, see
-    image_pixel_stats)."""
+    """Real codec path for JPEG pixels / compressed audio/video —
+    unavailable in this environment by design (PNG/BMP pixels, PCM WAV
+    audio, and uncompressed-AVI frames ARE decoded natively: see
+    image_pixel_stats, audio_features, video_frame_stats)."""
     raise NotImplementedError(
-        "JPEG/audio/video decoding needs Pillow/torchaudio/ffmpeg; pass a "
-        "`decoder` callable to extract_media_features instead (PNG and "
-        "uncompressed BMP decode natively via operators/image_codec.py)"
+        "JPEG/MP3/H.264 decoding needs Pillow/torchaudio/ffmpeg; pass a "
+        "`decoder` callable to extract_media_features instead (PNG, "
+        "uncompressed BMP, PCM WAV, and DIB-frame AVI decode natively via "
+        "operators/image_codec.py and operators/av_codec.py)"
     )
 
 
