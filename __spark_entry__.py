@@ -1143,6 +1143,114 @@ def fixed_window_chunks(spark, sf_dir):
     ).orderBy("doc_id", "chunk_pos")
 
 
+def decontam_ngram_docs(spark, sf_dir):
+    """Benchmark decontamination: word-4-gram overlap of the train split
+    (doc_id % 17 != 0) against the held-out split (doc_id % 17 == 0) as
+    a broadcast semi-join; the oracle re-derives the full n-gram chain."""
+    from delm_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(train, test, n=4).orderBy("doc_id")
+
+
+def gopher_quality_docs(spark, sf_dir):
+    """Gopher-style repetition/quality rule filter (Rae et al. 2021
+    App. A): per-doc repetition profile + one int flag per rule."""
+    from delm_spark.operators.curation import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs).orderBy("doc_id")
+
+
+def _pii_augmented(docs):
+    """Deterministically inject PII into the synthetic corpus (which has
+    none) so detection/redaction is exercised; the oracle performs the
+    identical augmentation before running the same regexes."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199 re ssn 123-45-6789"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".17")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def pii_redact_docs(spark, sf_dir):
+    """PII detection + redaction over a deterministically augmented
+    corpus — pure regex columns, lookaround-free for RE2 parity."""
+    from delm_spark.operators.curation import pii_counts, redact_pii
+
+    aug = _pii_augmented(_t(spark, sf_dir, "documents"))
+    counts = pii_counts(F.col("text"))
+    return aug.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ssn"].alias("n_ssn"),
+        counts["ipv4"].alias("n_ipv4"),
+        redact_pii(F.col("text")).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+def unigram_lm_docs(spark, sf_dir):
+    """Two-pass unigram-LM surprisal scoring (perplexity proxy): corpus
+    top-30 vocabulary broadcast back over the token stream; integer
+    micronats end-to-end so aggregation order cannot perturb values."""
+    from delm_spark.operators.curation import unigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_score(docs, vocab_size=30).orderBy("doc_id")
+
+
+def bm25_search_docs(spark, sf_dir):
+    """Okapi BM25 lexical top-20 for a 3-term query; tf from native
+    array filters (no full-token shuffle), df/avgdl broadcast, score
+    quantized to micro-units per (doc, term) before the per-doc sum."""
+    from delm_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "merge", "window"], k=20)
+
+
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-language stratified sampling (domain-mixing
+    primitive): keep iff md5-bucket(doc_id) < frac * 10000 — map-only,
+    shuffle-free, reproducible row-for-row at any parallelism."""
+    from delm_spark.operators.sample import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fr = {"en": 0.5, "es": 0.25, "fr": 0.1, "de": 1.0, "zh": 0.05}
+    return (
+        stratified_sample(docs, "lang", fr, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1197,6 +1305,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": simhash_pairs_docs,
         "fuzzy_score_docs": fuzzy_score_docs,
         "fixed_window_chunks": fixed_window_chunks,
+        "decontam_ngram_docs": decontam_ngram_docs,
+        "gopher_quality_docs": gopher_quality_docs,
+        "pii_redact_docs": pii_redact_docs,
+        "unigram_lm_docs": unigram_lm_docs,
+        "bm25_search_docs": bm25_search_docs,
+        "stratified_sample_docs": stratified_sample_docs,
     }
 
 
@@ -1750,6 +1864,204 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_vecs": _near_dup_vecs_oracle_sql(
             dim=64, n_planes=8, probe_radius=1, threshold=0.99
         ),
+        "decontam_ngram_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                           ' ') AS w
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(w) - 3, 1)),
+                           i -> array_to_string(w[i:i+3], ' '))) AS s
+                FROM w),
+            test AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0),
+            tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 17 <> 0)
+            SELECT tr.doc_id,
+                   COUNT(*)::BIGINT AS n_ngrams,
+                   SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_contam,
+                   round(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*), 6) AS contam_frac,
+                   (CASE WHEN SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+                         THEN 1 ELSE 0 END)::INT AS contaminated
+            FROM tr LEFT JOIN test t ON tr.g = t.g
+            GROUP BY tr.doc_id ORDER BY doc_id
+        """,
+        "gopher_quality_docs": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(
+                           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                           ' ') AS w
+                FROM documents),
+            lines AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS lf
+                FROM w),
+            base AS (
+                SELECT w.doc_id,
+                       len(w.w)::INT AS word_count,
+                       len(list_distinct(w.w))::INT AS n_distinct_words,
+                       round(list_sum(list_transform(w.w, x -> length(x)))::DOUBLE
+                             / greatest(len(w.w), 1), 6) AS mean_word_len,
+                       round(1 - len(list_distinct(l.lf))::DOUBLE
+                             / greatest(len(l.lf), 1), 6) AS dup_line_frac
+                FROM w JOIN lines l ON w.doc_id = l.doc_id),
+            bg AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(generate_series(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+1], ' '))
+                       END AS grams
+                FROM w),
+            e AS (SELECT doc_id, len(grams)::INT AS n_bigrams,
+                         unnest(grams) AS g FROM bg),
+            c AS (SELECT doc_id, n_bigrams, g, COUNT(*)::BIGINT AS cnt
+                  FROM e GROUP BY 1, 2, 3),
+            top AS (
+                SELECT doc_id, n_bigrams, g AS top_bigram, cnt AS top_bigram_cnt
+                FROM c
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY cnt DESC, g ASC) = 1)
+            SELECT b.doc_id AS doc_id, b.word_count, b.n_distinct_words,
+                   round(1 - b.n_distinct_words::DOUBLE
+                         / greatest(b.word_count, 1), 6) AS dup_word_frac,
+                   b.mean_word_len, b.dup_line_frac,
+                   t.top_bigram, t.top_bigram_cnt,
+                   round(t.top_bigram_cnt::DOUBLE
+                         / greatest(t.n_bigrams, 1), 6) AS top_bigram_frac,
+                   (CASE WHEN b.word_count BETWEEN 20 AND 100000
+                         THEN 1 ELSE 0 END)::INT AS ok_word_count,
+                   (CASE WHEN b.mean_word_len BETWEEN 2.0 AND 10.0
+                         THEN 1 ELSE 0 END)::INT AS ok_mean_word_len,
+                   (CASE WHEN b.dup_line_frac <= 0.30
+                         THEN 1 ELSE 0 END)::INT AS ok_dup_lines,
+                   (CASE WHEN round(t.top_bigram_cnt::DOUBLE
+                               / greatest(t.n_bigrams, 1), 6) <= 0.18
+                         THEN 1 ELSE 0 END)::INT AS ok_top_bigram,
+                   (CASE WHEN b.word_count BETWEEN 20 AND 100000
+                          AND b.mean_word_len BETWEEN 2.0 AND 10.0
+                          AND b.dup_line_frac <= 0.30
+                          AND round(t.top_bigram_cnt::DOUBLE
+                                    / greatest(t.n_bigrams, 1), 6) <= 0.18
+                         THEN 1 ELSE 0 END)::INT AS pass_quality
+            FROM base b JOIN top t ON b.doc_id = t.doc_id
+            ORDER BY b.doc_id
+        """,
+        "pii_redact_docs": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || (CASE WHEN doc_id % 3 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com now' ELSE '' END)
+                       || (CASE WHEN doc_id % 5 = 0
+                            THEN ' call 555-'
+                                 || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                 || '-0199 re ssn 123-45-6789' ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0
+                            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                 || '.17' ELSE '' END) AS text
+                FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b'))::INT AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::INT AS n_ssn,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT
+                       AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS redacted
+            FROM aug ORDER BY doc_id
+        """,
+        "unigram_lm_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                           ' ') AS w
+                FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS word FROM w),
+            vocab AS (
+                SELECT word, COUNT(*)::BIGINT AS cnt FROM tok
+                GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 30),
+            v2 AS (SELECT word,
+                          CAST(floor(ln(cnt) * 1e6 + 0.5) AS BIGINT)
+                              AS ln_cnt_micro
+                   FROM vocab),
+            tot AS (SELECT CAST(floor(ln(COUNT(*)) * 1e6 + 0.5) AS BIGINT)
+                               AS ln_total_micro
+                    FROM tok),
+            s AS (
+                SELECT t.doc_id,
+                       (tot.ln_total_micro
+                        - coalesce(v2.ln_cnt_micro, 0)) AS sm
+                FROM tok t LEFT JOIN v2 USING (word) CROSS JOIN tot)
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   SUM(sm)::BIGINT AS sum_surprisal_micro,
+                   CAST(SUM(sm)::BIGINT // COUNT(*)::BIGINT AS BIGINT)
+                       AS avg_surprisal_micro
+            FROM s GROUP BY doc_id ORDER BY doc_id
+        """,
+        "bm25_search_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                           ' ') AS w
+                FROM documents),
+            docs AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM w),
+            prof AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                            SUM(dl)::BIGINT AS sum_dl FROM docs),
+            stacked AS (
+                SELECT doc_id, dl, t.term,
+                       len(list_filter(w, x -> x = t.term))::BIGINT AS tf
+                FROM docs, (VALUES ('spark'), ('merge'), ('window')) t(term)
+                WHERE len(list_filter(w, x -> x = t.term)) > 0),
+            dfreq AS (SELECT term, COUNT(*)::BIGINT AS df
+                      FROM stacked GROUP BY 1),
+            scored AS (
+                SELECT s.doc_id,
+                       CAST(floor(
+                           ln((p.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * (s.tf * (1.2 + 1.0)
+                              / (s.tf + 1.2 * ((1.0 - 0.75)
+                                 + 0.75 * s.dl / (p.sum_dl / p.n_docs))))
+                           * 1e6 + 0.5) AS BIGINT) AS sc
+                FROM stacked s JOIN dfreq d USING (term) CROSS JOIN prof p)
+            SELECT doc_id,
+                   SUM(sc)::BIGINT AS score_micro,
+                   COUNT(*)::INT AS n_terms_hit
+            FROM scored GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 10000 AS b
+                FROM documents)
+            WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+                                WHEN 'fr' THEN 1000 WHEN 'de' THEN 10000
+                                WHEN 'zh' THEN 500 ELSE 0 END
+            ORDER BY doc_id
+        """,
     }
 
 

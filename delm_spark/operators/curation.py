@@ -1,0 +1,312 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The four families a large-scale LLM training-data pipeline runs between
+raw ingestion and tokenization, each expressed Spark-first (native
+column expressions / broadcast joins; zero Python UDFs):
+
+- benchmark decontamination: word-n-gram overlap of the training corpus
+  against a (small) held-out evaluation set, as a broadcast semi-join —
+  the standard "drop any train doc sharing an n-gram with the test set"
+  pass (reference has no equivalent; this extends the engine the way
+  its data_loaders/scorers compose: per-record, oracle-checkable).
+- repetition statistics + Gopher-style quality rules: duplicate-word /
+  duplicate-line fractions, most-frequent-bigram share, mean word
+  length — the filter family from Rae et al. 2021 ("Scaling Language
+  Models", App. A) re-expressed as two map-side-combinable aggregations.
+- PII detection and redaction: pure-regex counters and replacement
+  (email / phone / SSN / IPv4), lookaround-free so the same patterns
+  run verbatim in RE2 engines (the DuckDB correctness oracle).
+- unigram-LM surprisal scoring: a two-pass corpus language model
+  (token counts -> broadcast top-V vocabulary -> per-doc mean negative
+  log-probability), the cheap perplexity proxy used for quality
+  bucketing. All log values are fixed-point micronats computed from
+  integer counts so aggregation order can never perturb the result.
+
+Scale notes (100 TB): decontamination broadcasts only the *test* n-gram
+set (benchmarks are MBs, the corpus is TBs) so the train side is a
+map-only pass plus one per-doc aggregation; repetition stats shuffle
+(doc_id, gram) pairs with map-side partial aggregation; PII is pure
+per-row expression work inside whole-stage codegen; the LM pass
+shuffles words once for the vocabulary (bounded by V after the
+broadcast) and doc_ids once for the per-doc mean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delm_spark.operators.dedup import normalize_text
+
+__all__ = [
+    "word_ngrams",
+    "decontaminate",
+    "repetition_stats",
+    "gopher_quality",
+    "PII_PATTERNS",
+    "PII_TOKENS",
+    "pii_counts",
+    "redact_pii",
+    "unigram_lm_score",
+]
+
+
+def word_ngrams(col: Column, n: int, distinct: bool = False) -> Column:
+    """Word n-gram strings of normalized text (array<string>).
+
+    Same zip-with-shifted-self construction as `dedup.shingles` (the
+    per-element slice alternative measured 11x slower at 59M shingles)
+    but without the trailing array_distinct, so the grams carry their
+    multiplicities — repetition statistics need counts, dedup needs
+    sets. Docs shorter than n words yield their whole normalized text
+    as the single gram, matching the shingle convention (and the SQL
+    oracle's `generate_series(1, greatest(len(w)-(n-1), 1))` form).
+    """
+    words = F.split(normalize_text(col), " ")
+    cur = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
+        cur = F.zip_with(cur, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    full = F.filter(cur, lambda x: x.isNotNull())
+    out = F.when(
+        words.isNull() | (F.size(words) < n),
+        F.array(F.array_join(words, " ")),
+    ).otherwise(full)
+    return F.array_distinct(out) if distinct else out
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Per-train-document n-gram overlap against a held-out test set.
+
+    Returns one row per train document: `n_ngrams` (distinct word
+    n-grams), `n_contam` (how many also occur anywhere in `test`),
+    `contam_frac`, and `contaminated` (1 when n_contam > max_overlap).
+    Callers drop or quarantine flagged rows before training.
+
+    Plan shape: the test side is collapsed to a distinct n-gram set and
+    broadcast (benchmarks are small by construction); the train side is
+    ONE scan -> gram explode -> broadcast left join (hit marker) -> one
+    groupBy(id). No shuffle ever carries document text, only grams and
+    ids, and the join is exchange-free on the train side.
+    """
+    test_grams = (
+        test.select(F.explode(word_ngrams(F.col(text_col), n, distinct=True)).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = train.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n, distinct=True)).alias("g"),
+    )
+    per_doc = (
+        exploded.join(F.broadcast(test_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contam"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_ngrams",
+        "n_contam",
+        F.round(F.col("n_contam") / F.col("n_ngrams"), 6).alias("contam_frac"),
+        (F.col("n_contam") > max_overlap).cast("int").alias("contaminated"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile (Gopher App. A measurements).
+
+    Columns: word_count, n_distinct_words, dup_word_frac, mean_word_len,
+    dup_line_frac (newline-delimited), top_bigram, top_bigram_cnt,
+    top_bigram_frac. The most-frequent bigram is found by exploding
+    bigrams once and taking `min(struct(-cnt, gram))` per doc — a
+    map-side-combinable aggregation (ties break to the lexicographically
+    smallest gram), not a per-doc O(d^2) array scan and not a window
+    sort. Two shuffles total: (id, gram) counts, then id.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("word_count"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.round(
+            F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x))
+            / F.greatest(F.size(words), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            1
+            - F.size(F.array_distinct(lines))
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        word_ngrams(F.col(text_col), 2).alias("__bg"),
+    )
+    top = (
+        base.select(id_col, F.size("__bg").alias("n_bigrams"), F.explode("__bg").alias("g"))
+        .groupBy(id_col, "n_bigrams", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col, "n_bigrams")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("g").alias("g"))).alias("t"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.col("t.g").alias("top_bigram"),
+            (-F.col("t.neg")).cast("long").alias("top_bigram_cnt"),
+        )
+    )
+    return (
+        base.drop("__bg")
+        .join(top, id_col)
+        .select(
+            id_col,
+            "word_count",
+            "n_distinct_words",
+            F.round(
+                1 - F.col("n_distinct_words") / F.greatest(F.col("word_count"), F.lit(1)),
+                6,
+            ).alias("dup_word_frac"),
+            "mean_word_len",
+            "dup_line_frac",
+            "top_bigram",
+            "top_bigram_cnt",
+            F.round(
+                F.col("top_bigram_cnt") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style rule filter over `repetition_stats`: one int flag per
+    rule plus the composed `pass_quality`. Thresholds default to the
+    published rules scaled for short documents."""
+    stats = repetition_stats(df, text_col, id_col)
+    checks = {
+        "ok_word_count": (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "ok_top_bigram": F.col("top_bigram_frac") <= max_top_bigram_frac,
+    }
+    out = stats
+    pass_all = F.lit(True)
+    for name, pred in checks.items():
+        out = out.withColumn(name, pred.cast("int"))
+        pass_all = pass_all & pred
+    return out.withColumn("pass_quality", pass_all.cast("int"))
+
+
+#: lookaround-free patterns that parse identically under Java regex and
+#: RE2 (the DuckDB oracle runs them verbatim). Order matters for
+#: redaction: SSN before phone so `123-45-6789` never half-matches.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+PII_TOKENS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ssn": "<SSN>",
+    "phone": "<PHONE>",
+    "ipv4": "<IP>",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (dict of int Columns, codegen-native)."""
+    return {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its `<KIND>` token, in the declared
+    pattern order (SSN before phone; email and IPv4 are disjoint)."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, PII_TOKENS[kind])
+    return out
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 30,
+) -> DataFrame:
+    """Mean unigram surprisal per document, in integer micronats.
+
+    Two-pass corpus LM: (1) whitespace-token counts -> top-`vocab_size`
+    vocabulary (count desc, word asc tie-break) with per-word
+    ln(count) pre-quantized to micronats; (2) per-token surprisal
+    ln(total) - ln(count) (out-of-vocabulary words take count=1, i.e.
+    maximum surprisal), summed and floor-averaged per document.
+
+    Everything after the two `ln` calls is integer arithmetic, so the
+    result is independent of aggregation order — `ln` itself is applied
+    only to whole-corpus constants and the <=`vocab_size` distinct
+    count values, never to per-row floats. Plan shape: one word shuffle
+    (map-side combinable counts), vocabulary + the 1-row total both
+    broadcast, one final groupBy(id).
+    """
+    micronats = lambda c: F.floor(F.log(c) * 1e6 + 0.5).cast("long")  # noqa: E731
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    )
+    vocab = (
+        tokens.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", micronats(F.col("cnt")).alias("ln_cnt_micro"))
+    )
+    total = tokens.agg(
+        micronats(F.count(F.lit(1))).alias("ln_total_micro")
+    )
+    scored = (
+        tokens.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (
+                F.col("ln_total_micro") - F.coalesce(F.col("ln_cnt_micro"), F.lit(0))
+            ).alias("surprisal_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("surprisal_micro").cast("long").alias("sum_surprisal_micro"),
+        F.expr("sum(surprisal_micro) div count(1)").cast("long").alias("avg_surprisal_micro"),
+    )

@@ -34,3 +34,64 @@ def seeded_sample_records(
     broadcast semi-join keeps their rows."""
     ids = seeded_sample(df.select(record_col).distinct(), n, [record_col], seed)
     return df.join(F.broadcast(ids), record_col, "left_semi")
+
+
+#: resolution of the deterministic keep/drop buckets (basis points)
+SAMPLE_BUCKETS = 10_000
+
+
+def hash_bucket(key, buckets: int = SAMPLE_BUCKETS):
+    """Uniform deterministic bucket in [0, buckets) from md5(key) — the
+    engine-portable construction (`conv(substr(md5, 1, 15), 16, 10)`)
+    rather than xxhash64, so the SQL oracle reproduces the exact rows
+    kept (DuckDB twin: `('0x' || substr(md5(k), 1, 15))::BIGINT`)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash
+    bucket falls below `fractions[stratum] * SAMPLE_BUCKETS` (strata
+    absent from `fractions` are dropped). This is the domain-mixing
+    primitive of a training-data pipeline — re-weighting sources /
+    languages to target proportions — as a MAP-ONLY pass: no shuffle,
+    no per-stratum state, reproducible row-for-row at any parallelism
+    (membership depends only on the row's own key). Exact-count
+    variants need a sort; at 100 TB fraction-based is the right
+    contract (binomial deviation is O(sqrt(n)) per stratum)."""
+    bucket = hash_bucket(F.col(key_col))
+    threshold = F.create_map(
+        *[
+            lit
+            for s, frac in sorted(fractions.items())
+            for lit in (F.lit(s), F.lit(int(round(frac * SAMPLE_BUCKETS))))
+        ]
+    )[F.col(strata_col)]
+    return df.filter(bucket < F.coalesce(threshold, F.lit(0)))
+
+
+def domain_mix_fractions(
+    df: DataFrame, strata_col: str, weights: dict[str, float]
+) -> dict[str, float]:
+    """Derive per-stratum keep fractions that hit target mixture
+    `weights` (normalized) given the observed stratum counts, keeping
+    the largest total corpus that satisfies them: T = min(n_s / w_s),
+    frac_s = T * w_s / n_s. The stratum census is a tiny aggregate
+    (bounded by the number of domains), collected once driver-side."""
+    total_w = sum(weights.values())
+    norm = {s: w / total_w for s, w in weights.items()}
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[strata_col] in norm
+    }
+    missing = set(norm) - set(counts)
+    if missing:
+        raise ValueError(f"strata absent from data: {sorted(missing)}")
+    t = min(counts[s] / w for s, w in norm.items() if w > 0)
+    return {s: min(t * w / counts[s], 1.0) for s, w in norm.items()}
