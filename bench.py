@@ -124,6 +124,10 @@ def main() -> None:
         "majority_vote_lang",
         "near_dup_pipeline_docs",
         "fuzzy_score_docs",
+        "decontam_ngram_docs",
+        "gopher_quality_docs",
+        "unigram_lm_docs",
+        "bm25_search_docs",
     ]
     qs = entry_mod.queries()
     for name in suite:
