@@ -122,6 +122,42 @@ def decontaminate(
     )
 
 
+def _top_run(sorted_arr: Column) -> Column:
+    """(count, value) of the most frequent element of a SORTED array, as
+    a struct<bc: long, bg: string> — one linear run-length scan inside
+    whole-stage codegen. Equal elements are adjacent after sorting, and
+    because the scan visits values in ascending order, "strictly greater
+    count wins" makes ties resolve to the lexicographically smallest
+    value with no extra comparison."""
+    init = F.struct(
+        F.lit(0).cast("long").alias("bc"),
+        F.lit(None).cast("string").alias("bg"),
+        F.lit(0).cast("long").alias("cc"),
+        F.lit(None).cast("string").alias("cg"),
+    )
+
+    def step(a: Column, x: Column) -> Column:
+        cur = (
+            F.when(x.eqNullSafe(a.getField("cg")), a.getField("cc") + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        better = cur > a.getField("bc")
+        return F.struct(
+            F.when(better, cur).otherwise(a.getField("bc")).alias("bc"),
+            F.when(better, x).otherwise(a.getField("bg")).alias("bg"),
+            cur.alias("cc"),
+            x.alias("cg"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda a: F.struct(a.getField("bc").alias("bc"), a.getField("bg").alias("bg")),
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -129,11 +165,14 @@ def repetition_stats(
 
     Columns: word_count, n_distinct_words, dup_word_frac, mean_word_len,
     dup_line_frac (newline-delimited), top_bigram, top_bigram_cnt,
-    top_bigram_frac. The most-frequent bigram is found by exploding
-    bigrams once and taking `min(struct(-cnt, gram))` per doc — a
-    map-side-combinable aggregation (ties break to the lexicographically
-    smallest gram), not a per-doc O(d^2) array scan and not a window
-    sort. Two shuffles total: (id, gram) counts, then id.
+    top_bigram_frac. The most-frequent bigram is found per-row by
+    sorting the doc's bigram array and run-length scanning it
+    (`_top_run`) — O(d log d) per doc inside whole-stage codegen, so the
+    whole profile is a single MAP pass: no explode, no shuffle, no join.
+    (The exploded groupBy(doc, gram) formulation this replaces shuffled
+    ~1 GB of bigram rows per 1M docs because doc-scoped keys get no
+    map-side reduction; the SQL oracle still uses it, pinning the
+    semantics of both.)
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
     lines = F.filter(
@@ -142,7 +181,12 @@ def repetition_stats(
         ),
         lambda x: x != "",
     )
-    base = df.select(
+    bigrams = word_ngrams(F.col(text_col), 2)
+    # two-step select: the run-scan struct is aliased once and extracted
+    # in a second projection — CollapseProject keeps non-cheap aliases
+    # referenced multiple times un-inlined, so the sort+scan runs once
+    # per row, not once per consuming column
+    staged = df.select(
         F.col(id_col),
         F.size(words).alias("word_count"),
         F.size(F.array_distinct(words)).alias("n_distinct_words"),
@@ -157,40 +201,25 @@ def repetition_stats(
             / F.greatest(F.size(lines), F.lit(1)),
             6,
         ).alias("dup_line_frac"),
-        word_ngrams(F.col(text_col), 2).alias("__bg"),
+        _top_run(F.array_sort(bigrams)).alias("__top"),
+        F.size(bigrams).alias("__n_bigrams"),
     )
-    top = (
-        base.select(id_col, F.size("__bg").alias("n_bigrams"), F.explode("__bg").alias("g"))
-        .groupBy(id_col, "n_bigrams", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col, "n_bigrams")
-        .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("g").alias("g"))).alias("t"))
-        .select(
-            id_col,
-            "n_bigrams",
-            F.col("t.g").alias("top_bigram"),
-            (-F.col("t.neg")).cast("long").alias("top_bigram_cnt"),
-        )
-    )
-    return (
-        base.drop("__bg")
-        .join(top, id_col)
-        .select(
-            id_col,
-            "word_count",
-            "n_distinct_words",
-            F.round(
-                1 - F.col("n_distinct_words") / F.greatest(F.col("word_count"), F.lit(1)),
-                6,
-            ).alias("dup_word_frac"),
-            "mean_word_len",
-            "dup_line_frac",
-            "top_bigram",
-            "top_bigram_cnt",
-            F.round(
-                F.col("top_bigram_cnt") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
-            ).alias("top_bigram_frac"),
-        )
+    return staged.select(
+        id_col,
+        "word_count",
+        "n_distinct_words",
+        F.round(
+            1
+            - F.col("n_distinct_words") / F.greatest(F.col("word_count"), F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+        "mean_word_len",
+        "dup_line_frac",
+        F.col("__top.bg").alias("top_bigram"),
+        F.col("__top.bc").alias("top_bigram_cnt"),
+        F.round(
+            F.col("__top.bc") / F.greatest(F.col("__n_bigrams"), F.lit(1)), 6
+        ).alias("top_bigram_frac"),
     )
 
 

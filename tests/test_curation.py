@@ -99,6 +99,26 @@ def test_repetition_top_bigram_tie_breaks_lexicographically(spark):
     assert r["top_bigram_frac"] == pytest.approx(0.5, abs=1e-6)
 
 
+def test_repetition_stats_plan_is_map_only(spark):
+    """The per-doc profile (incl. top bigram) must compile to a single
+    map pass: no Exchange, no explode-side Generate, no join — the
+    sorted-run scan replaces the (doc, gram) shuffle."""
+    from tests.conftest import TESTDATA
+
+    # a parquet scan, not createDataFrame: local relations constant-fold
+    # straight to the answer and leave nothing to assert on
+    df = spark.read.parquet(str(TESTDATA / "sf0.001" / "documents.parquet"))
+    out = repetition_stats(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    # the run-scan struct must appear exactly once in the optimized plan
+    # (CollapseProject must not inline it into its three consumers)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("aggregate(array_sort") == 1
+
+
 def test_gopher_quality_composes_flags(spark):
     good = " ".join(f"word{i}" for i in range(30))
     short = "tiny doc"
