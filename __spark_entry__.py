@@ -1251,6 +1251,23 @@ def stratified_sample_docs(spark, sf_dir):
     )
 
 
+def incremental_dedup_docs(spark, sf_dir):
+    """Incremental corpus dedup: docs >= 250 arrive as a new batch and
+    are checked against the LSH index of the existing corpus (docs
+    < 250) — candidate probe on the index's band table (batch side
+    broadcast, corpus never reshuffled), exact Jaccard re-rank on
+    survivors, best match per new doc."""
+    from delm_spark.operators.dedup import incremental_dedup, minhash_index
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    bands_df, sh_df = minhash_index(corpus)
+    return incremental_dedup(
+        batch, bands_df, sh_df, jaccard_threshold=0.5
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1311,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_docs": unigram_lm_docs,
         "bm25_search_docs": bm25_search_docs,
         "stratified_sample_docs": stratified_sample_docs,
+        "incremental_dedup_docs": incremental_dedup_docs,
     }
 
 
@@ -2051,6 +2069,9 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
             ORDER BY score_micro DESC, doc_id ASC LIMIT 20
         """,
+        "incremental_dedup_docs": _incremental_dedup_oracle_sql(
+            k=16, bands=4, split=250, jaccard_threshold=0.5
+        ),
         "stratified_sample_docs": """
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,
@@ -2530,6 +2551,60 @@ def _triangle_oracle_sql(n: int) -> str:
             FROM t GROUP BY block ORDER BY block
         """
     )
+
+
+def _incremental_dedup_oracle_sql(
+    k: int, bands: int, split: int, jaccard_threshold: float
+) -> str:
+    """DuckDB replica of minhash_index + incremental_dedup: corpus =
+    doc_id < split, batch = doc_id >= split; LSH candidate probe, exact
+    Jaccard re-rank, best corpus match per new doc (jaccard desc, id
+    asc), left-joined back over the full batch."""
+    rows = k // bands
+    sig_exprs = ",\n                       ".join(
+        f"list_min(list_transform(s, x -> md5('salt{i}|' || x)))" for i in range(k)
+    )
+    band_list = ", ".join(str(b) for b in range(bands))
+    return f"""
+            WITH sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(w) - 2, 1)),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, regexp_split_to_array(
+                          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+                      FROM documents)),
+            sig AS (
+                SELECT doc_id, [
+                       {sig_exprs}] AS g
+                FROM sh),
+            bands AS (
+                SELECT doc_id, band,
+                       md5(array_to_string(g[band*{rows}+1 : band*{rows}+{rows}], '|')) AS bucket
+                FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band) t),
+            cand AS (
+                SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+                FROM bands c JOIN bands b
+                  ON c.band = b.band AND c.bucket = b.bucket
+                WHERE c.doc_id < {split} AND b.doc_id >= {split}),
+            j AS (
+                SELECT cand.new_id, cand.corpus_id,
+                       (len(list_intersect(a.s, b.s))::DOUBLE
+                        / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)) AS jac
+                FROM cand
+                JOIN sh a ON cand.new_id = a.doc_id
+                JOIN sh b ON cand.corpus_id = b.doc_id),
+            best AS (
+                SELECT new_id, corpus_id AS dup_of, round(jac, 6) AS jaccard
+                FROM j WHERE jac >= {jaccard_threshold}
+                QUALIFY row_number() OVER (PARTITION BY new_id
+                                           ORDER BY jac DESC, corpus_id ASC) = 1)
+            SELECT d.doc_id,
+                   (best.dup_of IS NOT NULL)::INT AS is_dup,
+                   best.dup_of, best.jaccard
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= {split}) d
+            LEFT JOIN best ON d.doc_id = best.new_id
+            ORDER BY d.doc_id
+        """
 
 
 def _minhash_lsh_oracle_sql(

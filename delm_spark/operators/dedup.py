@@ -152,22 +152,11 @@ def minhash_lsh_pairs(
     corpora; the carried array costs `bands` extra strings per exploded
     row on the (uniform) bucket shuffle instead.
     """
-    rows_per_band = k // bands
     sig = (
         minhash_signatures_agg(df, text_col, id_col, k=k, n=n)
         .withColumnRenamed(id_col, "__id")
     )
-    buckets = F.array(
-        *[
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                    "|",
-                )
-            )
-            for b in range(bands)
-        ]
-    )
+    buckets = band_buckets(F.col("__sig"), k, bands)
     banded = sig.select(
         "__id",
         buckets.alias("__bkts"),
@@ -361,4 +350,146 @@ def simhash_dedup_pairs(
             F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def band_buckets(sig: Column, k: int, bands: int) -> Column:
+    """Band a k-wide MinHash signature into `bands` bucket hashes
+    (array<string>): bucket b = md5 of the '|'-joined rows of band b."""
+    rows_per_band = k // bands
+    return F.array(
+        *[
+            F.md5(
+                F.array_join(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistent LSH index of a (deduplicated) corpus, for incremental
+    dedup of future batches: returns `(bands_df, shingles_df)` where
+    bands_df is (id_col, __band int, __bucket string) — one row per
+    (doc, band) — and shingles_df is (id_col, __sh array<string>).
+
+    Both are meant to be WRITTEN as staging tables once and appended to
+    as batches survive; write bands_df bucketed by __bucket
+    (io/bucketed.py) so the per-batch candidate probe is a co-located
+    join on the corpus side. At 100 TB the index is the only state the
+    dedup pass keeps — the corpus text itself is never re-read.
+    """
+    sig = minhash_signatures_agg(df, text_col, id_col, k=k, n=n)
+    bands_df = sig.select(
+        id_col,
+        F.posexplode(band_buckets(F.col("__sig"), k, bands)).alias(
+            "__band", "__bucket"
+        ),
+    )
+    shingles_df = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("__sh")
+    )
+    return bands_df, shingles_df
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-dup verdict for each NEW document against an existing corpus
+    index (from `minhash_index`), without touching corpus text: returns
+    (id_col, is_dup int, dup_of, jaccard) where dup_of is the corpus id
+    with the highest exact shingle Jaccard >= threshold among the LSH
+    candidates (ties -> smallest corpus id), else null.
+
+    Plan shape for the steady state (batch << corpus): the batch's band
+    table and shingles are BROADCAST, so the corpus index is scanned
+    map-side — never reshuffled — and only (batch_id, corpus_id)
+    candidate rows plus the candidates' corpus shingles ever reach an
+    exchange. The exact-Jaccard re-rank runs on LSH survivors only.
+    Self-dedup within the batch is a separate (cheap) `minhash_lsh_pairs`
+    over the batch alone; run it first, then this against the corpus.
+    """
+    new_bands, new_shingles = minhash_index(
+        new_df, text_col, id_col, k=k, bands=bands, n=n
+    )
+    nb = F.broadcast(new_bands) if broadcast_batch else new_bands
+    cand = (
+        index_bands.alias("c")
+        .join(
+            nb.alias("b"),
+            (F.col("c.__band") == F.col("b.__band"))
+            & (F.col("c.__bucket") == F.col("b.__bucket")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("__new_id"),
+            F.col(f"c.{id_col}").alias("__corpus_id"),
+        )
+        .distinct()
+    )
+    ns = F.broadcast(new_shingles) if broadcast_batch else new_shingles
+    jacc = (
+        cand.join(
+            index_shingles.select(
+                F.col(id_col).alias("__corpus_id"), F.col("__sh").alias("__csh")
+            ),
+            "__corpus_id",
+        )
+        .join(
+            ns.select(F.col(id_col).alias("__new_id"), F.col("__sh").alias("__nsh")),
+            "__new_id",
+        )
+        .select(
+            "__new_id",
+            "__corpus_id",
+            (
+                F.size(F.array_intersect("__nsh", "__csh"))
+                / F.greatest(
+                    F.size(F.array_distinct(F.concat("__nsh", "__csh"))), F.lit(1)
+                )
+            ).alias("__j"),
+        )
+        .filter(F.col("__j") >= jaccard_threshold)
+    )
+    best = (
+        jacc.groupBy("__new_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__j")).alias("nj"), F.col("__corpus_id").alias("cid")
+                )
+            ).alias("t")
+        )
+        .select(
+            F.col("__new_id").alias(id_col),
+            F.col("t.cid").alias("dup_of"),
+            F.round(-F.col("t.nj"), 6).alias("jaccard"),
+        )
+    )
+    return (
+        new_df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+            "jaccard",
+        )
     )

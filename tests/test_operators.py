@@ -229,3 +229,77 @@ def test_ngram_jaccard_all_pairs_requires_opt_in(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "id long, text string")
     with _pytest.raises(ValueError, match="allow_all_pairs"):
         ngram_jaccard_pairs(df, "text", "id")
+
+
+def test_incremental_dedup_flags_batch_near_dups(spark):
+    import pandas as pd
+
+    from delm_spark.operators.dedup import incremental_dedup, minhash_index
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [base, "completely different content about spark plans"],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11],
+                # near-dup of corpus doc 1 (one word changed), plus a clean doc
+                "text": [base.replace("afternoon", "evening"), "novel text entirely"],
+            }
+        )
+    )
+    bands_df, sh_df = minhash_index(corpus)
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            batch, bands_df, sh_df, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert out[10]["is_dup"] == 1 and out[10]["dup_of"] == 1
+    assert 0.5 <= out[10]["jaccard"] < 1.0
+    assert out[11]["is_dup"] == 0 and out[11]["dup_of"] is None
+
+
+def test_incremental_dedup_broadcasts_batch_not_corpus(spark):
+    """Steady state is batch << corpus: the batch side must broadcast so
+    the corpus index is never reshuffled."""
+    import pandas as pd
+
+    from delm_spark.operators.dedup import incremental_dedup, minhash_index
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha beta gamma delta"]})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["alpha beta gamma epsilon"]})
+    )
+    bands_df, sh_df = minhash_index(corpus)
+    out = incremental_dedup(batch, bands_df, sh_df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_exact_copy_scores_one(spark):
+    import pandas as pd
+
+    from delm_spark.operators.dedup import incremental_dedup, minhash_index
+
+    text = "identical content replicated byte for byte across batches"
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5], "text": [text]})
+    )
+    batch = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [text]}))
+    bands_df, sh_df = minhash_index(corpus)
+    r = incremental_dedup(batch, bands_df, sh_df).head()
+    assert (r["is_dup"], r["dup_of"], r["jaccard"]) == (1, 5, 1.0)
