@@ -1268,6 +1268,18 @@ def incremental_dedup_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def pack_sequences_docs(spark, sf_dir):
+    """Sequence packing into 500-token training packs via the two-phase
+    distributed prefix sum (block-partitioned cumsum + tiny offset
+    window); the oracle's sequential SUM() OVER (ORDER BY doc_id)
+    proves the distributed layout equals the sequential semantics."""
+    from delm_spark.operators.packing import pack_sequences, pack_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=500, block_size=100)
+    return pack_summary(packed).orderBy("pack_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1329,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": bm25_search_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
+        "pack_sequences_docs": pack_sequences_docs,
     }
 
 
@@ -2072,6 +2085,25 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_docs": _incremental_dedup_oracle_sql(
             k=16, bands=4, split=250, jaccard_threshold=0.5
         ),
+        "pack_sequences_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END)::BIGINT AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cs
+                FROM t)
+            SELECT ((cs - n_tokens) // 500)::BIGINT AS pack_id,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_tokens)::BIGINT AS total_tokens,
+                   MIN(doc_id) AS first_doc,
+                   MAX(doc_id) AS last_doc
+            FROM c GROUP BY 1 ORDER BY pack_id
+        """,
         "stratified_sample_docs": """
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,

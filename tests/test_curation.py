@@ -279,3 +279,53 @@ def test_domain_mix_fractions_missing_stratum_raises(spark):
     )
     with pytest.raises(ValueError, match="absent"):
         domain_mix_fractions(df, "lang", {"en": 1, "xx": 1})
+
+
+def test_pack_sequences_document_boundary_binning(spark):
+    import pandas as pd
+
+    from delm_spark.operators.packing import pack_sequences
+
+    # 300-token docs, budget 500: doc 2 STARTS at offset 300 -> pack 0
+    # (overflowing it), doc 3 starts at 600 -> pack 1
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [" ".join(["w"] * 300)] * 3}
+    )
+    df = spark.createDataFrame(pdf)
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(df, budget=500, block_size=2).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_pack_sequences_block_size_invariant(spark):
+    from tests.conftest import TESTDATA
+
+    from delm_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(str(TESTDATA / "sf0.001" / "documents.parquet"))
+    a = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(docs, budget=300, block_size=7).collect()
+    }
+    b = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(docs, budget=300, block_size=1000).collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """The corpus-wide cumsum must run under a block-partitioned window
+    (shuffle on __blk), never a global single-partition sort."""
+    from tests.conftest import TESTDATA
+
+    from delm_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(str(TESTDATA / "sf0.001" / "documents.parquet"))
+    out = pack_sequences(docs, budget=500)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(__blk" in plan
