@@ -222,7 +222,12 @@ def main() -> None:
             results.append({"phase": name, "wall_sec": wall, **extra})
         s1, c1 = steal_counters()
         st = round((s1 - s0) / max(c1 - c0, 1) * 100, 1)
-        run = {"steal_pct": st, "phases": results, "windows": windows}
+        attempt = {"steal_pct": st, "phases": results, "windows": windows}
+        # keep the LOWEST-steal attempt: if every attempt exceeds the
+        # gate, publish the least-contended one and say the gate failed,
+        # never silently the last one
+        if run is None or st < run["steal_pct"]:
+            run = attempt
         if st <= STEAL_MAX:
             break
 
@@ -239,6 +244,7 @@ def main() -> None:
         "n_distinct": N_DISTINCT,
         "cores": CORES,
         "steal_pct": run["steal_pct"],
+        "steal_gate_met": run["steal_pct"] <= STEAL_MAX,
         "phases": run["phases"],
     }
     print(json.dumps(summary))
@@ -251,7 +257,7 @@ def main() -> None:
     md = f"""# BENCH — multimodal decode at {n_wav:,} audio clips / {n_avi:,} videos
 
 Generated {date.today().isoformat()} by bench_av.py on local[{CORES}]
-(steal-gated <= {STEAL_MAX}%; measured steal {run['steal_pct']}%).
+(steal gate <= {STEAL_MAX}%: {'MET' if run['steal_pct'] <= STEAL_MAX else 'NOT met — walls are upper bounds'}; best-attempt steal {run['steal_pct']}%).
 
 Corpus: {n_wav:,} 1000-sample PCM WAV clips (~2 KB each; payloads repeat
 with period {N_DISTINCT:,}) and {n_avi:,} 8-frame 16x16 uncompressed-DIB

@@ -117,7 +117,7 @@ def main() -> None:
         t1_ms = int(time.time() * 1000)
         s1, c1 = steal_counters()
         st = round((s1 - s0) / max(c1 - c0, 1) * 100, 1)
-        run = {
+        attempt = {
             "wall_sec": wall,
             "steal_pct": st,
             "n_nodes": n_nodes,
@@ -126,6 +126,9 @@ def main() -> None:
             "window": (t0_ms, t1_ms),
             "labels": cc,
         }
+        # keep the LOWEST-steal attempt; never silently publish the last
+        if run is None or st < run["steal_pct"]:
+            run = attempt
         if st <= STEAL_MAX:
             break
     cc = run.pop("labels")

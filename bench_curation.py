@@ -287,7 +287,12 @@ def main() -> None:
             results.append({"phase": name, "wall_sec": wall, **extra})
         s1, c1 = steal_counters()
         st = round((s1 - s0) / max(c1 - c0, 1) * 100, 1)
-        run = {"steal_pct": st, "phases": results, "windows": windows}
+        attempt = {"steal_pct": st, "phases": results, "windows": windows}
+        # keep the LOWEST-steal attempt: if every attempt exceeds the
+        # gate, publish the least-contended one and say the gate failed,
+        # never silently the last one
+        if run is None or st < run["steal_pct"]:
+            run = attempt
         if st <= STEAL_MAX:
             break
 
@@ -302,6 +307,7 @@ def main() -> None:
         "n_docs": N_DOCS,
         "cores": CORES,
         "steal_pct": run["steal_pct"],
+        "steal_gate_met": run["steal_pct"] <= STEAL_MAX,
         "phases": run["phases"],
     }
     print(json.dumps(summary))
@@ -314,7 +320,7 @@ def main() -> None:
     md = f"""# BENCH — corpus curation at {N_DOCS:,} docs (~{N_DOCS * DOC_WORDS // 1_000_000}M tokens)
 
 Generated {date.today().isoformat()} by bench_curation.py on local[{CORES}]
-(steal-gated <= {STEAL_MAX}%; measured steal {run['steal_pct']}%).
+(steal gate <= {STEAL_MAX}%: {'MET' if run['steal_pct'] <= STEAL_MAX else 'NOT met — walls are upper bounds'}; best-attempt steal {run['steal_pct']}%).
 
 Corpus: {N_DOCS:,} deterministic ~{DOC_WORDS}-word docs over a {VOCAB}-word
 vocabulary; 1-in-{SPAM_MOD} docs are a repeated two-word phrase (Gopher
@@ -334,9 +340,10 @@ after a repartition(17).
 100-TB read: decontamination broadcasts only the benchmark n-gram set
 (MBs) — the 50M-token train side is map-only until the final per-doc
 aggregation, so scale-out is bounded by scan bandwidth. The Gopher pass
-shuffles (doc_id, bigram) partial counts (map-side combined); the LM
-pass shuffles words once to build the bounded vocabulary then
-broadcasts it; BM25 never shuffles the token stream (tf is a native
+is a pure MAP pass — the per-doc top bigram comes from an in-row sorted
+run-length scan, no bigram ever reaches an exchange; the LM pass
+shuffles words once to build the bounded vocabulary then broadcasts it
+(the corpus total reuses the same aggregate, so one scan serves both); BM25 never shuffles the token stream (tf is a native
 per-row array filter, only per-(doc, matched-term) rows move);
 stratified sampling is a pure map-side filter — zero exchange.
 """

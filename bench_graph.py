@@ -150,7 +150,12 @@ def main() -> None:
             results.append({"phase": name, "wall_sec": wall, **extra})
         s1, c1 = steal_counters()
         st = round((s1 - s0) / max(c1 - c0, 1) * 100, 1)
-        run = {"steal_pct": st, "phases": results, "windows": windows}
+        attempt = {"steal_pct": st, "phases": results, "windows": windows}
+        # keep the LOWEST-steal attempt: if every attempt exceeds the
+        # gate, publish the least-contended one and say the gate failed,
+        # never silently the last one
+        if run is None or st < run["steal_pct"]:
+            run = attempt
         if st <= STEAL_MAX:
             break
 
@@ -167,6 +172,7 @@ def main() -> None:
         "blocks": B,
         "cores": CORES,
         "steal_pct": run["steal_pct"],
+        "steal_gate_met": run["steal_pct"] <= STEAL_MAX,
         "phases": run["phases"],
     }
     print(json.dumps(summary))
@@ -178,7 +184,7 @@ def main() -> None:
     md = f"""# BENCH — graph analytics at {n_edges:,} edges / {N_NODES:,} nodes
 
 Generated {date.today().isoformat()} by bench_graph.py on local[{CORES}]
-(steal-gated <= {STEAL_MAX}%; measured steal {run['steal_pct']}%).
+(steal gate <= {STEAL_MAX}%: {'MET' if run['steal_pct'] <= STEAL_MAX else 'NOT met — walls are upper bounds'}; best-attempt steal {run['steal_pct']}%).
 
 Graph: {B:,} independent 64-node blocks, each carrying a chain (i, i+1)
 and a skip (i, i+2) edge set — every phase's answer is closed-form and

@@ -181,7 +181,12 @@ def main() -> None:
             results.append({"phase": name, "wall_sec": wall, **extra})
         s1, c1 = steal_counters()
         st = round((s1 - s0) / max(c1 - c0, 1) * 100, 1)
-        run = {"steal_pct": st, "phases": results, "windows": windows}
+        attempt = {"steal_pct": st, "phases": results, "windows": windows}
+        # keep the LOWEST-steal attempt: if every attempt exceeds the
+        # gate, publish the least-contended one and say the gate failed,
+        # never silently the last one
+        if run is None or st < run["steal_pct"]:
+            run = attempt
         if st <= STEAL_MAX:
             break
 
@@ -197,6 +202,7 @@ def main() -> None:
         "n_batch": n_batch,
         "cores": CORES,
         "steal_pct": run["steal_pct"],
+        "steal_gate_met": run["steal_pct"] <= STEAL_MAX,
         "phases": run["phases"],
     }
     print(json.dumps(summary))
@@ -209,7 +215,7 @@ def main() -> None:
     md = f"""# BENCH — incremental dedup: {N_CORPUS:,}-doc index, {n_batch:,}-doc batch
 
 Generated {date.today().isoformat()} by bench_incr.py on local[{CORES}]
-(steal-gated <= {STEAL_MAX}%; measured steal {run['steal_pct']}%).
+(steal gate <= {STEAL_MAX}%: {'MET' if run['steal_pct'] <= STEAL_MAX else 'NOT met — walls are upper bounds'}; best-attempt steal {run['steal_pct']}%).
 
 Corpus docs are pairwise shingle-disjoint by construction (quadratic
 (doc, position) word mixing — a shared 3-word run forces identical

@@ -139,8 +139,11 @@ def main() -> None:
         wall = round(time.perf_counter() - t0, 2)
         s1, c1 = steal_counters()
         st = round((s1 - s0) / max(c1 - c0, 1) * 100, 1)
-        run = {"wall_sec": wall, "steal_pct": st,
-               "by_kind": {r["kind"]: (r["linked"], r["correct"]) for r in agg}}
+        attempt = {"wall_sec": wall, "steal_pct": st,
+                   "by_kind": {r["kind"]: (r["linked"], r["correct"]) for r in agg}}
+        # keep the LOWEST-steal attempt; never silently publish the last
+        if run is None or st < run["steal_pct"]:
+            run = attempt
         if st <= STEAL_MAX:
             break
 

@@ -36,10 +36,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from delm_spark.operators.dedup import normalize_text
+from delm_spark.operators.dedup import normalize_text, word_ngrams
 
 __all__ = [
-    "word_ngrams",
+    "word_ngrams",  # re-export: the shared construction lives in dedup.py
     "decontaminate",
     "repetition_stats",
     "gopher_quality",
@@ -49,30 +49,6 @@ __all__ = [
     "redact_pii",
     "unigram_lm_score",
 ]
-
-
-def word_ngrams(col: Column, n: int, distinct: bool = False) -> Column:
-    """Word n-gram strings of normalized text (array<string>).
-
-    Same zip-with-shifted-self construction as `dedup.shingles` (the
-    per-element slice alternative measured 11x slower at 59M shingles)
-    but without the trailing array_distinct, so the grams carry their
-    multiplicities — repetition statistics need counts, dedup needs
-    sets. Docs shorter than n words yield their whole normalized text
-    as the single gram, matching the shingle convention (and the SQL
-    oracle's `generate_series(1, greatest(len(w)-(n-1), 1))` form).
-    """
-    words = F.split(normalize_text(col), " ")
-    cur = words
-    for j in range(1, n):
-        shifted = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
-        cur = F.zip_with(cur, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
-    full = F.filter(cur, lambda x: x.isNotNull())
-    out = F.when(
-        words.isNull() | (F.size(words) < n),
-        F.array(F.array_join(words, " ")),
-    ).otherwise(full)
-    return F.array_distinct(out) if distinct else out
 
 
 def decontaminate(
@@ -314,15 +290,18 @@ def unigram_lm_score(
     tokens = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
     )
+    # vocab AND the corpus total both derive from the one word-count
+    # aggregate (ln(sum of counts) == ln(token count)): ReuseExchange
+    # serves both broadcasts from a single shuffle instead of a second
+    # full corpus scan + explode just to count rows
+    counts = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = (
-        tokens.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("w"))
+        counts.orderBy(F.desc("cnt"), F.asc("w"))
         .limit(vocab_size)
         .select("w", micronats(F.col("cnt")).alias("ln_cnt_micro"))
     )
-    total = tokens.agg(
-        micronats(F.count(F.lit(1))).alias("ln_total_micro")
+    total = counts.agg(
+        micronats(F.sum("cnt")).alias("ln_total_micro")
     )
     scored = (
         tokens.join(F.broadcast(vocab), "w", "left")

@@ -42,8 +42,11 @@ def exact_dedup(
     )
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of normalized text (array<string>, distinct).
+def word_ngrams(col: Column, n: int, distinct: bool = False) -> Column:
+    """Word n-gram strings of normalized text (array<string>), with or
+    without multiplicities — THE single n-gram construction every
+    operator family shares (dedup shingles, decontamination,
+    repetition stats).
 
     Built by zipping the word array with its own 1..n-1 shifts
     (concatenating pairwise) instead of an index transform doing
@@ -51,10 +54,9 @@ def shingles(col: Column, n: int = 3) -> Column:
     subarray for every shingle, which measured 11x slower at 59M shingles
     (500k docs: 80.6 s -> 7.2 s for the full explode). zip_with pads the
     shorter shifted array with nulls; concat propagates them, so partial
-    tail windows drop out via the null filter. Output strings are
-    IDENTICAL to the old construction (the SQL oracles are unchanged);
-    docs shorter than n words keep yielding their whole text as the one
-    shingle."""
+    tail windows drop out via the null filter. Docs shorter than n words
+    yield their whole normalized text as the single gram (matching the
+    SQL oracles' `generate_series(1, greatest(len(w)-(n-1), 1))`)."""
     words = F.split(normalize_text(col), " ")
     cur = words
     for j in range(1, n):
@@ -67,12 +69,17 @@ def shingles(col: Column, n: int = 3) -> Column:
     # it explicitly to reproduce the old construction's [null] output —
     # a null-text row keeps contributing one (null) shingle, exactly as
     # sequence(0, greatest(size-n, 0)) did
-    return F.array_distinct(
-        F.when(
-            words.isNull() | (F.size(words) < n),
-            F.array(F.array_join(words, " ")),
-        ).otherwise(full)
-    )
+    out = F.when(
+        words.isNull() | (F.size(words) < n),
+        F.array(F.array_join(words, " ")),
+    ).otherwise(full)
+    return F.array_distinct(out) if distinct else out
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle SET of normalized text (array<string>,
+    distinct) — `word_ngrams(col, n, distinct=True)` by definition."""
+    return word_ngrams(col, n, distinct=True)
 
 
 def minhash_from_shingles(sh: Column, k: int = 16) -> Column:

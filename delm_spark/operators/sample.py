@@ -84,7 +84,12 @@ def domain_mix_fractions(
     frac_s = T * w_s / n_s. The stratum census is a tiny aggregate
     (bounded by the number of domains), collected once driver-side."""
     total_w = sum(weights.values())
-    norm = {s: w / total_w for s, w in weights.items()}
+    if total_w <= 0:
+        raise ValueError("domain_mix_fractions needs weights summing > 0")
+    # zero-weight strata contribute nothing: their fraction is 0 whether
+    # or not they appear in the data, so exclude them from the census
+    # and the absence check
+    norm = {s: w / total_w for s, w in weights.items() if w > 0}
     counts = {
         r[strata_col]: r["n"]
         for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -93,5 +98,7 @@ def domain_mix_fractions(
     missing = set(norm) - set(counts)
     if missing:
         raise ValueError(f"strata absent from data: {sorted(missing)}")
-    t = min(counts[s] / w for s, w in norm.items() if w > 0)
-    return {s: min(t * w / counts[s], 1.0) for s, w in norm.items()}
+    t = min(counts[s] / w for s, w in norm.items())
+    out = {s: min(t * w / counts[s], 1.0) for s, w in norm.items()}
+    out.update({s: 0.0 for s, w in weights.items() if w <= 0})
+    return out

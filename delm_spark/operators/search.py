@@ -46,7 +46,11 @@ def bm25_topk(
     (id_col, score_micro, n_terms_hit) ordered by score desc, id asc,
     limited to k.
     """
-    terms = [t.lower() for t in query_terms]
+    # dedupe after lowercasing (order-preserving): duplicate or
+    # case-colliding terms would double df, scores, and n_terms_hit
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
     words = F.split(normalize_text(F.col(text_col)), " ")
     docs = df.select(F.col(id_col), F.size(words).alias("dl"), words.alias("__w"))
     profile = docs.agg(
