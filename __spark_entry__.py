@@ -1280,6 +1280,24 @@ def pack_sequences_docs(spark, sf_dir):
     return pack_summary(packed).orderBy("pack_id")
 
 
+def curation_pipeline_docs(spark, sf_dir):
+    """The COMPOSED curation chain (exact dedup -> near-dup -> Gopher ->
+    decontam -> redact -> pack) over the corpus (doc_id % 17 != 0) with
+    the held-out split (doc_id % 17 == 0) as the decontam reference;
+    one disposition row per input doc, oracle re-derives all six stages."""
+    from delm_spark.curate import CurationConfig, run_curation
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    out = run_curation(
+        corpus,
+        test_df=test,
+        config=CurationConfig(near_dup_threshold=0.5, decontam_n=8, pack_budget=500),
+    )
+    return out.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1342,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "curation_pipeline_docs": curation_pipeline_docs,
     }
 
 
@@ -2085,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_docs": _incremental_dedup_oracle_sql(
             k=16, bands=4, split=250, jaccard_threshold=0.5
         ),
+        "curation_pipeline_docs": _curation_pipeline_oracle_sql(),
         "pack_sequences_docs": """
             WITH t AS (
                 SELECT doc_id,
@@ -2636,6 +2656,126 @@ def _incremental_dedup_oracle_sql(
             FROM (SELECT doc_id FROM documents WHERE doc_id >= {split}) d
             LEFT JOIN best ON d.doc_id = best.new_id
             ORDER BY d.doc_id
+        """
+
+
+def _curation_pipeline_oracle_sql() -> str:
+    """DuckDB replica of the COMPOSED run_curation chain over the
+    corpus split (doc_id % 17 != 0), assembling the proven per-stage
+    fragments: sha256 exact dedup (keep min id), MinHash-LSH + exact
+    Jaccard keep-first near-dup, Gopher rule flags, 8-gram decontam
+    against the held-out split, and the sequential-cumsum packing over
+    survivors (redaction is identity on this digit-free corpus, which
+    the PII oracle pins separately)."""
+    sig_exprs = ",\n                       ".join(
+        f"list_min(list_transform(s, x -> md5('salt{i}|' || x)))" for i in range(16)
+    )
+    return f"""
+            WITH corpus AS (
+                SELECT doc_id, text,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+                FROM documents WHERE doc_id % 17 <> 0),
+            h AS (SELECT doc_id, text, nt, sha256(nt) AS hh FROM corpus),
+            keep1 AS (SELECT hh, min(doc_id) AS keep FROM h GROUP BY hh),
+            s1 AS (SELECT h.doc_id, h.text, h.nt FROM h
+                   JOIN keep1 ON h.hh = keep1.hh AND h.doc_id = keep1.keep),
+            w1 AS (SELECT doc_id, regexp_split_to_array(nt, ' ') AS w FROM s1),
+            sh AS (SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS s
+                   FROM w1),
+            sig AS (SELECT doc_id, [
+                       {sig_exprs}] AS g FROM sh),
+            bands AS (SELECT doc_id, band,
+                             md5(array_to_string(g[band*4+1 : band*4+4], '|')) AS bucket
+                      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id),
+            losers AS (SELECT DISTINCT cand.id_b AS doc_id
+                       FROM cand
+                       JOIN sh a ON cand.id_a = a.doc_id
+                       JOIN sh b ON cand.id_b = b.doc_id
+                       WHERE (len(list_intersect(a.s, b.s))::DOUBLE
+                              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1))
+                             >= 0.5),
+            s2 AS (SELECT s1.doc_id, s1.text, s1.nt FROM s1
+                   LEFT JOIN losers USING (doc_id) WHERE losers.doc_id IS NULL),
+            w2 AS (SELECT doc_id, text, regexp_split_to_array(nt, ' ') AS w FROM s2),
+            lines2 AS (SELECT doc_id,
+                              list_filter(list_transform(string_split(text, chr(10)),
+                                                         x -> trim(x)),
+                                          x -> x <> '') AS lf
+                       FROM w2),
+            bg2 AS (SELECT doc_id,
+                           CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                                ELSE list_transform(generate_series(1, len(w) - 1),
+                                                    i -> array_to_string(w[i:i+1], ' '))
+                           END AS grams
+                    FROM w2),
+            e2 AS (SELECT doc_id, len(grams)::INT AS n_bigrams, unnest(grams) AS g
+                   FROM bg2),
+            c2 AS (SELECT doc_id, n_bigrams, g, COUNT(*)::BIGINT AS cnt
+                   FROM e2 GROUP BY 1, 2, 3),
+            top2 AS (SELECT doc_id, n_bigrams, cnt AS top_cnt FROM c2
+                     QUALIFY row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY cnt DESC, g ASC) = 1),
+            gq AS (SELECT w2.doc_id,
+                          (len(w2.w) BETWEEN 20 AND 100000
+                           AND (list_sum(list_transform(w2.w, x -> length(x)))::DOUBLE
+                                / greatest(len(w2.w), 1)) BETWEEN 2.0 AND 10.0
+                           AND round(1 - len(list_distinct(l.lf))::DOUBLE
+                                     / greatest(len(l.lf), 1), 6) <= 0.30
+                           AND round(t.top_cnt::DOUBLE
+                                     / greatest(t.n_bigrams, 1), 6) <= 0.18) AS ok
+                   FROM w2 JOIN lines2 l ON w2.doc_id = l.doc_id
+                   JOIN top2 t ON w2.doc_id = t.doc_id),
+            s3 AS (SELECT s2.doc_id, s2.text, s2.nt FROM s2
+                   JOIN gq ON s2.doc_id = gq.doc_id AND gq.ok),
+            failedq AS (SELECT doc_id FROM gq WHERE NOT ok),
+            tw AS (SELECT doc_id,
+                          regexp_split_to_array(
+                              lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                              ' ') AS w
+                   FROM documents WHERE doc_id % 17 = 0),
+            tg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 1)),
+                       i -> array_to_string(w[i:i+7], ' ')))) AS g
+                   FROM tw),
+            cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w3.w) - 7, 1)),
+                       i -> array_to_string(w3.w[i:i+7], ' ')))) AS g
+                   FROM (SELECT doc_id, regexp_split_to_array(nt, ' ') AS w
+                         FROM s3) w3),
+            contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN tg ON cg.g = tg.g),
+            s4 AS (SELECT s3.doc_id, s3.text FROM s3
+                   LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL),
+            tok AS (SELECT doc_id,
+                           (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END)::BIGINT AS n_tokens
+                    FROM s4),
+            packed AS (SELECT doc_id, n_tokens,
+                              ((SUM(n_tokens) OVER (ORDER BY doc_id
+                                                    ROWS UNBOUNDED PRECEDING)
+                                - n_tokens) // 500)::BIGINT AS pack_id
+                       FROM tok)
+            SELECT c.doc_id,
+                   CASE WHEN k1.keep IS NOT NULL AND c.doc_id <> k1.keep
+                            THEN 'exact_dup'
+                        WHEN lo.doc_id IS NOT NULL THEN 'near_dup'
+                        WHEN fq.doc_id IS NOT NULL THEN 'quality'
+                        WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                        ELSE 'kept' END AS status,
+                   p.pack_id, p.n_tokens
+            FROM h c
+            LEFT JOIN keep1 k1 ON c.hh = k1.hh
+            LEFT JOIN losers lo ON c.doc_id = lo.doc_id
+            LEFT JOIN failedq fq ON c.doc_id = fq.doc_id
+            LEFT JOIN contam ct ON c.doc_id = ct.doc_id
+            LEFT JOIN packed p ON c.doc_id = p.doc_id
+            ORDER BY c.doc_id
         """
 
 

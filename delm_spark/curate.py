@@ -1,0 +1,189 @@
+"""Composed corpus-curation pipeline: raw documents in, training-ready
+packed corpus out.
+
+Chains the curation operator family in the canonical order a
+training-data pipeline runs it:
+
+  1. exact dedup        keep the smallest id per byte-identical
+                        normalized text (sha2 groupBy)
+  2. near-dup           MinHash-LSH candidates + exact Jaccard on the
+                        exact-dedup survivors; greedy keep-first (drop
+                        any doc with a qualifying smaller-id partner)
+  3. quality            Gopher repetition/quality rules (map-only)
+  4. decontamination    word-n-gram overlap against a held-out test set
+                        (broadcast semi-join), when one is provided
+  5. PII redaction      regex replace on the survivors' text
+  6. sequence packing   token-budget pack assignment via the two-phase
+                        distributed prefix sum
+
+Every stage is a native DataFrame program (the only shuffles: the two
+dedup signature aggregations, the pack prefix sum, and the final
+disposition join — quality is map-only, decontam shuffles only doc ids,
+redaction is pure expression work). Every document receives exactly one
+disposition: the FIRST stage that dropped it, or 'kept' with its pack
+assignment — so the output is a complete audit trail, and the whole
+chain is reproducible in the DuckDB correctness oracle
+(curation_pipeline_docs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delm_spark.operators.curation import (
+    decontaminate,
+    gopher_quality,
+    redact_pii,
+)
+from delm_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    normalize_text,
+)
+from delm_spark.operators.packing import pack_sequences
+
+__all__ = ["CurationConfig", "run_curation"]
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for `run_curation`; defaults mirror the standalone demos."""
+
+    near_dup_threshold: Optional[float] = 0.5  # Jaccard; None disables stage 2
+    minhash_k: int = 16
+    minhash_bands: int = 4
+    shingle_n: int = 3
+    quality: bool = True
+    decontam_n: int = 8
+    decontam_max_overlap: int = 0
+    redact: bool = True
+    pack_budget: Optional[int] = 2048
+
+
+def run_curation(
+    docs: DataFrame,
+    test_df: Optional[DataFrame] = None,
+    config: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run the composed curation chain. Returns one row per INPUT doc:
+    (id_col, status, pack_id, n_tokens) where status is 'kept' or the
+    first stage that dropped the doc ('exact_dup' | 'near_dup' |
+    'quality' | 'contaminated'); pack_id/n_tokens are null for dropped
+    docs. Kept docs' text is PII-redacted before token counting, so the
+    packs describe the corpus actually shipped to training."""
+    base = docs.select(id_col, text_col)
+
+    # stage 1: exact dedup — smallest id per normalized content hash
+    keyed = base.withColumn("__h", F.sha2(normalize_text(F.col(text_col)), 256))
+    winners = keyed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    exact = keyed.join(winners, "__h").select(
+        id_col, text_col, (F.col(id_col) == F.col("__keep")).alias("__exact_keep")
+    )
+    s1 = exact.filter("__exact_keep").select(id_col, text_col)
+
+    # stage 2: near-dup — greedy keep-first over verified LSH pairs
+    if config.near_dup_threshold is not None:
+        cand = minhash_lsh_pairs(
+            s1,
+            text_col,
+            id_col,
+            k=config.minhash_k,
+            bands=config.minhash_bands,
+            n=config.shingle_n,
+        )
+        verified = ngram_jaccard_pairs(
+            s1,
+            text_col,
+            id_col,
+            n=config.shingle_n,
+            threshold=config.near_dup_threshold,
+            candidates=cand,
+        )
+        losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+        s2 = s1.join(losers, id_col, "left_anti")
+    else:
+        losers = None
+        s2 = s1
+
+    # stage 3: Gopher quality rules (map-only)
+    if config.quality:
+        flags = gopher_quality(s2, text_col, id_col).select(id_col, "pass_quality")
+        s3 = s2.join(flags.filter("pass_quality = 1"), id_col, "left_semi")
+        failed_quality = flags.filter("pass_quality = 0").select(id_col)
+    else:
+        s3 = s2
+        failed_quality = None
+
+    # stage 4: decontamination against the held-out set
+    if test_df is not None:
+        verdicts = decontaminate(
+            s3,
+            test_df,
+            text_col,
+            id_col,
+            n=config.decontam_n,
+            max_overlap=config.decontam_max_overlap,
+        ).select(id_col, "contaminated")
+        s4 = s3.join(verdicts.filter("contaminated = 0"), id_col, "left_semi")
+        contaminated = verdicts.filter("contaminated = 1").select(id_col)
+    else:
+        s4 = s3
+        contaminated = None
+
+    # stage 5 + 6: redact survivors, then pack them
+    kept = s4.select(
+        id_col,
+        (redact_pii(F.col(text_col)) if config.redact else F.col(text_col)).alias(
+            text_col
+        ),
+    )
+    if config.pack_budget is not None:
+        packed = pack_sequences(
+            kept, text_col, id_col, budget=config.pack_budget
+        )
+    else:
+        from delm_spark.operators.text import whitespace_token_count
+
+        packed = kept.select(
+            id_col,
+            whitespace_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("pack_id"),
+        )
+
+    # disposition: first-drop-wins, exactly one row per input doc
+    disp = exact.select(
+        id_col,
+        F.when(~F.col("__exact_keep"), F.lit("exact_dup")).alias("__s1"),
+    )
+    for frame, label in (
+        (losers, "near_dup"),
+        (failed_quality, "quality"),
+        (contaminated, "contaminated"),
+    ):
+        if frame is not None:
+            disp = disp.join(
+                frame.withColumn(f"__{label}", F.lit(label)), id_col, "left"
+            )
+        else:
+            disp = disp.withColumn(f"__{label}", F.lit(None).cast("string"))
+    return (
+        disp.join(packed.select(id_col, "n_tokens", "pack_id"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("__s1"),
+                F.col("__near_dup"),
+                F.col("__quality"),
+                F.col("__contaminated"),
+                F.lit("kept"),
+            ).alias("status"),
+            "pack_id",
+            "n_tokens",
+        )
+    )

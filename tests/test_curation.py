@@ -329,3 +329,60 @@ def test_pack_sequences_window_is_partitioned(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "hashpartitioning(__blk" in plan
+
+
+def test_run_curation_dispositions(spark):
+    import pandas as pd
+
+    from delm_spark.curate import CurationConfig, run_curation
+
+    good = " ".join(f"tok{i}" for i in range(30))
+    near = good.replace("tok29", "changed")
+    spam = " ".join(["spam ham"] * 40)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                # doc 5 needs >= 20 words so it SURVIVES the quality
+                # stage and reaches decontamination (first-drop-wins)
+                "text": [good, good, near, spam, "held out benchmark phrase "
+                         + " ".join(f"b{i}" for i in range(20))],
+            }
+        )
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": [docs.collect()[4]["text"]]})
+    )
+    out = {
+        r["doc_id"]: r
+        for r in run_curation(
+            docs, test_df=test, config=CurationConfig(pack_budget=40)
+        ).collect()
+    }
+    assert out[1]["status"] == "kept" and out[1]["pack_id"] is not None
+    assert out[2]["status"] == "exact_dup" and out[2]["pack_id"] is None
+    assert out[3]["status"] == "near_dup"
+    assert out[4]["status"] == "quality"
+    assert out[5]["status"] == "contaminated"
+    # every input doc got exactly one disposition row
+    assert len(out) == 5
+
+
+def test_run_curation_stages_toggle_off(spark):
+    import pandas as pd
+
+    from delm_spark.curate import CurationConfig, run_curation
+
+    spam = " ".join(["spam ham"] * 40)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [spam, spam]})
+    )
+    cfg = CurationConfig(
+        near_dup_threshold=None, quality=False, redact=False, pack_budget=None
+    )
+    out = {r["doc_id"]: r for r in run_curation(docs, config=cfg).collect()}
+    # only exact dedup ran: doc 2 is a byte-dup, doc 1 kept with token
+    # count but no pack assignment
+    assert out[1]["status"] == "kept" and out[1]["pack_id"] is None
+    assert out[1]["n_tokens"] == 80
+    assert out[2]["status"] == "exact_dup"
