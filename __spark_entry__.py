@@ -2723,8 +2723,10 @@ def _curation_pipeline_oracle_sql() -> str:
                                                 ORDER BY cnt DESC, g ASC) = 1),
             gq AS (SELECT w2.doc_id,
                           (len(w2.w) BETWEEN 20 AND 100000
-                           AND (list_sum(list_transform(w2.w, x -> length(x)))::DOUBLE
-                                / greatest(len(w2.w), 1)) BETWEEN 2.0 AND 10.0
+                           -- round to 6dp first: Spark's gopher flags
+                           -- test the ROUNDED repetition_stats column
+                           AND round(list_sum(list_transform(w2.w, x -> length(x)))::DOUBLE
+                                     / greatest(len(w2.w), 1), 6) BETWEEN 2.0 AND 10.0
                            AND round(1 - len(list_distinct(l.lf))::DOUBLE
                                      / greatest(len(l.lf), 1), 6) <= 0.30
                            AND round(t.top_cnt::DOUBLE

@@ -70,14 +70,29 @@ def run_curation(
     config: CurationConfig = CurationConfig(),
     text_col: str = "text",
     id_col: str = "doc_id",
+    eager: bool = True,
 ) -> DataFrame:
     """Run the composed curation chain. Returns one row per INPUT doc:
     (id_col, status, pack_id, n_tokens) where status is 'kept' or the
     first stage that dropped the doc ('exact_dup' | 'near_dup' |
     'quality' | 'contaminated'); pack_id/n_tokens are null for dropped
     docs. Kept docs' text is PII-redacted before token counting, so the
-    packs describe the corpus actually shipped to training."""
-    base = docs.select(id_col, text_col)
+    packs describe the corpus actually shipped to training.
+
+    Multi-consumed stage frames are eagerly localCheckpoint-ed (pitfall:
+    a frame consumed by N branches of one action recomputes its whole
+    upstream N times — the LSH+Jaccard subtree would otherwise run once
+    for the survivor anti-join and again for the disposition join).
+    Pass eager=False to keep the chain fully lazy (test-scale only)."""
+    # NULL text must still receive a disposition row (an equi-join on a
+    # null hash would silently drop it): normalize to '' at the door —
+    # null/empty docs dedup together and carry zero tokens
+    base = docs.select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if eager else df
 
     # stage 1: exact dedup — smallest id per normalized content hash
     keyed = base.withColumn("__h", F.sha2(normalize_text(F.col(text_col)), 256))
@@ -85,6 +100,7 @@ def run_curation(
     exact = keyed.join(winners, "__h").select(
         id_col, text_col, (F.col(id_col) == F.col("__keep")).alias("__exact_keep")
     )
+    exact = _pin(exact)
     s1 = exact.filter("__exact_keep").select(id_col, text_col)
 
     # stage 2: near-dup — greedy keep-first over verified LSH pairs
@@ -105,7 +121,7 @@ def run_curation(
             threshold=config.near_dup_threshold,
             candidates=cand,
         )
-        losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+        losers = _pin(verified.select(F.col("id_b").alias(id_col)).distinct())
         s2 = s1.join(losers, id_col, "left_anti")
     else:
         losers = None
@@ -113,7 +129,9 @@ def run_curation(
 
     # stage 3: Gopher quality rules (map-only)
     if config.quality:
-        flags = gopher_quality(s2, text_col, id_col).select(id_col, "pass_quality")
+        flags = _pin(
+            gopher_quality(s2, text_col, id_col).select(id_col, "pass_quality")
+        )
         s3 = s2.join(flags.filter("pass_quality = 1"), id_col, "left_semi")
         failed_quality = flags.filter("pass_quality = 0").select(id_col)
     else:
@@ -122,14 +140,16 @@ def run_curation(
 
     # stage 4: decontamination against the held-out set
     if test_df is not None:
-        verdicts = decontaminate(
-            s3,
-            test_df,
-            text_col,
-            id_col,
-            n=config.decontam_n,
-            max_overlap=config.decontam_max_overlap,
-        ).select(id_col, "contaminated")
+        verdicts = _pin(
+            decontaminate(
+                s3,
+                test_df,
+                text_col,
+                id_col,
+                n=config.decontam_n,
+                max_overlap=config.decontam_max_overlap,
+            ).select(id_col, "contaminated")
+        )
         s4 = s3.join(verdicts.filter("contaminated = 0"), id_col, "left_semi")
         contaminated = verdicts.filter("contaminated = 1").select(id_col)
     else:

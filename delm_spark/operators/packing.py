@@ -47,7 +47,21 @@ def pack_sequences(
     belongs to the pack its first token falls in. Returns
     (id_col, n_tokens, pack_id). `block_size` trades shuffle width
     against the size of the per-block offset table (corpus_rows /
-    block_size rows); any value yields identical output."""
+    block_size rows); any value yields identical output.
+
+    `id_col` must be NUMERIC: the block key `id div block_size` is only
+    order-preserving (the prefix-sum correctness condition) for numeric
+    ids — a string id would ANSI-fail the division, or with ANSI off
+    silently null the block key and drop every row from the join."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"pack_sequences needs a numeric id_col for its "
+            f"order-preserving block key; {id_col!r} is "
+            f"{df.schema[id_col].dataType.simpleString()} — derive a "
+            f"numeric rank first"
+        )
     tok = whitespace_token_count(F.col(text_col)).cast("long")
     base = df.select(
         F.col(id_col),

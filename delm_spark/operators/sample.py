@@ -83,6 +83,8 @@ def domain_mix_fractions(
     the largest total corpus that satisfies them: T = min(n_s / w_s),
     frac_s = T * w_s / n_s. The stratum census is a tiny aggregate
     (bounded by the number of domains), collected once driver-side."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("domain_mix_fractions weights must be >= 0")
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("domain_mix_fractions needs weights summing > 0")

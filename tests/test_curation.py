@@ -386,3 +386,46 @@ def test_run_curation_stages_toggle_off(spark):
     assert out[1]["status"] == "kept" and out[1]["pack_id"] is None
     assert out[1]["n_tokens"] == 80
     assert out[2]["status"] == "exact_dup"
+
+
+def test_run_curation_null_text_gets_disposition(spark):
+    import pandas as pd
+
+    from delm_spark.curate import CurationConfig, run_curation
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [" ".join(f"t{i}" for i in range(25)),
+                                           None, None]}
+        )
+    )
+    out = {r["doc_id"]: r for r in run_curation(docs, config=CurationConfig()).collect()}
+    # every input doc — including both null-text docs — has a row; the
+    # nulls dedup together (smallest id kept, then dropped by quality)
+    assert len(out) == 3
+    assert out[3]["status"] == "exact_dup"
+    assert out[2]["status"] == "quality"
+
+
+def test_pack_sequences_rejects_string_ids(spark):
+    import pandas as pd
+
+    from delm_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "text": ["x y", "z"]})
+    )
+    with pytest.raises(TypeError, match="numeric id_col"):
+        pack_sequences(df, budget=10)
+
+
+def test_domain_mix_fractions_rejects_negative_weight(spark):
+    import pandas as pd
+
+    from delm_spark.operators.sample import domain_mix_fractions
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10), "lang": ["en"] * 10})
+    )
+    with pytest.raises(ValueError, match=">= 0"):
+        domain_mix_fractions(df, "lang", {"en": 1, "es": -0.5})
