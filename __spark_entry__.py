@@ -1298,6 +1298,116 @@ def curation_pipeline_docs(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+
+def asof_join_events(spark, sf_dir):
+    """Backward as-of join (operators/temporal.py): every purchase event
+    picks up the most recent prior click by the same user within a 1-hour
+    tolerance — union-window form, ONE shuffle on user_id, no range
+    theta-join pair blow-up. The oracle is DuckDB's native ASOF LEFT
+    JOIN: an independent engine implementation of the same semantics."""
+    from delm_spark.operators.temporal import asof_join, dedupe_right
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = dedupe_right(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        ),
+        ["user_id"],
+        "ts",
+        "click_id",
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        tolerance_sec=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        # two-step cast: the parquet ts is TIMESTAMP_NTZ, which has no
+        # direct long cast (same canonicalization as events_sessionize)
+        F.col("ts").cast("timestamp").cast("long").alias("purchase_ts"),
+        F.col("ts_asof").cast("timestamp").cast("long").alias("click_ts"),
+        F.col("click_id_asof").alias("click_id"),
+    ).orderBy("event_id")
+
+
+def kg_consistency_report(spark, sf_dir):
+    """KG publish gate (kg/quality.py): consistency checks over the
+    materialized triple table — self-loops, duplicate triples, unresolved
+    mention endpoints, functional-predicate violations — each ONE
+    map-side-combinable aggregation. The oracle re-derives the full
+    extraction+linking chain and every check independently in SQL."""
+    from delm_spark.kg.quality import consistency_report
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return consistency_report(res.triples).orderBy("check_name")
+
+
+def semantic_dedup_vecs(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.py): embeddings
+    (+ planted perturbed near-copies at cosine ~0.999) are clustered via
+    the deterministic IVF quantizer, then a vector is a duplicate iff an
+    earlier same-cluster vector has 6-dp-rounded cosine >= 0.99 — the
+    pair search never leaves its cluster. The oracle re-derives the
+    centroid pick, the argmax assignment, and the exists check in SQL."""
+    from delm_spark.operators.similarity import semantic_dedup
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    perturbed = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] * 1.05),
+            F.slice(F.col("embedding"), 2, 63),
+        ).alias("embedding"),
+    )
+    return semantic_dedup(
+        emb.unionByName(perturbed), n_clusters=8, threshold=0.99
+    ).orderBy("vec_id")
+
+
+def quality_classifier_docs(spark, sf_dir):
+    """Model-based quality filtering (operators/curation.py): a
+    hashed-feature naive-Bayes log-odds linear classifier trained in ONE
+    corpus pass (proxy label: lang == 'en'), then every doc scored under
+    the broadcast model in integer micronats — the fastText-style quality
+    scorer of a training-data pipeline. The oracle re-derives training
+    AND scoring end-to-end in SQL."""
+    from delm_spark.operators.curation import (
+        hashed_linear_score,
+        nb_logodds_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = nb_logodds_weights(docs, F.col("lang") == F.lit("en"), dim=512)
+    return hashed_linear_score(docs, w, dim=512).orderBy("doc_id")
+
+
+def shard_assign_docs(spark, sf_dir):
+    """Training-shard export (operators/packing.py): deterministic global
+    pseudo-shuffle — shard and within-shard position both derive from one
+    salted md5, so shards are fixed-count, order-decorrelated from corpus
+    order, and byte-reproducible across reruns and task retries."""
+    from delm_spark.operators.packing import shard_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assign(docs, "doc_id", n_shards=8).orderBy("shard", "shard_pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1361,6 +1471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "curation_pipeline_docs": curation_pipeline_docs,
+        "asof_join_events": asof_join_events,
+        "kg_consistency_report": kg_consistency_report,
+        "semantic_dedup_vecs": semantic_dedup_vecs,
+        "quality_classifier_docs": quality_classifier_docs,
+        "shard_assign_docs": shard_assign_docs,
     }
 
 
@@ -1903,6 +2018,66 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes_canonical": _kg_oracle_sql("nodes"),
         "kg_degree_distribution": _kg_oracle_sql("degree"),
         "kg_two_hop_entities": _kg_oracle_sql("two_hop"),
+        "kg_consistency_report": _kg_oracle_sql("consistency"),
+        "semantic_dedup_vecs": _semantic_dedup_oracle_sql(
+            dim=64, n_clusters=8, threshold=0.99
+        ),
+        "asof_join_events": """
+            WITH clicks AS (
+                SELECT user_id, ts, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id,
+                   CAST(floor(date_part('epoch', p.ts)) AS BIGINT) AS purchase_ts,
+                   CASE WHEN c.ts >= p.ts - INTERVAL 3600 SECOND
+                        THEN CAST(floor(date_part('epoch', c.ts)) AS BIGINT)
+                   END AS click_ts,
+                   CASE WHEN c.ts >= p.ts - INTERVAL 3600 SECOND
+                        THEN c.click_id END AS click_id
+            FROM p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY event_id
+        """,
+        "quality_classifier_docs": """
+            WITH toks AS (
+                SELECT doc_id, lang = 'en' AS y,
+                       unnest(regexp_split_to_array(
+                           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                           ' ')) AS w
+                FROM documents),
+            feats AS (
+                SELECT doc_id, y,
+                       ('0x' || substr(md5(w), 1, 15))::BIGINT % 512 AS feature
+                FROM toks),
+            wt AS (
+                SELECT feature,
+                       (CAST(floor(ln(SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1)
+                                   * 1e6 + 0.5) AS BIGINT)
+                        - CAST(floor(ln(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) + 1)
+                                     * 1e6 + 0.5) AS BIGINT)) AS weight_micro
+                FROM feats GROUP BY feature),
+            scored AS (
+                SELECT f.doc_id, coalesce(wt.weight_micro, 0) AS wm
+                FROM feats f LEFT JOIN wt USING (feature))
+            SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   SUM(wm)::BIGINT AS sum_weight_micro,
+                   CAST(SUM(wm)::BIGINT // COUNT(*)::BIGINT AS BIGINT)
+                       AS avg_weight_micro
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        "shard_assign_docs": """
+            SELECT doc_id, shard,
+                   (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                    - 1)::BIGINT AS shard_pos
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5('shard0|' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT % 8 AS shard,
+                       md5('shard0|' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents)
+            ORDER BY shard, shard_pos
+        """,
         "pagerank_demo": _pagerank_oracle_sql(_PR_N, _PR_ITERS, _PR_DAMPING),
         "triangle_blocks_demo": _triangle_oracle_sql(_PR_N),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(
@@ -2136,6 +2311,49 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
     }
+
+
+def _semantic_dedup_oracle_sql(dim: int, n_clusters: int, threshold: float) -> str:
+    """DuckDB replica of semantic_dedup_vecs: same planted perturbation,
+    md5-ordered centroid pick, (cos desc, centroid_id asc) argmax
+    assignment, and the same-cell earlier-id exists check at a
+    6-dp-rounded cosine threshold."""
+    cos = (
+        "list_sum(list_transform(generate_series(1, {d}), i -> {a}[i] * {b}[i]))"
+        " / greatest("
+        "sqrt(list_sum(list_transform(generate_series(1, {d}), i -> {a}[i] * {a}[i])))"
+        " * sqrt(list_sum(list_transform(generate_series(1, {d}), i -> {b}[i] * {b}[i]))),"
+        " 1e-12)"
+    )
+    return f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+                      FROM embeddings WHERE vec_id < 200),
+        pert AS (SELECT vec_id + 100000 AS vec_id,
+                        list_concat([ee[1] * 1.05], ee[2:{dim}]) AS ee
+                 FROM base WHERE vec_id < 50),
+        e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        cents AS (
+            SELECT vec_id AS centroid_id, ee AS cv FROM e
+            ORDER BY md5(vec_id::VARCHAR || '|ivf') LIMIT {n_clusters}),
+        a_sc AS (
+            SELECT e.vec_id, e.ee, c.centroid_id,
+                   {cos.format(d=dim, a='ee', b='cv')} AS cos
+            FROM e CROSS JOIN cents c),
+        assigned AS (
+            SELECT vec_id, ee, centroid_id AS cell FROM (
+                SELECT vec_id, ee, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, centroid_id ASC) AS rn
+                FROM a_sc) WHERE rn = 1),
+        hits AS (
+            SELECT DISTINCT a.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND b.vec_id < a.vec_id
+            WHERE round({cos.format(d=dim, a='a.ee', b='b.ee')}, 6) >= {threshold})
+        SELECT a.vec_id, a.cell, (h.vec_id IS NOT NULL) AS is_dup
+        FROM assigned a LEFT JOIN hits h ON a.vec_id = h.vec_id
+        ORDER BY a.vec_id
+    """
 
 
 def _near_dup_vecs_oracle_sql(
@@ -2494,6 +2712,33 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             deg AS (SELECT node, count(*) AS degree FROM endpoints GROUP BY node)
             SELECT degree, count(*) AS n_nodes
             FROM deg GROUP BY degree ORDER BY degree
+        """
+    if kind == "consistency":
+        return linked + """,
+            checks AS (
+                SELECT 'self_loop' AS check_name,
+                       COUNT(*) FILTER (WHERE subj_id = obj_id)::BIGINT
+                           AS n_violations
+                FROM linked
+                UNION ALL
+                SELECT 'duplicate_triple', coalesce(SUM(extra), 0)::BIGINT FROM (
+                    SELECT COUNT(*) - 1 AS extra FROM linked
+                    GROUP BY subj_id, pred, obj_id)
+                UNION ALL
+                SELECT 'unresolved_subj',
+                       COUNT(*) FILTER (WHERE subj_id LIKE 'mention:%')::BIGINT
+                FROM linked
+                UNION ALL
+                SELECT 'unresolved_obj',
+                       COUNT(*) FILTER (WHERE obj_id LIKE 'mention:%')::BIGINT
+                FROM linked
+                UNION ALL
+                SELECT 'functional_violation', coalesce(SUM(excess), 0)::BIGINT
+                FROM (
+                    SELECT COUNT(DISTINCT obj_id) - 1 AS excess FROM linked
+                    WHERE pred IN ('works_at', 'reports_to', 'located_in')
+                    GROUP BY pred, subj_id))
+            SELECT check_name, n_violations FROM checks ORDER BY check_name
         """
     if kind == "two_hop":
         return linked + f""",

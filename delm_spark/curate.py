@@ -46,7 +46,13 @@ from delm_spark.operators.dedup import (
 )
 from delm_spark.operators.packing import pack_sequences
 
-__all__ = ["CurationConfig", "run_curation"]
+__all__ = [
+    "CurationConfig",
+    "run_curation",
+    "TranscriptCurationConfig",
+    "assemble_conversations",
+    "run_transcript_curation",
+]
 
 
 @dataclass
@@ -207,3 +213,132 @@ def run_curation(
             "n_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Transcript-payload curation: raw conversations in, packed corpus out
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TranscriptCurationConfig:
+    """Knobs for `run_transcript_curation`. Structural thresholds are
+    integers (compared with integer cross-multiplication) so keep/drop
+    decisions are exact in any engine."""
+
+    min_turns: int = 4          # conversations shorter than this: 'too_short'
+    max_tool_pct: int = 40      # tool-role turns above this %: 'tool_heavy'
+    near_dup_threshold: Optional[float] = 0.5
+    minhash_k: int = 16
+    minhash_bands: int = 4
+    shingle_n: int = 3
+    redact: bool = True
+    pack_budget: Optional[int] = 400
+
+
+def conv_pack_key(col):
+    """60-bit engine-portable numeric key from md5(conv_id): the curation
+    chain (exact-dup min-id winner, keep-first near-dup, pack prefix-sum
+    order) needs a NUMERIC total order over conversations, and a hash
+    order is actually preferable to lexicographic for packing — packs mix
+    sources/time instead of preserving corpus runs. Collisions (~n^2/2^61)
+    would merge two conversations' dispositions; at 10^9 conversations
+    that is ~1 expected collision — acceptable for curation bookkeeping,
+    NOT for payload keys."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def assemble_conversations(turns: DataFrame) -> DataFrame:
+    """One row per conversation: turn texts joined in turn_idx order as
+    'role: text' lines, plus structural counters. collect_list is bounded
+    by conversation length (same contract as the KG pipeline's turn
+    assembly) — ONE shuffle on conv_id, skew handled by AQE the same way
+    the flagship pipeline handles hot conversations."""
+    g = turns.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "text"))
+        ).alias("__arr"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+        .cast("long")
+        .alias("n_tool_turns"),
+    )
+    line = lambda x: F.concat(  # noqa: E731
+        F.coalesce(x["role"], F.lit("")),
+        F.lit(": "),
+        F.coalesce(x["text"], F.lit("")),
+    )
+    return g.select(
+        "conv_id",
+        F.concat_ws("\n", F.transform("__arr", line)).alias("text"),
+        "n_turns",
+        "n_tool_turns",
+    )
+
+
+def run_transcript_curation(
+    turns: DataFrame,
+    test_df: Optional[DataFrame] = None,
+    config: TranscriptCurationConfig = TranscriptCurationConfig(),
+    eager: bool = True,
+) -> DataFrame:
+    """Curate raw multi-turn transcripts (the BASELINE.json input shape:
+    conv_id, turn_idx, role, text, ...) into a training-ready packed
+    corpus — the upstream stage a user runs BEFORE KG construction:
+
+      1. assemble     turns -> one document per conversation
+      2. structural   'too_short' (< min_turns) and 'tool_heavy'
+                      (> max_tool_pct % tool-role turns) gates — map-only
+                      integer tests on the assembly's own counters
+      3. generic      run_curation over the assembled documents keyed by
+         chain        the md5 pack key: exact dedup, MinHash near-dup,
+                      PII redaction, sequence packing
+
+    Returns exactly one (conv_id, status, pack_id, n_tokens) row per
+    input conversation; status is the FIRST stage that dropped it
+    ('too_short' | 'tool_heavy' | 'exact_dup' | 'near_dup') or 'kept'.
+    """
+    asm = assemble_conversations(turns)
+    if eager:
+        asm = asm.localCheckpoint(eager=True)
+    structural = asm.select(
+        "conv_id",
+        F.when(F.col("n_turns") < config.min_turns, F.lit("too_short"))
+        .when(
+            F.col("n_tool_turns") * 100 > F.col("n_turns") * config.max_tool_pct,
+            F.lit("tool_heavy"),
+        )
+        .alias("__sdrop"),
+    )
+    keyed = (
+        asm.join(structural.filter("__sdrop IS NULL"), "conv_id", "left_semi")
+        .select("conv_id", conv_pack_key(F.col("conv_id")).alias("pack_key"), "text")
+    )
+    curated = run_curation(
+        keyed.select("pack_key", "text"),
+        test_df=test_df,
+        config=CurationConfig(
+            near_dup_threshold=config.near_dup_threshold,
+            minhash_k=config.minhash_k,
+            minhash_bands=config.minhash_bands,
+            shingle_n=config.shingle_n,
+            quality=False,  # Gopher bounds are per-document prose rules;
+            # transcript structure is gated by stage 2 instead
+            redact=config.redact,
+            pack_budget=config.pack_budget,
+        ),
+        text_col="text",
+        id_col="pack_key",
+        eager=eager,
+    )
+    linked = (
+        keyed.select("conv_id", "pack_key")
+        .join(curated, "pack_key")
+        .select("conv_id", "status", "pack_id", "n_tokens")
+    )
+    dropped = structural.filter("__sdrop IS NOT NULL").select(
+        "conv_id",
+        F.col("__sdrop").alias("status"),
+        F.lit(None).cast("long").alias("pack_id"),
+        F.lit(None).cast("long").alias("n_tokens"),
+    )
+    return linked.unionByName(dropped)

@@ -318,3 +318,97 @@ def unigram_lm_score(
         F.sum("surprisal_micro").cast("long").alias("sum_surprisal_micro"),
         F.expr("sum(surprisal_micro) div count(1)").cast("long").alias("avg_surprisal_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: hashed-feature linear classifier
+# ---------------------------------------------------------------------------
+
+def _micronats(c: Column) -> Column:
+    """ln(c) quantized to integer micronats — applied only to aggregate
+    COUNTS (never per-row floats), so everything downstream is integer
+    arithmetic, independent of aggregation order (same contract as
+    unigram_lm_score)."""
+    return F.floor(F.log(c) * 1e6 + 0.5).cast("long")
+
+
+def hashed_features(col: Column, dim: int) -> Column:
+    """Engine-portable feature hashing (the fastText trick): token ->
+    md5 -> bucket in [0, dim). Collisions are the accepted trade of the
+    hashing-trick; dim sizes the model, not the data."""
+    from delm_spark.operators.sample import hash_bucket
+
+    return hash_bucket(col, dim)
+
+
+def nb_logodds_weights(
+    df: DataFrame,
+    label_col: Column,
+    text_col: str = "text",
+    dim: int = 1024,
+) -> DataFrame:
+    """Train a naive-Bayes log-odds linear model over hashed unigram
+    features: weight(f) = ln(count_pos(f) + 1) - ln(count_neg(f) + 1),
+    in integer micronats. This is the classic cheap quality classifier
+    (a fastText-style linear text scorer with NB-initialized weights):
+    ONE token shuffle (map-side combinable conditional counts), model
+    size == dim rows — broadcastable by construction, so training cost
+    at 100 TB is a single pass over the corpus.
+
+    `label_col` is any boolean expression over `df`'s columns (e.g.
+    "this doc came from the trusted source"). Returns (feature,
+    weight_micro) with exactly the features observed in training.
+    """
+    tokens = df.select(
+        label_col.cast("boolean").alias("__y"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    )
+    return (
+        tokens.select(hashed_features(F.col("w"), dim).alias("feature"), "__y")
+        .groupBy("feature")
+        .agg(
+            F.sum(F.col("__y").cast("long")).alias("__np"),
+            F.sum((~F.col("__y")).cast("long")).alias("__nn"),
+        )
+        .select(
+            "feature",
+            (_micronats(F.col("__np") + 1) - _micronats(F.col("__nn") + 1)).alias(
+                "weight_micro"
+            ),
+        )
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+) -> DataFrame:
+    """Score every document under a (feature, weight_micro) linear model:
+    sum / floor-mean of its hashed-token weights (integer micronats, so
+    scores are exact and aggregation-order independent; the sign of
+    avg_weight_micro IS the NB class decision). Unseen features score 0.
+
+    Plan shape: explode -> broadcast join against the model (dim rows)
+    -> one groupBy(doc). No corpus shuffle besides the per-doc
+    aggregation; at 100 TB the model rides the broadcast, the token
+    stream never leaves its map task until the final combine."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__w"),
+    ).select(F.col(id_col), hashed_features(F.col("__w"), dim).alias("feature"))
+    return (
+        tokens.join(F.broadcast(weights), "feature", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("weight_micro"), F.lit(0)))
+            .cast("long")
+            .alias("sum_weight_micro"),
+            F.expr("sum(coalesce(weight_micro, 0)) div count(1)")
+            .cast("long")
+            .alias("avg_weight_micro"),
+        )
+    )

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from delm_spark.operators.text import whitespace_token_count
 
-__all__ = ["pack_sequences", "pack_summary"]
+__all__ = ["pack_sequences", "pack_summary", "shard_assign", "write_shards"]
 
 
 def pack_sequences(
@@ -102,4 +102,67 @@ def pack_summary(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shard0",
+) -> DataFrame:
+    """Deterministic global pseudo-shuffle into training shards — the
+    export stage of a training-data pipeline. Data loaders want (a) a
+    fixed shard count, (b) within-shard order uncorrelated with corpus
+    order (no source/time runs feeding a training batch), and (c)
+    byte-reproducibility across reruns: Spark's df.repartition(n) +
+    rand() gives none of these (partitioning-dependent, RNG-seeded per
+    task attempt — a retried task reshuffles its rows).
+
+    Both the shard AND the within-shard position derive from ONE
+    md5(seed|id): shard = hash % n_shards, position = rank of the hash
+    inside the shard (md5 collisions are the only tie source — none in
+    practice, and a collision still yields a total order via the id
+    tie-break). Map-only except the per-shard rank window — and that
+    window's partition count IS n_shards, so at 100 TB pick n_shards >>
+    executors (standard practice: thousands of shards) and every window
+    partition stays executor-sized. Re-running with a new `seed` epoch
+    produces an independent permutation (epoch reshuffling without
+    rewriting the corpus).
+
+    Returns (id_col, shard, shard_pos) with int64 shard/shard_pos.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.select(
+            F.col(id_col),
+            (hv % n_shards).alias("shard"),
+            h.alias("__h"),
+        )
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shard0",
+) -> None:
+    """Materialize shard-shuffled training data: one directory per shard
+    (`shard=K/`), rows physically ordered by shard_pos inside each file
+    so a loader streams them in shuffle order without its own sort.
+    repartition ON THE SHARD KEY + sortWithinPartitions keeps this a
+    single shuffle; partitionBy lays out the directories."""
+    assigned = df.join(shard_assign(df, id_col, n_shards, seed), id_col)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
     )

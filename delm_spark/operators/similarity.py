@@ -342,3 +342,62 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then mark a vector a
+    duplicate iff an EARLIER (smaller-id) vector in the SAME cluster has
+    cosine >= threshold. Complementary to the LSH near-dup path
+    (embedding_near_dup_pairs): clustering adapts to the data
+    distribution, so paraphrase-dense regions dedup against their own
+    neighborhood instead of a global oblivious hash.
+
+    Scale shape: centroid pick + assignment reuse the IVF build (broadcast
+    centroids, one map pass + one groupBy); the pair search is a self
+    equi-join ON THE CELL ID ONLY — never all-pairs. Cell sizes are
+    bounded by n_clusters ~ sqrt(N) sizing (same contract as ivf_topk);
+    a pathologically hot cell is an input-data signal (embedding collapse)
+    the cell-size histogram in the returned frame exposes. The cosine is
+    rounded to 6 dp before the threshold compare so any engine
+    re-derives identical keep/drop decisions.
+
+    Returns (vec_id, cell, is_dup) for every input vector; downstream
+    keeps `is_dup = false` rows (the earliest representative of every
+    semantic neighborhood survives, deterministically).
+    """
+    cents = ivf_centroids(embeddings, n_clusters, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    left = assigned.select(
+        F.col("__cell"), F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    right = assigned.select(
+        F.col("__cell"),
+        F.col(id_col).alias("__id2"),
+        F.col(vec_col).alias("__v2"),
+    )
+    hits = (
+        left.join(right, "__cell")
+        .filter(F.col("__id2") < F.col("__id"))
+        .filter(F.round(cosine(F.col("__v"), F.col("__v2")), 6) >= threshold)
+        .select("__id")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            hits.withColumn("__dup", F.lit(True)),
+            assigned[id_col] == hits["__id"],
+            "left",
+        )
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("__cell").alias("cell"),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

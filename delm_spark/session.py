@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # GC / JVM tuning seam (local mode = driver JVM is the executor): on a
+    # real cluster these land in spark.executor.extraJavaOptions instead
+    java_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
