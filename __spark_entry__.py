@@ -1408,6 +1408,59 @@ def shard_assign_docs(spark, sf_dir):
     return shard_assign(docs, "doc_id", n_shards=8).orderBy("shard", "shard_pos")
 
 
+
+def transcript_curation_pipeline(spark, sf_dir):
+    """The COMPOSED transcript-curation chain (curate.py
+    run_transcript_curation) over the fixture conversations plus planted
+    exact-dup / near-dup / too-short / tool-heavy conversations: assemble
+    turns -> integer structural gates -> md5-pack-key exact dedup ->
+    MinHash-LSH + exact-Jaccard near-dup -> redact -> pack. One
+    disposition row per conversation; the oracle re-derives assembly,
+    both gates, and the whole dedup+pack chain in SQL."""
+    from delm_spark.curate import TranscriptCurationConfig, run_transcript_curation
+
+    t = _fixture_transcripts(spark).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    dup = t.filter(F.col("conv_id") < "conv_00000010").select(
+        F.concat(F.lit("dup:"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx", "role", "text", "tool",
+    )
+    near_base = t.filter(F.col("conv_id") < "conv_00000005")
+    near = near_base.select(
+        F.concat(F.lit("near:"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx", "role", "text", "tool",
+    )
+    near_extra = (
+        near_base.select("conv_id")
+        .distinct()
+        .select(
+            F.concat(F.lit("near:"), F.col("conv_id")).alias("conv_id"),
+            F.lit(1000).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("thanks again for all the help").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+        )
+    )
+    extra = spark.createDataFrame(
+        [
+            ("short:0", 0, "user", "hello there", None),
+            ("short:0", 1, "assistant", "hi how can i help", None),
+        ]
+        + [("tools:0", i, "tool", f"tool output row {i}", "Duckbill") for i in range(10)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    turns = (
+        t.unionByName(dup)
+        .unionByName(near)
+        .unionByName(near_extra)
+        .unionByName(extra)
+    )
+    return run_transcript_curation(
+        turns, config=TranscriptCurationConfig()
+    ).orderBy("conv_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1476,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_vecs": semantic_dedup_vecs,
         "quality_classifier_docs": quality_classifier_docs,
         "shard_assign_docs": shard_assign_docs,
+        "transcript_curation_pipeline": transcript_curation_pipeline,
     }
 
 
@@ -2019,6 +2073,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_distribution": _kg_oracle_sql("degree"),
         "kg_two_hop_entities": _kg_oracle_sql("two_hop"),
         "kg_consistency_report": _kg_oracle_sql("consistency"),
+        "transcript_curation_pipeline": _transcript_curation_oracle_sql(),
         "semantic_dedup_vecs": _semantic_dedup_oracle_sql(
             dim=64, n_clusters=8, threshold=0.99
         ),
@@ -2311,6 +2366,116 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
     }
+
+
+def _transcript_curation_oracle_sql() -> str:
+    """DuckDB replica of run_transcript_curation over the fixture
+    conversations + the same planted rows: string_agg assembly in
+    turn_idx order, integer structural gates, then the proven curation
+    chain (sha256 exact dedup, 3-gram MinHash-LSH k=16/b=4 + exact
+    Jaccard >= 0.5, sequential-cumsum packing at budget 400) keyed on the
+    60-bit md5 pack key (redaction is identity on this corpus, pinned by
+    the pii_redact_docs oracle)."""
+    tp = (_FIXTURES / "transcripts.parquet").as_posix() + "/*.parquet"
+    sig_exprs = ",\n                       ".join(
+        f"list_min(list_transform(s, x -> md5('salt{i}|' || x)))" for i in range(16)
+    )
+    return f"""
+            WITH raw AS (
+                SELECT conv_id, turn_idx, role, text
+                FROM read_parquet('{tp}')),
+            aug AS (
+                SELECT conv_id, turn_idx, role, text FROM raw
+                UNION ALL
+                SELECT 'dup:' || conv_id, turn_idx, role, text FROM raw
+                WHERE conv_id < 'conv_00000010'
+                UNION ALL
+                SELECT 'near:' || conv_id, turn_idx, role, text FROM raw
+                WHERE conv_id < 'conv_00000005'
+                UNION ALL
+                SELECT 'near:' || conv_id, 1000, 'user',
+                       'thanks again for all the help'
+                FROM (SELECT DISTINCT conv_id FROM raw
+                      WHERE conv_id < 'conv_00000005')
+                UNION ALL
+                SELECT * FROM (VALUES
+                    ('short:0', 0, 'user', 'hello there'),
+                    ('short:0', 1, 'assistant', 'hi how can i help'))
+                    v(conv_id, turn_idx, role, text)
+                UNION ALL
+                SELECT 'tools:0', i, 'tool', 'tool output row ' || i
+                FROM generate_series(0, 9) AS t(i)),
+            assembled AS (
+                SELECT conv_id,
+                       string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
+                                  chr(10) ORDER BY turn_idx) AS text,
+                       COUNT(*)::BIGINT AS n_turns,
+                       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT
+                           AS n_tool
+                FROM aug GROUP BY conv_id),
+            structural AS (
+                SELECT conv_id, text,
+                       CASE WHEN n_turns < 4 THEN 'too_short'
+                            WHEN n_tool * 100 > n_turns * 40 THEN 'tool_heavy'
+                       END AS sdrop
+                FROM assembled),
+            corpus AS (
+                SELECT ('0x' || substr(md5(conv_id), 1, 15))::BIGINT AS doc_id,
+                       conv_id, text,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+                FROM structural WHERE sdrop IS NULL),
+            h AS (SELECT doc_id, text, nt, sha256(nt) AS hh FROM corpus),
+            keep1 AS (SELECT hh, min(doc_id) AS keep FROM h GROUP BY hh),
+            s1 AS (SELECT h.doc_id, h.text, h.nt FROM h
+                   JOIN keep1 ON h.hh = keep1.hh AND h.doc_id = keep1.keep),
+            w1 AS (SELECT doc_id, regexp_split_to_array(nt, ' ') AS w FROM s1),
+            sh AS (SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS s
+                   FROM w1),
+            sig AS (SELECT doc_id, [
+                       {sig_exprs}] AS g FROM sh),
+            bands AS (SELECT doc_id, band,
+                             md5(array_to_string(g[band*4+1 : band*4+4], '|'))
+                                 AS bucket
+                      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id),
+            losers AS (SELECT DISTINCT cand.id_b AS doc_id
+                       FROM cand
+                       JOIN sh a ON cand.id_a = a.doc_id
+                       JOIN sh b ON cand.id_b = b.doc_id
+                       WHERE (len(list_intersect(a.s, b.s))::DOUBLE
+                              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1))
+                             >= 0.5),
+            s2 AS (SELECT s1.doc_id, s1.text FROM s1
+                   LEFT JOIN losers USING (doc_id) WHERE losers.doc_id IS NULL),
+            tok AS (SELECT doc_id,
+                           (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END)::BIGINT AS n_tokens
+                    FROM s2),
+            packed AS (SELECT doc_id, n_tokens,
+                              ((SUM(n_tokens) OVER (ORDER BY doc_id
+                                                    ROWS UNBOUNDED PRECEDING)
+                                - n_tokens) // 400)::BIGINT AS pack_id
+                       FROM tok)
+            SELECT st.conv_id,
+                   coalesce(st.sdrop,
+                            CASE WHEN c.doc_id <> k1.keep THEN 'exact_dup'
+                                 WHEN lo.doc_id IS NOT NULL THEN 'near_dup'
+                                 ELSE 'kept' END) AS status,
+                   p.pack_id, p.n_tokens
+            FROM structural st
+            LEFT JOIN corpus c ON st.conv_id = c.conv_id
+            LEFT JOIN h ON c.doc_id = h.doc_id
+            LEFT JOIN keep1 k1 ON h.hh = k1.hh
+            LEFT JOIN losers lo ON c.doc_id = lo.doc_id
+            LEFT JOIN packed p ON c.doc_id = p.doc_id
+            ORDER BY st.conv_id
+    """
 
 
 def _semantic_dedup_oracle_sql(dim: int, n_clusters: int, threshold: float) -> str:

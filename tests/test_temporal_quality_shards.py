@@ -308,3 +308,65 @@ def test_write_shards_layout_and_order(spark, tmp_path):
         for f in d.glob("*.parquet"):
             poss = pq.read_table(f, columns=["shard_pos"])["shard_pos"].to_pylist()
             assert poss == sorted(poss)
+
+
+# ------------------------------------------------------- transcript curation
+
+
+def _mk_turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_assemble_conversations_order_and_counters(spark):
+    from delm_spark.curate import assemble_conversations
+
+    turns = _mk_turns(
+        spark,
+        [
+            ("c1", 1, "assistant", "second"),
+            ("c1", 0, "user", "first"),
+            ("c1", 2, "tool", "third"),
+        ],
+    )
+    row = assemble_conversations(turns).collect()[0]
+    assert row["text"] == "user: first\nassistant: second\ntool: third"
+    assert row["n_turns"] == 3 and row["n_tool_turns"] == 1
+
+
+def test_transcript_curation_dispositions(spark):
+    from delm_spark.curate import TranscriptCurationConfig, run_transcript_curation
+
+    body = [(i, "user" if i % 2 else "assistant",
+             f"substantive discussion line number {i} about the quarterly report")
+            for i in range(8)]
+    rows = []
+    for conv in ("keep_a", "dupe_of_a"):  # byte-identical conversations
+        rows += [(conv, i, r, t) for i, r, t in body]
+    rows += [("short_c", 0, "user", "hi"), ("short_c", 1, "assistant", "hello")]
+    rows += [("tools_c", i, "tool", f"output {i}") for i in range(6)]
+    out = run_transcript_curation(
+        _mk_turns(spark, rows), config=TranscriptCurationConfig(pack_budget=100)
+    )
+    got = {r["conv_id"]: r["status"] for r in out.collect()}
+    assert got["short_c"] == "too_short"
+    assert got["tools_c"] == "tool_heavy"
+    # exactly one of the identical pair survives (md5-key order decides which)
+    pair = {got["keep_a"], got["dupe_of_a"]}
+    assert pair == {"kept", "exact_dup"}
+    kept = [r for r in out.collect() if r["status"] == "kept"]
+    assert all(r["pack_id"] is not None and r["n_tokens"] > 0 for r in kept)
+
+
+def test_transcript_curation_one_row_per_conversation(spark):
+    from delm_spark.curate import run_transcript_curation
+
+    rows = [
+        (f"c{j}", i, "user", f"turn {i} of conversation {j} with words")
+        for j in range(5)
+        for i in range(6)
+    ]
+    out = run_transcript_curation(_mk_turns(spark, rows))
+    assert out.count() == 5
+    assert out.select("conv_id").distinct().count() == 5
