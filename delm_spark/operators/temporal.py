@@ -77,6 +77,16 @@ def asof_join(
     older than `left_ts - tolerance_sec` are nulled out (match too stale
     to use). Right side must be unique per (key, ts) — use dedupe_right.
     """
+    reserved = {_SIDE, _VAL, "__evt_ts", "__m"}
+    taken = set(left.columns)
+    clashes = (reserved & taken) | (
+        {f"{c}{suffix}" for c in [right_ts, *right_cols]} & taken
+    )
+    if clashes:
+        raise ValueError(
+            f"asof_join output/scratch columns collide with left columns: "
+            f"{sorted(clashes)} — rename them or pass a different suffix"
+        )
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
     )

@@ -5,6 +5,8 @@
     spark-submit --py-files delm_spark.zip submit_curation.py \\
         --documents s3://bucket/raw_docs_parquet_or_catalog.table \\
         --output    s3://bucket/curated \\
+        # or, for the BASELINE.json transcript shape:
+        # --transcripts s3://bucket/transcripts --output s3://bucket/curated \\
         [--test-set s3://bucket/benchmarks.parquet] \\
         [--budget 2048] [--near-dup-threshold 0.5] [--no-redact]
 
@@ -39,9 +41,22 @@ def _read(spark, ident: str):
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--documents", required=True,
-                    help="parquet path or catalog table of raw documents "
-                         "(doc_id, text)")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--documents",
+                     help="parquet path or catalog table of raw documents "
+                          "(doc_id, text)")
+    src.add_argument("--transcripts",
+                     help="parquet path or catalog table of raw multi-turn "
+                          "transcripts (conv_id, turn_idx, role, text, ...); "
+                          "runs the transcript-curation variant: turn "
+                          "assembly + structural gates before the dedup/"
+                          "redact/pack chain")
+    ap.add_argument("--min-turns", type=int, default=4,
+                    help="transcript mode: drop conversations shorter than "
+                         "this as 'too_short'")
+    ap.add_argument("--max-tool-pct", type=int, default=40,
+                    help="transcript mode: drop conversations whose "
+                         "tool-role turn share exceeds this percent")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--test-set", default=None,
                     help="held-out benchmark table for decontamination "
@@ -64,36 +79,54 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("delm-spark-curate").getOrCreate()
 
-    from delm_spark.curate import CurationConfig, run_curation
+    from delm_spark.curate import (
+        CurationConfig,
+        TranscriptCurationConfig,
+        assemble_conversations,
+        run_curation,
+        run_transcript_curation,
+    )
     from delm_spark.operators.curation import redact_pii
 
-    docs = _read(spark, args.documents)
     test_df = _read(spark, args.test_set) if args.test_set else None
-    config = CurationConfig(
-        near_dup_threshold=(
-            None if args.near_dup_threshold < 0 else args.near_dup_threshold
-        ),
-        quality=not args.no_quality,
-        decontam_n=args.decontam_n,
-        redact=not args.no_redact,
-        pack_budget=args.budget,
-    )
-    disp = run_curation(docs, test_df=test_df, config=config)
+    near_dup = None if args.near_dup_threshold < 0 else args.near_dup_threshold
+    if args.transcripts:
+        turns = _read(spark, args.transcripts)
+        config = TranscriptCurationConfig(
+            min_turns=args.min_turns,
+            max_tool_pct=args.max_tool_pct,
+            near_dup_threshold=near_dup,
+            redact=not args.no_redact,
+            pack_budget=args.budget,
+        )
+        disp = run_transcript_curation(turns, test_df=test_df, config=config)
+        id_col, docs = "conv_id", assemble_conversations(turns)
+    else:
+        docs = _read(spark, args.documents)
+        config = CurationConfig(
+            near_dup_threshold=near_dup,
+            quality=not args.no_quality,
+            decontam_n=args.decontam_n,
+            redact=not args.no_redact,
+            pack_budget=args.budget,
+        )
+        disp = run_curation(docs, test_df=test_df, config=config)
+        id_col = "doc_id"
 
     disp.write.partitionBy("status").mode("overwrite").parquet(
         f"{args.output}/dispositions"
     )
     disp_r = spark.read.parquet(f"{args.output}/dispositions")
-    kept_ids = disp_r.filter("status = 'kept'").select("doc_id", "pack_id")
+    kept_ids = disp_r.filter("status = 'kept'").select(id_col, "pack_id")
     corpus = (
-        docs.join(kept_ids, "doc_id")
+        docs.join(kept_ids, id_col)
         .select(
-            "doc_id",
+            id_col,
             "pack_id",
             (redact_pii(F.col("text")) if not args.no_redact else F.col("text"))
             .alias("text"),
         )
-        .sortWithinPartitions("pack_id", "doc_id")
+        .sortWithinPartitions("pack_id", id_col)
     )
     corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
 

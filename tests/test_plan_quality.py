@@ -182,3 +182,25 @@ def test_lsh_pair_plans_have_no_distinct_aggregate(spark):
         assert "HashAggregate(keys=[__id" not in after_join
         rows = [tuple(r) for r in pairs.collect()]
         assert len(rows) == len(set(rows))
+
+
+def test_asof_join_single_exchange(spark):
+    """The union-window as-of join must cost exactly ONE hash exchange
+    (on the join key) — the whole point of the form vs a range
+    theta-join (BroadcastNestedLoop / inflated sort-merge)."""
+    from delm_spark.operators.temporal import asof_join
+
+    left = spark.range(1000).selectExpr(
+        "id AS event_id", "id % 37 AS k",
+        "timestamp_seconds(1700000000 + id * 7) AS ts",
+    )
+    right = spark.range(500).selectExpr(
+        "id AS click_id", "id % 37 AS k",
+        "timestamp_seconds(1700000000 + id * 11) AS ts",
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["click_id"],
+                    tolerance_sec=3600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

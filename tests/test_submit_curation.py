@@ -62,3 +62,40 @@ def test_spark_submit_curation_end_to_end(tmp_path):
         f"hive_partitioning=1)"
     ).fetchone()[0]
     assert n_disp == n_in
+
+
+@pytest.mark.skipif(not SPARK_SUBMIT.exists(), reason="spark-submit not on host")
+def test_spark_submit_transcript_curation_end_to_end(tmp_path):
+    zpath = tmp_path / "delm_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in (REPO / "delm_spark").rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+    out = tmp_path / "curated"
+    turns = str(REPO / "tests" / "fixtures" / "transcripts.parquet")
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run(
+        [
+            str(SPARK_SUBMIT),
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath),
+            str(REPO / "submit_curation.py"),
+            "--transcripts", turns,
+            "--output", str(out),
+            "--budget", "400",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["census"].get("kept", 0) > 0
+    # dispositions cover every conversation exactly once
+    import pyarrow.parquet as pq
+
+    disp = pq.read_table(str(out / "dispositions")).to_pydict()
+    assert len(disp["conv_id"]) == len(set(disp["conv_id"]))
+    corpus = pq.read_table(str(out / "corpus"))
+    assert corpus.num_rows == stats["census"]["kept"]
+    assert {"conv_id", "pack_id", "text"} <= set(corpus.schema.names)
