@@ -1461,6 +1461,58 @@ def transcript_curation_pipeline(spark, sf_dir):
     ).orderBy("conv_id")
 
 
+
+def range_join_events(spark, sf_dir):
+    """Distributed interval-containment join WITHOUT an equi key
+    (operators/temporal.py range_bucket_join): every error event matched
+    to the 2-hour windows opened by early users' signups — intervals
+    explode to hour buckets, points map to one bucket, ONE equi-join on
+    the bucket id + exact range refilter (each pair meets in exactly one
+    bucket, no dedup). The oracle is the plain theta join."""
+    from delm_spark.operators.temporal import range_bucket_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("user_id") < 5)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("w_end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    out = range_bucket_join(
+        errors, windows, "ts", "w_start", "w_end", bucket_sec=3600
+    )
+    return out.select(
+        "event_id",
+        "window_id",
+        F.col("ts").cast("timestamp").cast("long").alias("err_ts"),
+        F.col("w_start").cast("timestamp").cast("long").alias("win_start"),
+    ).orderBy("event_id", "window_id")
+
+
+def corpus_profile_docs(spark, sf_dir):
+    """Corpus observability profile: per-language doc counts, total
+    chars, and exact median/min/max doc length — the census a curation
+    run logs before/after each stage. Exact interpolating percentile
+    (not approx) so the SQL oracle reproduces it bit-for-bit; the .5
+    interpolation fractions floor deterministically."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("CAST(floor(percentile(n_chars, 0.5)) AS BIGINT)").alias(
+                "median_chars"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1530,6 +1582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_docs": quality_classifier_docs,
         "shard_assign_docs": shard_assign_docs,
         "transcript_curation_pipeline": transcript_curation_pipeline,
+        "range_join_events": range_join_events,
+        "corpus_profile_docs": corpus_profile_docs,
     }
 
 
@@ -2074,6 +2128,28 @@ def oracle_sql() -> dict[str, str]:
         "kg_two_hop_entities": _kg_oracle_sql("two_hop"),
         "kg_consistency_report": _kg_oracle_sql("consistency"),
         "transcript_curation_pipeline": _transcript_curation_oracle_sql(),
+        "range_join_events": """
+            WITH w AS (
+                SELECT event_id AS window_id, ts AS w_start,
+                       ts + INTERVAL 2 HOUR AS w_end
+                FROM events WHERE event_type = 'signup' AND user_id < 5),
+            e AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+            SELECT e.event_id, w.window_id,
+                   CAST(floor(date_part('epoch', e.ts)) AS BIGINT) AS err_ts,
+                   CAST(floor(date_part('epoch', w.w_start)) AS BIGINT)
+                       AS win_start
+            FROM e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+            ORDER BY event_id, window_id
+        """,
+        "corpus_profile_docs": """
+            SELECT lang, COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_chars)::BIGINT AS total_chars,
+                   CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT)
+                       AS median_chars,
+                   MIN(n_chars)::BIGINT AS min_chars,
+                   MAX(n_chars)::BIGINT AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
         "semantic_dedup_vecs": _semantic_dedup_oracle_sql(
             dim=64, n_clusters=8, threshold=0.99
         ),

@@ -127,3 +127,73 @@ def asof_join(
             *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
         )
     )
+
+
+def range_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_sec: int,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Distributed interval-containment join: left rows (points) matched
+    to right rows (intervals) with `right_start <= left_ts < right_end`,
+    optionally ALSO equi-keyed on `on`.
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin (fine
+    only when one side broadcasts) or refuses outright at scale. The
+    classic fix is bucketization: each interval explodes to the
+    fixed-width time buckets it covers, points map to their single
+    bucket, and the join becomes ONE equi-join on (bucket [+ on]),
+    re-filtered by the exact range predicate. Each (point, interval)
+    pair meets in exactly one bucket — the point's own — so no
+    post-join dedup is needed.
+
+    Cost model: interval expansion factor = avg interval length /
+    bucket_sec; candidate inflation = intervals overlapping the point's
+    bucket. Pick bucket_sec near the TYPICAL interval length (expansion
+    ~2, candidates ~ true matches). Degenerate long intervals explode —
+    cap them upstream or split the dimension into a broadcastable
+    long-interval side. Fully incremental at 100 TB: both sides shuffle
+    once on the bucket key, no global sort, AQE handles bucket skew.
+
+    `how='left'` keeps unmatched points with null right columns (single
+    extra anti-join-free pass: the equi-join is left and the range
+    filter folds into the join condition).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_bucket_join supports inner/left, got {how!r}")
+    on = on or []
+    lb = F.floor(F.col(left_ts).cast("timestamp").cast("long") / bucket_sec)
+    rs = F.col(right_start).cast("timestamp").cast("long")
+    re_ = F.col(right_end).cast("timestamp").cast("long")
+    l2 = left.withColumn("__bkt", lb.cast("long"))
+    # empty intervals (end <= start) match nothing under start <= ts < end
+    # and would explode a DESCENDING bucket sequence — drop them up front
+    r2 = right.filter(re_ > rs).withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(rs / bucket_sec).cast("long"),
+                # end is EXCLUSIVE: an interval ending exactly on a bucket
+                # boundary does not cover that bucket
+                F.floor((re_ - 1) / bucket_sec).cast("long"),
+            )
+        ),
+    )
+    cond = [l2["__bkt"] == r2["__bkt"]]
+    cond += [l2[c] == r2[c] for c in on]
+    cond.append(
+        l2[left_ts].cast("timestamp") >= r2[right_start].cast("timestamp")
+    )
+    cond.append(l2[left_ts].cast("timestamp") < r2[right_end].cast("timestamp"))
+    from functools import reduce
+
+    joined = l2.join(r2, reduce(lambda a, b: a & b, cond), how)
+    keep_r = [c for c in right.columns if c not in set(on)]
+    return joined.select(
+        *[l2[c] for c in left.columns], *[r2[c] for c in keep_r]
+    )

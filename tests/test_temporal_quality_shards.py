@@ -370,3 +370,89 @@ def test_transcript_curation_one_row_per_conversation(spark):
     out = run_transcript_curation(_mk_turns(spark, rows))
     assert out.count() == 5
     assert out.select("conv_id").distinct().count() == 5
+
+
+# ------------------------------------------------------------- range join
+
+
+def _range_frames(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:30:00")),  # inside w1
+            (2, _ts("2024-01-01 11:00:00")),  # w1 end boundary: EXCLUDED
+            (3, _ts("2024-01-01 10:00:00")),  # w1 start boundary: included
+            (4, _ts("2024-01-01 09:59:59")),  # before w1
+            (5, _ts("2024-01-01 12:30:00")),  # inside w2 AND w3 (overlap)
+        ],
+        "pid long, ts timestamp",
+    )
+    windows = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+            (20, _ts("2024-01-01 12:00:00"), _ts("2024-01-01 13:00:00")),
+            (30, _ts("2024-01-01 12:15:00"), _ts("2024-01-01 12:45:00")),
+            (40, _ts("2024-01-01 15:00:00"), _ts("2024-01-01 15:00:00")),  # empty
+        ],
+        "wid long, w_start timestamp, w_end timestamp",
+    )
+    return points, windows
+
+
+def test_range_bucket_join_containment_and_boundaries(spark):
+    from delm_spark.operators.temporal import range_bucket_join
+
+    points, windows = _range_frames(spark)
+    out = range_bucket_join(points, windows, "ts", "w_start", "w_end", 600)
+    got = sorted((r["pid"], r["wid"]) for r in out.collect())
+    assert got == [(1, 10), (3, 10), (5, 20), (5, 30)]
+
+
+def test_range_bucket_join_left_keeps_unmatched(spark):
+    from delm_spark.operators.temporal import range_bucket_join
+
+    points, windows = _range_frames(spark)
+    out = range_bucket_join(
+        points, windows, "ts", "w_start", "w_end", 600, how="left"
+    )
+    rows = out.collect()
+    unmatched = {r["pid"] for r in rows if r["wid"] is None}
+    assert unmatched == {2, 4}
+    assert len(rows) == 6  # 4 matches + 2 null-padded points
+
+
+def test_range_bucket_join_bucket_width_invariant(spark):
+    from delm_spark.operators.temporal import range_bucket_join
+
+    points, windows = _range_frames(spark)
+    expect = sorted(
+        (r["pid"], r["wid"])
+        for r in range_bucket_join(
+            points, windows, "ts", "w_start", "w_end", 600
+        ).collect()
+    )
+    for width in (7, 60, 3600, 86400):
+        got = sorted(
+            (r["pid"], r["wid"])
+            for r in range_bucket_join(
+                points, windows, "ts", "w_start", "w_end", width
+            ).collect()
+        )
+        assert got == expect, width
+
+
+def test_range_bucket_join_with_equi_key(spark):
+    from delm_spark.operators.temporal import range_bucket_join
+
+    points = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 10:30:00")), (2, 8, _ts("2024-01-01 10:30:00"))],
+        "pid long, user_id long, ts timestamp",
+    )
+    windows = spark.createDataFrame(
+        [(10, 7, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "wid long, user_id long, w_start timestamp, w_end timestamp",
+    )
+    out = range_bucket_join(
+        points, windows, "ts", "w_start", "w_end", 600, on=["user_id"]
+    )
+    got = [(r["pid"], r["wid"]) for r in out.collect()]
+    assert got == [(1, 10)]  # same time, wrong user -> no match
