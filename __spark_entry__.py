@@ -1513,6 +1513,27 @@ def corpus_profile_docs(spark, sf_dir):
     )
 
 
+
+def pq_topk_embeddings(spark, sf_dir):
+    """PQ-ADC ANN (operators/quantize.py): vectors compress to m=8
+    codebook codes; per query an 8x16 integer distance table is
+    broadcast, ADC = one integer sum per (query, vector), top-40 by ADC
+    exact-cosine re-ranked to top-10. All distances are fixed-point
+    nano-units BEFORE aggregation, so the oracle re-derives codebooks,
+    code assignment, ADC, and the re-rank bit-for-bit in SQL."""
+    from delm_spark.operators.quantize import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(
+        emb, queries, m=8, k_codes=16, k=10, refine=4, dim=64
+    ).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1584,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_curation_pipeline": transcript_curation_pipeline,
         "range_join_events": range_join_events,
         "corpus_profile_docs": corpus_profile_docs,
+        "pq_topk_embeddings": pq_topk_embeddings,
     }
 
 
@@ -2141,6 +2163,9 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
             ORDER BY event_id, window_id
         """,
+        "pq_topk_embeddings": _pq_topk_oracle_sql(
+            dim=64, m=8, k_codes=16, k=10, refine=4
+        ),
         "corpus_profile_docs": """
             SELECT lang, COUNT(*)::BIGINT AS n_docs,
                    SUM(n_chars)::BIGINT AS total_chars,
@@ -2442,6 +2467,83 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
     }
+
+
+def _pq_topk_oracle_sql(dim: int, m: int, k_codes: int, k: int, refine: int) -> str:
+    """DuckDB replica of pq_topk: per-subspace md5-ordered codebooks,
+    fixed-point (nano-unit int) squared-L2 code assignment, integer ADC
+    sum, (adc, vec_id) top-refine*k, exact-cosine re-rank."""
+    d_sub = dim // m
+    l2fx = (
+        "CAST(round(list_sum(list_transform(generate_series(1, {d}),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1e9) AS BIGINT)"
+    )
+    cos = (
+        "list_sum(list_transform(generate_series(1, {d}), i -> {a}[i] * {b}[i]))"
+        " / greatest("
+        "sqrt(list_sum(list_transform(generate_series(1, {d}), i -> {a}[i] * {a}[i])))"
+        " * sqrt(list_sum(list_transform(generate_series(1, {d}), i -> {b}[i] * {b}[i]))),"
+        " 1e-12)"
+    )
+    cb_parts = " UNION ALL ".join(
+        f"""SELECT {j} AS subspace, code_id, cv FROM (
+            SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || '|pq{j}'))
+                       - 1 AS code_id,
+                   ee[{j * d_sub + 1}:{(j + 1) * d_sub}] AS cv
+            FROM e ORDER BY md5(vec_id::VARCHAR || '|pq{j}') LIMIT {k_codes})"""
+        for j in range(m)
+    )
+    sub_parts = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS subspace, ee[{j * d_sub + 1}:{(j + 1) * d_sub}] AS sv FROM e"
+        for j in range(m)
+    )
+    qsub_parts = " UNION ALL ".join(
+        f"SELECT query_id, {j} AS subspace, qe[{j * d_sub + 1}:{(j + 1) * d_sub}] AS sv FROM q"
+        for j in range(m)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+        cb AS ({cb_parts}),
+        subs AS ({sub_parts}),
+        enc_sc AS (
+            SELECT s.vec_id, s.subspace, cb.code_id,
+                   {l2fx.format(d=d_sub, a='s.sv', b='cb.cv')} AS d
+            FROM subs s JOIN cb ON s.subspace = cb.subspace),
+        encoded AS (
+            SELECT vec_id, subspace, code_id AS code FROM (
+                SELECT vec_id, subspace, code_id,
+                       row_number() OVER (PARTITION BY vec_id, subspace
+                           ORDER BY d ASC, code_id ASC) AS rn
+                FROM enc_sc) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ee AS qe FROM e WHERE vec_id < 3),
+        qsubs AS ({qsub_parts}),
+        qtab AS (
+            SELECT s.query_id, s.subspace, cb.code_id AS code,
+                   {l2fx.format(d=d_sub, a='s.sv', b='cb.cv')} AS d
+            FROM qsubs s JOIN cb ON s.subspace = cb.subspace),
+        adc AS (
+            SELECT qtab.query_id, encoded.vec_id, SUM(d)::BIGINT AS adc
+            FROM encoded JOIN qtab
+              ON encoded.subspace = qtab.subspace AND encoded.code = qtab.code
+            GROUP BY 1, 2),
+        cands AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc ASC, vec_id ASC) AS r
+                FROM adc) WHERE r <= {refine * k}),
+        exact AS (
+            SELECT c.query_id, c.vec_id,
+                   {cos.format(d=dim, a='e.ee', b='q.qe')} AS score
+            FROM cands c JOIN e ON c.vec_id = e.vec_id
+            JOIN q ON c.query_id = q.query_id)
+        SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id ASC) AS rank
+            FROM exact)
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
 
 
 def _transcript_curation_oracle_sql() -> str:

@@ -1,0 +1,198 @@
+"""Product quantization (PQ) for embedding columns — the memory side of
+ANN at 100 TB.
+
+IVF/LSH (operators/similarity.py) bound how many vectors a query TOUCHES;
+PQ bounds how many BYTES each touched vector costs: a d-dim float vector
+compresses to m uint8 codes (here m=8 -> 8 bytes vs 256 for d=64
+float32), so the candidate scan works on a table ~30x smaller and the
+asymmetric-distance computation (ADC) is a table lookup + integer sum.
+Jegou et al., "Product Quantization for Nearest Neighbor Search",
+IEEE TPAMI 2011.
+
+Spark shape:
+  * codebooks  — m tiny frames (k rows each), built from md5-ordered
+    deterministic samples (same reproducible-pseudo-random trick as
+    ivf_centroids; a k-means refinement drops in without changing the
+    search path). Always broadcast.
+  * encode     — one map-side pass: explode each vector to its m
+    subvectors, broadcast-join the codebook, per-(vector, subspace)
+    argmin; one groupBy(vec_id, subspace). The encoded table is the
+    ONLY thing the query path scans.
+  * pq_topk    — per query, an m x k distance table (broadcast);
+    candidates = encoded JOIN table ON (subspace, code) -> ONE integer
+    sum per (query, vector); top-C by ADC; exact re-rank of C rows only.
+
+All distances are squared-L2 quantized to integer nano-units
+(round(d2 * 1e9)) BEFORE any aggregation, so sums are exact, independent
+of aggregation order, and bit-identical in any engine — the same
+integer-arithmetic contract as unigram_lm_score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _subvec(vec, j: int, d_sub: int):
+    return F.slice(vec, j * d_sub + 1, d_sub)
+
+
+def _l2sq_fx(a, b):
+    """Squared L2 between two equal-length arrays, fixed-point nano-units
+    (int64). zip_with + aggregate keeps it whole-stage-codegen native."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 * 1e9).cast("long")
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Deterministic per-subspace codebooks: subspace j's k code vectors
+    are the j-subvectors of the k inputs with smallest
+    md5(vec_id || '|pq' || j); code_id is their rank in that order.
+    Returns (subspace, code_id, codevec) — m*k rows, always broadcast."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    parts = []
+    for j in range(m):
+        w = Window.orderBy("__r")
+        parts.append(
+            embeddings.select(
+                F.lit(j).alias("subspace"),
+                _subvec(F.col(vec_col), j, d_sub).alias("codevec"),
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(f"|pq{j}"))
+                ).alias("__r"),
+            )
+            .orderBy("__r")
+            .limit(k)
+            .withColumn("code_id", F.row_number().over(w) - 1)
+            .drop("__r")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Quantize every vector: per subspace, the code with the smallest
+    fixed-point squared-L2 to the subvector (ties -> smallest code_id).
+    Returns (vec_id, subspace, code) — the m-bytes-per-vector table the
+    query path scans instead of raw floats."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    d_sub = dim // m
+    subs = embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _subvec(F.col(vec_col), j, d_sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.subspace", "e.sv")
+    scored = subs.join(F.broadcast(codebooks), "subspace").select(
+        id_col,
+        "subspace",
+        "code_id",
+        _l2sq_fx(F.col("sv"), F.col("codevec")).alias("__d"),
+    )
+    best = F.min(F.struct("__d", "code_id")).alias("__b")
+    return (
+        scored.groupBy(id_col, "subspace")
+        .agg(best)
+        .select(id_col, "subspace", F.col("__b.code_id").alias("code"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-rank.
+
+    Per query: build the m x k_codes distance table against the
+    broadcast codebooks; ADC distance to a vector = integer sum of its m
+    table entries (ONE groupBy over the encoded join); keep the
+    refine*k closest by (adc, vec_id); exact-cosine re-rank only those.
+    Returns (query_id, vec_id, rank) — rank 1..k by (cosine desc,
+    vec_id asc), the same output contract as ivf_topk/lsh_topk.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    d_sub = dim // m
+    books = pq_codebooks(embeddings, m, k_codes, id_col, vec_col, dim)
+    encoded = pq_encode(embeddings, books, m, id_col, vec_col, dim)
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    qtable = qs.crossJoin(F.broadcast(books)).select(
+        "query_id",
+        "subspace",
+        F.col("code_id").alias("code"),
+        _l2sq_fx(_subvec(F.col("__qv"), F.col("subspace"), d_sub), F.col("codevec")).alias(
+            "__d"
+        ),
+    )
+    adc = (
+        encoded.join(F.broadcast(qtable), ["subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__d").alias("__adc"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("__adc"), F.asc(id_col))
+    cands = (
+        adc.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= refine * k)
+        .select("query_id", id_col)
+    )
+    from delm_spark.operators.similarity import cosine
+
+    exact = (
+        cands.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            cosine(F.col(vec_col), F.col("__qv")).alias("__score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )

@@ -104,3 +104,57 @@ def test_ivf_assignment_is_deterministic(planted):
     assert a1 == a2
     cells = {r["__cell"] for r in a1}
     assert cells <= {r["centroid_id"] for r in c.collect()}
+
+
+# ------------------------------------------------------ product quantization
+
+
+def _pq_vecs(spark, n=120, dim=16):
+    rows = [
+        (i, [float(((i * 7 + j * 5) % 23) - 11) / 11.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    from delm_spark.operators.quantize import pq_codebooks, pq_encode
+
+    emb = _pq_vecs(spark)
+    books = pq_codebooks(emb, m=4, k=8, dim=16)
+    assert books.count() == 4 * 8
+    enc = pq_encode(emb, books, m=4, dim=16)
+    rows = enc.collect()
+    assert len(rows) == 120 * 4  # one code per (vector, subspace)
+    assert all(0 <= r["code"] < 8 for r in rows)
+    again = sorted(map(tuple, pq_encode(emb, books, m=4, dim=16).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_pq_topk_self_query_rank1(spark):
+    from delm_spark.operators.quantize import pq_topk
+
+    emb = _pq_vecs(spark)
+    qs = emb.filter("vec_id IN (0, 5)").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = pq_topk(emb, qs, m=4, k_codes=8, k=5, refine=4, dim=16)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.filter("rank = 1").collect()}
+    # exact re-rank puts the query's own vector (cosine 1.0) first
+    assert top1 == {0: 0, 5: 5}
+
+
+def test_pq_topk_full_refine_equals_brute_force(spark):
+    """With refine*k >= N every vector reaches the exact re-rank, so PQ
+    degrades to brute force exactly — the same invariant pinning as
+    ivf nprobe=all."""
+    from delm_spark.operators.quantize import pq_topk
+    from delm_spark.operators.similarity import brute_force_topk
+
+    emb = _pq_vecs(spark)
+    qs = emb.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    pq = pq_topk(emb, qs, m=4, k_codes=8, k=5, refine=24, dim=16)  # 24*5 >= 120
+    bf = brute_force_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
+    a = sorted(map(tuple, pq.collect()))
+    b = sorted(map(tuple, bf.collect()))
+    assert a == b
