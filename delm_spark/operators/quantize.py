@@ -142,6 +142,8 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    fast_encode: bool = False,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k with exact re-rank.
 
@@ -155,8 +157,13 @@ def pq_topk(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     d_sub = dim // m
-    books = pq_codebooks(embeddings, m, k_codes, id_col, vec_col, dim)
-    encoded = pq_encode(embeddings, books, m, id_col, vec_col, dim)
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, m, k_codes, id_col, vec_col, dim)
+    )
+    enc_fn = pq_encode_fast if fast_encode else pq_encode
+    encoded = enc_fn(embeddings, books, m, id_col, vec_col, dim)
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -196,3 +203,135 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank")
     )
+
+
+def pq_encode_fast(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Arrow-batched numpy twin of pq_encode — the production encode
+    path. Dense distance math is exactly where catalyst higher-order
+    functions lose to a vectorized kernel by orders of magnitude (one
+    (batch x k) matmul per subspace vs per-row array folds), the same
+    trade the extraction stage makes. Output is IDENTICAL to pq_encode
+    (pytest-pinned): the per-dimension squared-difference sum runs in
+    ascending index order in both (numpy's pairwise summation is
+    sequential below its 128-element blocksize), and ties break to the
+    smallest code_id (np.argmin first-occurrence == min(struct)).
+
+    The codebook (m*k rows) is collected driver-side and closure-
+    broadcast — it is bounded by construction, never data-sized."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    d_sub = dim // m
+    rows = codebooks.collect()
+    k = max(r["code_id"] for r in rows) + 1
+    books = np.zeros((m, k, d_sub))
+    for r in rows:
+        books[r["subspace"], r["code_id"]] = r["codevec"]
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            v = np.asarray(list(pdf[vec_col]), dtype="float64")
+            out_ids, out_sub, out_code = [], [], []
+            for j in range(m):
+                sv = v[:, j * d_sub : (j + 1) * d_sub]
+                # (batch, k) distances with the SAME arithmetic as the
+                # slow path — per-dimension squared diffs summed in index
+                # order, then the nano-unit rounding — so the argmin
+                # (first occurrence == smallest code_id on ties) is
+                # bit-identical; the expanded-matmul form would differ in
+                # the last ulp and occasionally flip a rounded tie
+                d_fx = np.round(
+                    np.stack(
+                        [
+                            ((sv - books[j][c][None, :]) ** 2).sum(axis=1)
+                            for c in range(k)
+                        ],
+                        axis=1,
+                    )
+                    * 1e9
+                )
+                codes = np.argmin(d_fx, axis=1)
+                out_ids.append(ids)
+                out_sub.append(np.full(len(ids), j, dtype="int32"))
+                out_code.append(codes.astype("int32"))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "subspace": np.concatenate(out_sub),
+                    "code": np.concatenate(out_code),
+                }
+            )
+
+    return embeddings.mapInPandas(
+        enc, schema=f"{id_col} long, subspace int, code int"
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd-refined codebooks: md5-sample init (pq_codebooks) + `iters`
+    distributed k-means steps per subspace. Each step is one fast-encode
+    pass (assignment) + one groupBy(subspace, code) per-dimension mean
+    (update) — both map-side-combinable; codebooks never leave broadcast
+    size. Codes that lose all members keep their previous center (the
+    standard empty-cluster fallback). Deterministic for a fixed input
+    (same init, fixed iteration count); refined codebooks typically
+    multiply PQ recall vs raw sampled init (BENCH/PQ_SCALE.md measures
+    exactly this delta)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    d_sub = dim // m
+    books = pq_codebooks(embeddings, m, k, id_col, vec_col, dim)
+    subs = embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _subvec(F.col(vec_col), j, d_sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.subspace", "e.sv")
+    for _ in range(iters):
+        enc = pq_encode_fast(embeddings, books, m, id_col, vec_col, dim)
+        means = (
+            subs.join(enc, [id_col, "subspace"])
+            .groupBy("subspace", F.col("code").alias("code_id"))
+            .agg(
+                F.array(
+                    *[F.avg(F.col("sv")[i]) for i in range(d_sub)]
+                ).alias("newvec")
+            )
+        )
+        books = (
+            books.join(means, ["subspace", "code_id"], "left")
+            .select(
+                "subspace",
+                "code_id",
+                F.coalesce("newvec", "codevec").alias("codevec"),
+            )
+            .localCheckpoint(eager=True)  # cut the iterative lineage
+        )
+    return books

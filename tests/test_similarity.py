@@ -158,3 +158,41 @@ def test_pq_topk_full_refine_equals_brute_force(spark):
     a = sorted(map(tuple, pq.collect()))
     b = sorted(map(tuple, bf.collect()))
     assert a == b
+
+
+def test_pq_encode_fast_identical_to_catalyst(spark):
+    """The Arrow/numpy encode twin must reproduce the catalyst path
+    bit-for-bit (same index-order arithmetic, same nano-unit rounding,
+    same first-occurrence tie-break)."""
+    from delm_spark.operators.quantize import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_fast,
+    )
+
+    emb = _pq_vecs(spark, n=200, dim=16)
+    books = pq_codebooks(emb, m=4, k=8, dim=16)
+    slow = sorted(map(tuple, pq_encode(emb, books, m=4, dim=16).collect()))
+    fast = sorted(map(tuple, pq_encode_fast(emb, books, m=4, dim=16).collect()))
+    assert slow == fast
+
+
+def test_pq_train_refines_and_stays_broadcast_sized(spark):
+    from delm_spark.operators.quantize import pq_codebooks, pq_train
+
+    emb = _pq_vecs(spark, n=200, dim=16)
+    init = pq_codebooks(emb, m=4, k=8, dim=16)
+    trained = pq_train(emb, m=4, k=8, iters=2, dim=16)
+    assert trained.count() == init.count() == 4 * 8  # shape preserved
+    # training moved at least some centers off their sampled init
+    j = (
+        init.withColumnRenamed("codevec", "a")
+        .join(trained.withColumnRenamed("codevec", "b"), ["subspace", "code_id"])
+    )
+    moved = j.filter("a <> b").count()
+    assert moved > 0
+    # deterministic: same input -> same codebooks
+    again = pq_train(emb, m=4, k=8, iters=2, dim=16)
+    a = sorted(map(tuple, trained.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b

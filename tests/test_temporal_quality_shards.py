@@ -456,3 +456,43 @@ def test_range_bucket_join_with_equi_key(spark):
     )
     got = [(r["pid"], r["wid"]) for r in out.collect()]
     assert got == [(1, 10)]  # same time, wrong user -> no match
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check against an independent implementation: pandas
+    merge_asof (direction='backward', allow_exact_matches=True,
+    tolerance) on a deterministic pseudo-random event set."""
+    import pandas as pd
+
+    rng_l = [(i, i % 7, 1_700_000_000 + ((i * 37) % 1000) * 60)
+             for i in range(300)]
+    rng_r = [(1000 + i, i % 7, 1_700_000_000 + ((i * 53) % 997) * 60)
+             for i in range(200)]
+    lpdf = pd.DataFrame(rng_l, columns=["event_id", "k", "sec"])
+    rpdf = pd.DataFrame(rng_r, columns=["click_id", "k", "sec"])
+    # unique (k, sec) on the right: keep max click_id (dedupe_right contract)
+    rpdf = rpdf.sort_values("click_id").groupby(["k", "sec"], as_index=False).last()
+    lpdf["ts"] = pd.to_datetime(lpdf["sec"], unit="s")
+    rpdf["ts"] = pd.to_datetime(rpdf["sec"], unit="s")
+
+    expected = pd.merge_asof(
+        lpdf.sort_values(["ts", "event_id"]),
+        rpdf[["k", "ts", "click_id"]].sort_values("ts"),
+        on="ts", by="k", direction="backward",
+        allow_exact_matches=True, tolerance=pd.Timedelta(seconds=3600),
+    ).set_index("event_id")["click_id"]
+
+    from delm_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        lpdf[["event_id", "k", "ts"]], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        rpdf[["click_id", "k", "ts"]], "click_id long, k long, ts timestamp"
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["click_id"],
+                    tolerance_sec=3600)
+    got = {r["event_id"]: r["click_id_asof"] for r in out.collect()}
+    for eid, want in expected.items():
+        want = None if pd.isna(want) else int(want)
+        assert got[eid] == want, (eid, got[eid], want)
