@@ -3078,9 +3078,15 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                 UNION ALL
                 SELECT 'functional_violation', coalesce(SUM(excess), 0)::BIGINT
                 FROM (
-                    SELECT COUNT(DISTINCT obj_id) - 1 AS excess FROM linked
+                    SELECT greatest(COUNT(DISTINCT obj_id) - 1, 0) AS excess
+                    FROM linked
                     WHERE pred IN ('works_at', 'reports_to', 'located_in')
-                    GROUP BY pred, subj_id))
+                    GROUP BY pred, subj_id)
+                UNION ALL
+                SELECT 'null_endpoint',
+                       COUNT(*) FILTER (WHERE subj_id IS NULL
+                                           OR obj_id IS NULL)::BIGINT
+                FROM linked)
             SELECT check_name, n_violations FROM checks ORDER BY check_name
         """
     if kind == "two_hop":

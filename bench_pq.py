@@ -161,6 +161,10 @@ def main() -> None:
     # monotonically improve ADC *recall* on a strongly clustered corpus —
     # both variants are reported, neither is asserted above the other.
 
+    # never publish a contended phase as gated
+    for name, st in (("train", train_steal), ("encode", enc_steal),
+                     ("pq", pq_steal), ("bf", bf_steal)):
+        assert st <= STEAL_MAX, f"{name} phase exceeded the steal gate: {st}"
     raw_bytes = N_VECS * DIM * 8
     pq_bytes = N_VECS * M  # one uint8-sized code per subspace
     out = {

@@ -185,6 +185,8 @@ def main() -> None:
         census, wall, steal = _timed(run_tc)
         if steal <= STEAL_MAX:
             break
+    # never publish a contended number as "steal-gated"
+    assert steal <= STEAL_MAX, f"all attempts exceeded the steal gate: {steal}"
     assert sum(census.values()) == B4, census
     assert census["too_short"] == N_SHORT, census
     assert census["tool_heavy"] == N_TOOLY, census
@@ -232,6 +234,7 @@ def main() -> None:
         agg, wall, steal = _timed(run_asof)
         if steal <= STEAL_MAX:
             break
+    assert steal <= STEAL_MAX, f"all attempts exceeded the steal gate: {steal}"
     assert agg["n"] == N_USERS * 10, agg
     assert agg["unmatched"] == N_USERS, agg  # exactly the pre-click purchases
     assert agg["wrong_gap"] == 0, agg  # every match is its own click, 55 s back

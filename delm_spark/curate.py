@@ -68,6 +68,9 @@ class CurationConfig:
     decontam_max_overlap: int = 0
     redact: bool = True
     pack_budget: Optional[int] = 2048
+    #: pack_sequences block width (id div block_size); raise it when ids
+    #: are sparse/hashed so the per-block offset table stays tiny
+    pack_block_size: int = 100_000
 
 
 def run_curation(
@@ -171,7 +174,11 @@ def run_curation(
     )
     if config.pack_budget is not None:
         packed = pack_sequences(
-            kept, text_col, id_col, budget=config.pack_budget
+            kept,
+            text_col,
+            id_col,
+            budget=config.pack_budget,
+            block_size=config.pack_block_size,
         )
     else:
         from delm_spark.operators.text import whitespace_token_count
@@ -231,6 +238,8 @@ class TranscriptCurationConfig:
     minhash_k: int = 16
     minhash_bands: int = 4
     shingle_n: int = 3
+    decontam_n: int = 8
+    decontam_max_overlap: int = 0
     redact: bool = True
     pack_budget: Optional[int] = 400
 
@@ -302,7 +311,11 @@ def run_transcript_curation(
         asm = asm.localCheckpoint(eager=True)
     structural = asm.select(
         "conv_id",
-        F.when(F.col("n_turns") < config.min_turns, F.lit("too_short"))
+        # null conv_id first: a null key never equi-matches, so without an
+        # explicit disposition such a conversation would silently vanish
+        # from BOTH output branches
+        F.when(F.col("conv_id").isNull(), F.lit("invalid_conv"))
+        .when(F.col("n_turns") < config.min_turns, F.lit("too_short"))
         .when(
             F.col("n_tool_turns") * 100 > F.col("n_turns") * config.max_tool_pct,
             F.lit("tool_heavy"),
@@ -313,6 +326,15 @@ def run_transcript_curation(
         asm.join(structural.filter("__sdrop IS NULL"), "conv_id", "left_semi")
         .select("conv_id", conv_pack_key(F.col("conv_id")).alias("pack_key"), "text")
     )
+    # pack_sequences blocks on `id div block_size`; with UNIFORM 60-bit
+    # md5 keys the default width (100k) would make every key its own
+    # block and push the whole offset table through one global window.
+    # Scale the width so ~1 block per 100k survivors (uniformity makes
+    # block populations ~Poisson(100k)); the output is width-invariant.
+    n_surv = keyed.count()
+    # cap at the full key range: below ~100k survivors ONE block is right
+    # (and an uncapped value would overflow int64 on the JVM side)
+    block = min(max(((1 << 60) * 100_000) // max(n_surv, 1), 1), 1 << 60)
     curated = run_curation(
         keyed.select("pack_key", "text"),
         test_df=test_df,
@@ -323,8 +345,11 @@ def run_transcript_curation(
             shingle_n=config.shingle_n,
             quality=False,  # Gopher bounds are per-document prose rules;
             # transcript structure is gated by stage 2 instead
+            decontam_n=config.decontam_n,
+            decontam_max_overlap=config.decontam_max_overlap,
             redact=config.redact,
             pack_budget=config.pack_budget,
+            pack_block_size=block,
         ),
         text_col="text",
         id_col="pack_key",

@@ -21,7 +21,12 @@ Checks over a linked triple table (subj_id, pred, obj_id):
                            works_at ONE org), subjects asserting >1
                            distinct object; counted as the number of
                            excess objects, i.e. distinct_obj - 1 summed
-                           over violating subjects.
+                           over violating subjects (floored at 0 per
+                           group: an all-null-object group is a
+                           null_endpoint problem, not negative credit
+                           against real violations)
+* ``null_endpoint``       — triples with a NULL subject or object
+                           (malformed rows no other check would surface)
 
 At 100 TB: self_loop/unresolved are map-only filters folded into one
 scan-level aggregate; duplicate_triple and functional_violation are each
@@ -57,6 +62,7 @@ def consistency_report(
     # one scan: the three row-local checks as conditional counts
     row_local = triples.select(
         F.sum((s == o).cast("long")).alias("self_loop"),
+        F.sum((s.isNull() | o.isNull()).cast("long")).alias("null_endpoint"),
         F.sum(F.startswith(s, F.lit(MENTION_PREFIX)).cast("long")).alias(
             "unresolved_subj"
         ),
@@ -74,7 +80,9 @@ def consistency_report(
     func = (
         triples.filter(p.isin(functional_preds))
         .groupBy(p.alias("p"), s.alias("s"))
-        .agg((F.count_distinct(o) - 1).alias("excess"))
+        .agg(
+            F.greatest(F.count_distinct(o) - 1, F.lit(0)).alias("excess")
+        )
         .agg(F.sum("excess").alias("functional_violation"))
     )
 
@@ -85,6 +93,7 @@ def consistency_report(
         "unresolved_subj",
         "unresolved_obj",
         "functional_violation",
+        "null_endpoint",
     ]
     stacked = wide.select(
         F.explode(

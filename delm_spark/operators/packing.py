@@ -132,15 +132,19 @@ def shard_assign(
 
     Returns (id_col, shard, shard_pos) with int64 shard/shard_pos.
     """
+    return _with_shard(df.select(id_col), id_col, n_shards, seed)
+
+
+def _with_shard(df: DataFrame, id_col: str, n_shards: int, seed: str) -> DataFrame:
+    """df + (shard, shard_pos), payload columns carried through — so
+    write_shards computes the assignment inline instead of re-scanning
+    the input for a second pass + an extra join exchange."""
     h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
     hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
     return (
-        df.select(
-            F.col(id_col),
-            (hv % n_shards).alias("shard"),
-            h.alias("__h"),
-        )
+        df.withColumn("__h", h)
+        .withColumn("shard", hv % n_shards)
         .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__h")
     )
@@ -157,8 +161,9 @@ def write_shards(
     (`shard=K/`), rows physically ordered by shard_pos inside each file
     so a loader streams them in shuffle order without its own sort.
     repartition ON THE SHARD KEY + sortWithinPartitions keeps this a
-    single shuffle; partitionBy lays out the directories."""
-    assigned = df.join(shard_assign(df, id_col, n_shards, seed), id_col)
+    single shuffle; partitionBy lays out the directories. The assignment
+    is computed inline on df (no join, no second scan of the input)."""
+    assigned = _with_shard(df, id_col, n_shards, seed)
     (
         assigned.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "shard_pos")

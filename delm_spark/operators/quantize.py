@@ -49,6 +49,28 @@ def _l2sq_fx(a, b):
     return F.round(d2 * 1e9).cast("long")
 
 
+def _explode_subvectors(
+    embeddings: DataFrame, m: int, d_sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, subspace, sv): every vector split into its m subvectors —
+    shared by the catalyst encode and the Lloyd trainer so the slicing
+    convention can never diverge between them."""
+    return embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _subvec(F.col(vec_col), j, d_sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.subspace", "e.sv")
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     m: int = 8,
@@ -103,20 +125,7 @@ def pq_encode(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     d_sub = dim // m
-    subs = embeddings.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("subspace"),
-                        _subvec(F.col(vec_col), j, d_sub).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select(id_col, "e.subspace", "e.sv")
+    subs = _explode_subvectors(embeddings, m, d_sub, id_col, vec_col)
     scored = subs.join(F.broadcast(codebooks), "subspace").select(
         id_col,
         "subspace",
@@ -251,7 +260,7 @@ def pq_encode_fast(
                 # (first occurrence == smallest code_id on ties) is
                 # bit-identical; the expanded-matmul form would differ in
                 # the last ulp and occasionally flip a rounded tie
-                d_fx = np.round(
+                d_fx = np.floor(
                     np.stack(
                         [
                             ((sv - books[j][c][None, :]) ** 2).sum(axis=1)
@@ -260,6 +269,10 @@ def pq_encode_fast(
                         axis=1,
                     )
                     * 1e9
+                    # floor(x + 0.5) == HALF_UP for the non-negative d2,
+                    # matching Spark F.round and DuckDB round(); np.round
+                    # is half-to-EVEN and would flip exact-.5 nano-units
+                    + 0.5
                 )
                 codes = np.argmin(d_fx, axis=1)
                 out_ids.append(ids)
@@ -300,28 +313,33 @@ def pq_train(
         dim = len(embeddings.select(vec_col).first()[0])
     d_sub = dim // m
     books = pq_codebooks(embeddings, m, k, id_col, vec_col, dim)
-    subs = embeddings.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("subspace"),
-                        _subvec(F.col(vec_col), j, d_sub).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select(id_col, "e.subspace", "e.sv")
+    subs = _explode_subvectors(embeddings, m, d_sub, id_col, vec_col)
+    # component quantization for the update step: micro-units keep the
+    # int64 sum safe to ~1e12 members per code at |v| ~ 1e3 while making
+    # the mean aggregation-order independent (F.avg over raw doubles
+    # would drift in the last ulp across partial-merge orders and the
+    # encode's nano-rounding can amplify that into different codes)
+    q = subs.select(
+        id_col,
+        "subspace",
+        F.transform(
+            "sv", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("svq"),
+    )
     for _ in range(iters):
         enc = pq_encode_fast(embeddings, books, m, id_col, vec_col, dim)
         means = (
-            subs.join(enc, [id_col, "subspace"])
+            q.join(enc, [id_col, "subspace"])
             .groupBy("subspace", F.col("code").alias("code_id"))
             .agg(
                 F.array(
-                    *[F.avg(F.col("sv")[i]) for i in range(d_sub)]
+                    *[
+                        (
+                            F.expr(f"sum(svq[{i}]) div count(1)").cast("double")
+                            / 1e6
+                        )
+                        for i in range(d_sub)
+                    ]
                 ).alias("newvec")
             )
         )

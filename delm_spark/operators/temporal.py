@@ -167,9 +167,13 @@ def range_bucket_join(
     if how not in ("inner", "left"):
         raise ValueError(f"range_bucket_join supports inner/left, got {how!r}")
     on = on or []
-    lb = F.floor(F.col(left_ts).cast("timestamp").cast("long") / bucket_sec)
-    rs = F.col(right_start).cast("timestamp").cast("long")
-    re_ = F.col(right_end).cast("timestamp").cast("long")
+    # bucket on integer MICROseconds: a whole-second cast would truncate a
+    # sub-second interval end into the previous bucket and silently drop
+    # points in the final partially-covered bucket
+    width_us = int(bucket_sec) * 1_000_000
+    lb = F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / width_us)
+    rs = F.unix_micros(F.col(right_start).cast("timestamp"))
+    re_ = F.unix_micros(F.col(right_end).cast("timestamp"))
     l2 = left.withColumn("__bkt", lb.cast("long"))
     # empty intervals (end <= start) match nothing under start <= ts < end
     # and would explode a DESCENDING bucket sequence — drop them up front
@@ -177,10 +181,10 @@ def range_bucket_join(
         "__bkt",
         F.explode(
             F.sequence(
-                F.floor(rs / bucket_sec).cast("long"),
+                F.floor(rs / width_us).cast("long"),
                 # end is EXCLUSIVE: an interval ending exactly on a bucket
                 # boundary does not cover that bucket
-                F.floor((re_ - 1) / bucket_sec).cast("long"),
+                F.floor((re_ - 1) / width_us).cast("long"),
             )
         ),
     )

@@ -96,6 +96,7 @@ def main() -> None:
             min_turns=args.min_turns,
             max_tool_pct=args.max_tool_pct,
             near_dup_threshold=near_dup,
+            decontam_n=args.decontam_n,
             redact=not args.no_redact,
             pack_budget=args.budget,
         )

@@ -115,6 +115,9 @@ def test_consistency_report_counts(spark):
             # unresolved endpoints
             ("mention:dave", "works_at", "e:acme"),
             ("e:erin", "uses_tool", "mention:spark"),
+            # malformed: null object; also an all-null functional group
+            # that must NOT subtract from real violations
+            ("e:frank", "works_at", None),
         ],
         "subj_id string, pred string, obj_id string",
     )
@@ -128,6 +131,7 @@ def test_consistency_report_counts(spark):
         "unresolved_subj": 1,
         "unresolved_obj": 1,
         "functional_violation": 1,
+        "null_endpoint": 1,
     }
 
 
@@ -138,7 +142,7 @@ def test_consistency_report_clean_build_reports_zeros(spark):
         [("e:a", "created", "e:b")], "subj_id string, pred string, obj_id string"
     )
     rows = consistency_report(triples).collect()
-    assert len(rows) == 5
+    assert len(rows) == 6
     assert all(r["n_violations"] == 0 for r in rows)
 
 
@@ -496,3 +500,41 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     for eid, want in expected.items():
         want = None if pd.isna(want) else int(want)
         assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_range_bucket_join_subsecond_interval_end(spark):
+    """An interval ending at a sub-second offset past a bucket boundary
+    still covers that final partial bucket (regression: whole-second
+    bucket math dropped the match)."""
+    import datetime as dt
+
+    from delm_spark.operators.temporal import range_bucket_join
+
+    points = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 10, 0, 200000))],
+        "pid long, ts timestamp",
+    )
+    windows = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1, 0, 0, 0),
+          dt.datetime(2024, 1, 1, 0, 10, 0, 500000))],
+        "wid long, w_start timestamp, w_end timestamp",
+    )
+    out = range_bucket_join(points, windows, "ts", "w_start", "w_end", 600)
+    assert [(r["pid"], r["wid"]) for r in out.collect()] == [(1, 10)]
+
+
+def test_transcript_curation_null_conv_id_gets_disposition(spark):
+    """A null conv_id never equi-matches, so without an explicit
+    disposition it would vanish from both output branches (regression)."""
+    from delm_spark.curate import run_transcript_curation
+
+    rows = [
+        (None, i, "user", f"turn {i} of the null conversation here")
+        for i in range(6)
+    ] + [
+        ("ok", i, "user", f"turn {i} of a healthy conversation here")
+        for i in range(6)
+    ]
+    out = run_transcript_curation(_mk_turns(spark, rows))
+    got = {r["conv_id"]: r["status"] for r in out.collect()}
+    assert got == {None: "invalid_conv", "ok": "kept"}
