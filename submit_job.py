@@ -51,6 +51,13 @@ def main() -> None:
                          "dictionary join (north-star 'dictionary + "
                          "embedding blocking'); a config file's "
                          "pipeline.embedding_link takes precedence")
+    ap.add_argument("--merge-into", default=None,
+                    help="existing KG output dir (nodes/ + edges/) to "
+                         "merge this batch into with exactly-once-per-"
+                         "conversation semantics (kg/update.py): edges "
+                         "from conversations already present are dropped, "
+                         "nodes re-derived from the merged endpoints; the "
+                         "merged graph is written to --output")
     ap.add_argument("--analytics", action="store_true",
                     help="also materialize graph analytics over the "
                          "canonical graph: degree_distribution/ and "
@@ -77,13 +84,19 @@ def main() -> None:
     transcripts = _read(spark, args.transcripts)
     dictionary = _read(spark, args.dictionary)
     res = run_pipeline(spark, transcripts, dictionary, config)
+    out_nodes, out_edges = res.nodes, res.edges
+    if args.merge_into:
+        from delm_spark.kg.update import merge_graph
+
+        existing = spark.read.parquet(f"{args.merge_into}/edges")
+        out_nodes, out_edges = merge_graph(existing, res.edges)
     # partitioned graph tables (north star): edges by predicate (bounded
     # cardinality -> per-relation partition pruning), nodes clustered by
     # entity_id (row-group min/max stats prune point lookups)
-    res.nodes.sortWithinPartitions("entity_id").write.mode("overwrite").parquet(
+    out_nodes.sortWithinPartitions("entity_id").write.mode("overwrite").parquet(
         f"{args.output}/nodes"
     )
-    res.edges.write.partitionBy("pred").mode("overwrite").parquet(
+    out_edges.write.partitionBy("pred").mode("overwrite").parquet(
         f"{args.output}/edges"
     )
     n_nodes = spark.read.parquet(f"{args.output}/nodes").count()

@@ -63,3 +63,38 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         f"SELECT count(*), sum(rank) FROM '{out}/pagerank/*.parquet'"
     ).fetchone()
     assert pr[0] > 0 and abs(pr[1] - 1.0) < 1e-6  # ranks sum to 1
+
+
+@pytest.mark.skipif(not SPARK_SUBMIT.exists(), reason="spark-submit not on host")
+def test_spark_submit_merge_into_is_idempotent(tmp_path):
+    """--merge-into with the SAME batch must be a no-op merge: the
+    exactly-once-per-conversation guard drops every re-delivered edge."""
+    zpath = tmp_path / "delm_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in (REPO / "delm_spark").rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+    env = dict(os.environ, PYTHONPATH="")
+
+    def run(out, extra):
+        proc = subprocess.run(
+            [
+                str(SPARK_SUBMIT),
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(zpath),
+                str(REPO / "submit_job.py"),
+                "--transcripts", str(REPO / "tests/fixtures/transcripts.parquet"),
+                "--dictionary", str(REPO / "tests/fixtures/dictionary.parquet"),
+                "--output", str(out),
+            ] + extra,
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    first = run(tmp_path / "kg1", [])
+    merged = run(tmp_path / "kg2", ["--merge-into", str(tmp_path / "kg1")])
+    assert merged["edges"] == first["edges"]  # re-delivery is a no-op
+    assert merged["nodes"] == first["nodes"]
