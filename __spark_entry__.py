@@ -698,6 +698,46 @@ def kg_triples_stream(spark, sf_dir):
     )
 
 
+def streaming_kg_merge(spark, sf_dir):
+    """Streaming x incremental-KG composition: the fixture corpus split
+    into two conv-disjoint parquet file drops, consumed one file per
+    micro-batch (maxFilesPerTrigger=1), each micro-batch running the full
+    batch pipeline inside foreachBatch and appending only fresh
+    conversations to the edges sink (kg_stream.run_streaming_kg_merge).
+    The merge == from-scratch invariant (kg/update.py) means the streamed
+    two-batch graph must equal the single-batch pipeline's edges — so the
+    oracle is the SAME DuckDB replica as kg_triples_pipeline."""
+    import tempfile
+
+    from delm_spark.streaming.kg_stream import run_streaming_kg_merge
+    from delm_spark.streaming.stream import read_transcript_stream
+
+    t = _fixture_transcripts(spark)
+    base = tempfile.mkdtemp(prefix="delm_stream_kg_")
+    feed = f"{base}/feed"
+    # two conv-disjoint drops -> two micro-batches; coalesce(1) makes each
+    # drop exactly one file so the trigger boundary is deterministic
+    t.filter(F.col("conv_id") < "conv_00000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    t.filter(F.col("conv_id") >= "conv_00000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    stream = read_transcript_stream(spark, feed, max_files_per_trigger=1)
+    q = run_streaming_kg_merge(
+        stream, _fixture_dictionary(spark), f"{base}/kg", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/kg/edges")
+        .select(
+            "conv_id", "turn_idx", "chunk_pos", "item_pos",
+            "subj", "pred", "obj", "subj_id", "obj_id",
+        )
+        .orderBy("conv_id", "turn_idx", "chunk_pos", "item_pos")
+    )
+
+
 def kg_triples_pipeline(spark, sf_dir):
     """Flagship KG pipeline (chunk/score/extract/clean/link) over the
     committed fixture corpus; the oracle reproduces the full chain plus the
@@ -1535,57 +1575,13 @@ def pq_topk_embeddings(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's correctness gate checks the FIRST
+    # 50 entries.  Queries that have never had a driver CORRECTNESS row (the
+    # round-4 curation / temporal / PQ / packing family) are placed first;
+    # multi-round-green veterans (driver-green in r02+r03+r04, still pinned
+    # by tests/test_oracle_parity.py every round) are rotated to the tail.
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "broadcast_brand_revenue": broadcast_brand_revenue,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "semi_join_orders": semi_join_orders,
-        "anti_join_customers": anti_join_customers,
-        "left_join_order_customer": left_join_order_customer,
-        "window_top_orders_per_customer": window_top_orders_per_customer,
-        "distinct_counts": distinct_counts,
-        "union_nation_counts": union_nation_counts,
-        "regex_split_chunks": regex_split_chunks,
-        "keyword_score_filter": keyword_score_filter,
-        "majority_vote_lang": majority_vote_lang,
-        "exact_dedup_docs": exact_dedup_docs,
-        "token_count_by_lang": token_count_by_lang,
-        "bpe_token_count_docs": bpe_token_count_docs,
-        "doc_fingerprint": doc_fingerprint,
-        "embedding_topk_cosine": embedding_topk_cosine,
-        "lsh_topk_embeddings": lsh_topk_embeddings,
-        "ivf_topk_embeddings": ivf_topk_embeddings,
-        "embedding_near_dup_vecs": embedding_near_dup_vecs,
-        "events_hourly": events_hourly,
-        "events_sessionize": events_sessionize,
-        "stateful_sessionize_events": stateful_sessionize_events,
-        "dedup_events_first": dedup_events_first,
-        "stream_dedup_events": stream_dedup_events,
-        "minhash_signature_docs": minhash_signature_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "lang_id_docs": lang_id_docs,
-        "quality_score_docs": quality_score_docs,
-        "salted_user_counts": salted_user_counts,
-        "multimodal_media_features": multimodal_media_features,
-        "image_pixel_stats_docs": image_pixel_stats_docs,
-        "audio_features_docs": audio_features_docs,
-        "video_frame_sample_docs": video_frame_sample_docs,
-        "collect_ordered_langs": collect_ordered_langs,
-        "explode_extracted_triples": explode_extracted_triples,
-        "embedding_entity_link": embedding_entity_link,
-        "kg_triples_stream": kg_triples_stream,
-        "kg_triples_pipeline": kg_triples_pipeline,
-        "kg_triples_linked_pipeline": kg_triples_linked_pipeline,
-        "kg_nodes_canonical": kg_nodes_canonical,
-        "kg_degree_distribution": kg_degree_distribution,
-        "kg_two_hop_entities": kg_two_hop_entities,
-        "pagerank_demo": pagerank_demo,
-        "triangle_blocks_demo": triangle_blocks_demo,
-        "connected_components_demo": connected_components_demo,
-        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-        "near_dup_pipeline_docs": near_dup_pipeline_docs,
-        "simhash_pairs_docs": simhash_pairs_docs,
+        # --- never driver-checked (round-4 additions + 2 pushed past the cap)
         "fuzzy_score_docs": fuzzy_score_docs,
         "fixed_window_chunks": fixed_window_chunks,
         "decontam_ngram_docs": decontam_ngram_docs,
@@ -1606,6 +1602,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": range_join_events,
         "corpus_profile_docs": corpus_profile_docs,
         "pq_topk_embeddings": pq_topk_embeddings,
+        # --- round-5 additions
+        "streaming_kg_merge": streaming_kg_merge,
+        # --- single/double-round green or complex pipelines (keep under gate)
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "bpe_token_count_docs": bpe_token_count_docs,
+        "embedding_topk_cosine": embedding_topk_cosine,
+        "lsh_topk_embeddings": lsh_topk_embeddings,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
+        "embedding_near_dup_vecs": embedding_near_dup_vecs,
+        "stateful_sessionize_events": stateful_sessionize_events,
+        "stream_dedup_events": stream_dedup_events,
+        "minhash_signature_docs": minhash_signature_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "quality_score_docs": quality_score_docs,
+        "salted_user_counts": salted_user_counts,
+        "multimodal_media_features": multimodal_media_features,
+        "image_pixel_stats_docs": image_pixel_stats_docs,
+        "audio_features_docs": audio_features_docs,
+        "video_frame_sample_docs": video_frame_sample_docs,
+        "explode_extracted_triples": explode_extracted_triples,
+        "embedding_entity_link": embedding_entity_link,
+        "kg_triples_stream": kg_triples_stream,
+        "kg_triples_pipeline": kg_triples_pipeline,
+        "kg_triples_linked_pipeline": kg_triples_linked_pipeline,
+        "kg_nodes_canonical": kg_nodes_canonical,
+        "kg_degree_distribution": kg_degree_distribution,
+        "kg_two_hop_entities": kg_two_hop_entities,
+        "pagerank_demo": pagerank_demo,
+        "triangle_blocks_demo": triangle_blocks_demo,
+        "connected_components_demo": connected_components_demo,
+        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "near_dup_pipeline_docs": near_dup_pipeline_docs,
+        # --- multi-round-green veterans (r02+r03+r04 driver rows + pytest)
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "broadcast_brand_revenue": broadcast_brand_revenue,
+        "semi_join_orders": semi_join_orders,
+        "anti_join_customers": anti_join_customers,
+        "left_join_order_customer": left_join_order_customer,
+        "window_top_orders_per_customer": window_top_orders_per_customer,
+        "distinct_counts": distinct_counts,
+        "union_nation_counts": union_nation_counts,
+        "regex_split_chunks": regex_split_chunks,
+        "keyword_score_filter": keyword_score_filter,
+        "majority_vote_lang": majority_vote_lang,
+        "exact_dedup_docs": exact_dedup_docs,
+        "token_count_by_lang": token_count_by_lang,
+        "doc_fingerprint": doc_fingerprint,
+        "collect_ordered_langs": collect_ordered_langs,
+        "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
+        "dedup_events_first": dedup_events_first,
+        "lang_id_docs": lang_id_docs,
     }
 
 
@@ -2143,6 +2193,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "explode_extracted_triples": _kg_oracle_sql("triples"),
         "kg_triples_stream": _kg_oracle_sql("triples"),
+        # streamed two-micro-batch merge must equal the from-scratch batch
+        # pipeline (kg/update.py invariant) — hence the identical oracle
+        "streaming_kg_merge": _kg_oracle_sql("linked"),
         "kg_triples_pipeline": _kg_oracle_sql("linked"),
         "kg_triples_linked_pipeline": _kg_oracle_sql("linked_embedding", typos=True),
         "kg_nodes_canonical": _kg_oracle_sql("nodes"),

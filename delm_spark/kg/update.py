@@ -56,19 +56,38 @@ def merge_graph(
     existing_edges: DataFrame,
     new_edges: DataFrame,
     conv_col: str = "conv_id",
+    counters: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Merge a new batch's edges into the existing edge table with
     exactly-once-per-conversation semantics; returns (nodes, edges).
 
     Conversations already present in `existing_edges` are dropped from
     the incoming batch wholesale (a re-delivered batch is a no-op), so
-    calling merge_graph twice with the same batch is idempotent. Edges
-    from genuinely new conversations append as-is — per-triple outputs
-    are batch-local (see module docstring), so no recanonicalization
-    pass is needed.
+    calling merge_graph twice with the same batch is idempotent.
+
+    PRECONDITION — conv-disjoint batches: the merge == from-scratch
+    invariant holds only when each conversation's turns arrive in ONE
+    batch. A batch carrying NEW edges for a conv_id already merged (a
+    conversation continuing across ingestion windows, or a corrected
+    re-extraction) is dropped at conversation granularity, NOT merged
+    turn-by-turn. Pass `counters` (any dict) to detect this: it is
+    filled with `dropped_conv_ids` (incoming conversations suppressed by
+    the exactly-once guard) and `fresh_conv_ids` — a nonzero drop count
+    on a feed believed conv-disjoint means re-delivery or a split
+    conversation upstream. The two counts cost two single-column
+    distinct-count jobs on the (small) batch side only.
+
+    Edges from genuinely new conversations append as-is — per-triple
+    outputs are batch-local (see module docstring), so no
+    recanonicalization pass is needed.
     """
     fresh = new_edges.join(
         existing_edges.select(conv_col).distinct(), conv_col, "left_anti"
     )
+    if counters is not None:
+        n_incoming = new_edges.select(conv_col).distinct().count()
+        n_fresh = fresh.select(conv_col).distinct().count()
+        counters["dropped_conv_ids"] = n_incoming - n_fresh
+        counters["fresh_conv_ids"] = n_fresh
     edges = existing_edges.unionByName(fresh)
     return nodes_from_edges(edges), edges

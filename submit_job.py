@@ -34,6 +34,18 @@ def _read(spark, ident: str):
     return spark.table(ident)
 
 
+def _same_path(a: str, b: str) -> bool:
+    """True when two output identifiers resolve to the same location.
+    Scheme-qualified URIs (s3://, hdfs://) compare after trailing-slash
+    normalization; bare local paths additionally resolve symlinks."""
+    import os
+
+    a, b = a.rstrip("/"), b.rstrip("/")
+    if "://" in a or "://" in b:
+        return a == b
+    return os.path.realpath(a) == os.path.realpath(b)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--transcripts", required=True,
@@ -85,11 +97,21 @@ def main() -> None:
     dictionary = _read(spark, args.dictionary)
     res = run_pipeline(spark, transcripts, dictionary, config)
     out_nodes, out_edges = res.nodes, res.edges
+    merge_counters: dict = {}
     if args.merge_into:
-        from delm_spark.kg.update import merge_graph
+        from delm_spark.kg.update import merge_graph, nodes_from_edges
 
         existing = spark.read.parquet(f"{args.merge_into}/edges")
-        out_nodes, out_edges = merge_graph(existing, res.edges)
+        _, out_edges = merge_graph(existing, res.edges, counters=merge_counters)
+        if _same_path(args.merge_into, args.output):
+            # in-place incremental merge (the natural workflow): the merged
+            # plan still READS {output}/edges, so overwriting it would fail
+            # mid-write with Spark's cannot-overwrite-a-path-being-read-from
+            # error AFTER nodes/ was already replaced, leaving the KG dir
+            # inconsistent. Materialize the merged edges (cut lineage from
+            # the input files) before any overwrite of the directory.
+            out_edges = out_edges.localCheckpoint(eager=True)
+        out_nodes = nodes_from_edges(out_edges)
     # partitioned graph tables (north star): edges by predicate (bounded
     # cardinality -> per-relation partition pruning), nodes clustered by
     # entity_id (row-group min/max stats prune point lookups)
@@ -102,6 +124,11 @@ def main() -> None:
     n_nodes = spark.read.parquet(f"{args.output}/nodes").count()
     n_edges = spark.read.parquet(f"{args.output}/edges").count()
     out = {"nodes": n_nodes, "edges": n_edges, "output": args.output}
+    if args.merge_into:
+        # nonzero dropped_conv_ids on a feed believed conv-disjoint means
+        # upstream re-delivery or a conversation split across batches —
+        # surfaced so partial-overlap batches are detectable, not silent
+        out["merge"] = merge_counters
 
     if args.analytics:
         # day-after queries over the *written* canonical graph — one scan

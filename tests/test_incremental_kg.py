@@ -64,3 +64,87 @@ def test_nodes_from_edges_matches_pipeline_nodes(spark):
     full, _, _ = _split_corpus(spark)
     res = run_pipeline(spark, full, entity_dictionary(spark), PipelineConfig())
     assert _rows(nodes_from_edges(res.edges)) == _rows(res.nodes)
+
+
+def test_merge_counters_surface_partial_overlap(spark):
+    """ADVICE r4: partial-overlap batches must be detectable, not silent —
+    counters report how many incoming conversations the exactly-once
+    guard suppressed."""
+    _, b1, b2 = _split_corpus(spark)
+    d = entity_dictionary(spark)
+    cfg = PipelineConfig()
+    r1 = run_pipeline(spark, b1, d, cfg)
+    r2 = run_pipeline(spark, b2, d, cfg)
+    n1 = r1.edges.select("conv_id").distinct().count()
+    n2 = r2.edges.select("conv_id").distinct().count()
+    # disjoint merge: nothing dropped
+    c = {}
+    _, merged = merge_graph(r1.edges, r2.edges, counters=c)
+    assert c == {"dropped_conv_ids": 0, "fresh_conv_ids": n2}
+    # partial overlap (redeliver b2 plus b1's convs): b2's convs dropped
+    c2 = {}
+    both = r1.edges.unionByName(r2.edges)
+    merge_graph(merged, both, counters=c2)
+    assert c2 == {"dropped_conv_ids": n1 + n2, "fresh_conv_ids": 0}
+
+
+class TestStreamingKgMerge:
+    """Streaming x incremental composition (streaming/kg_stream.py):
+    foreachBatch drives the batch pipeline per micro-batch and appends
+    fresh conversations only."""
+
+    def _feed(self, spark, tmp_path, batches):
+        feed = str(tmp_path / "feed")
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(feed)
+        return feed
+
+    def test_two_microbatch_stream_equals_from_scratch(self, spark, tmp_path):
+        from delm_spark.streaming.kg_stream import (
+            read_streamed_graph,
+            run_streaming_kg_merge,
+        )
+        from delm_spark.streaming.stream import read_transcript_stream
+
+        full, b1, b2 = _split_corpus(spark)
+        d = entity_dictionary(spark)
+        cfg = PipelineConfig()
+        feed = self._feed(spark, tmp_path, [b1, b2])
+        stream = read_transcript_stream(spark, feed, max_files_per_trigger=1)
+        q = run_streaming_kg_merge(
+            stream, d, str(tmp_path / "kg"), str(tmp_path / "ckpt"), cfg
+        )
+        q.awaitTermination()
+        # >=2 micro-batches actually ran (one file per trigger)
+        assert q.lastProgress["batchId"] >= 1
+        nodes, edges = read_streamed_graph(spark, str(tmp_path / "kg"))
+        scratch = run_pipeline(spark, full, d, cfg)
+        cols = [f.name for f in edges.schema.fields]
+        assert _rows(edges.select(*cols)) == _rows(scratch.edges.select(*cols))
+        assert _rows(nodes) == _rows(scratch.nodes)
+
+    def test_redelivered_stream_appends_nothing(self, spark, tmp_path):
+        """Restarting the stream with a FRESH checkpoint over the same feed
+        (worst-case redelivery: every micro-batch replayed) appends zero
+        rows — exactly-once emerges from conv-granular idempotence."""
+        from delm_spark.streaming.kg_stream import (
+            read_streamed_graph,
+            run_streaming_kg_merge,
+        )
+        from delm_spark.streaming.stream import read_transcript_stream
+
+        _, b1, b2 = _split_corpus(spark)
+        d = entity_dictionary(spark)
+        cfg = PipelineConfig()
+        feed = self._feed(spark, tmp_path, [b1, b2])
+        for ckpt in ("ckpt_a", "ckpt_b"):
+            stream = read_transcript_stream(spark, feed, max_files_per_trigger=1)
+            q = run_streaming_kg_merge(
+                stream, d, str(tmp_path / "kg"), str(tmp_path / ckpt), cfg
+            )
+            q.awaitTermination()
+            if ckpt == "ckpt_a":
+                _, edges = read_streamed_graph(spark, str(tmp_path / "kg"))
+                first = _rows(edges)
+        _, edges = read_streamed_graph(spark, str(tmp_path / "kg"))
+        assert _rows(edges) == first
