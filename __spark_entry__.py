@@ -2251,9 +2251,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_docs": """
             WITH toks AS (
                 SELECT doc_id, lang = 'en' AS y,
-                       unnest(regexp_split_to_array(
-                           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
-                           ' ')) AS w
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(trim(regexp_replace(coalesce(text, ''),
+                                                     '\\s+', ' ', 'g'))),
+                           ' '), t -> t <> '')) AS w
                 FROM documents),
             feats AS (
                 SELECT doc_id, y,
@@ -2268,12 +2269,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM feats GROUP BY feature),
             scored AS (
                 SELECT f.doc_id, coalesce(wt.weight_micro, 0) AS wm
-                FROM feats f LEFT JOIN wt USING (feature))
-            SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
-                   SUM(wm)::BIGINT AS sum_weight_micro,
-                   CAST(SUM(wm)::BIGINT // COUNT(*)::BIGINT AS BIGINT)
-                       AS avg_weight_micro
-            FROM scored GROUP BY doc_id ORDER BY doc_id
+                FROM feats f LEFT JOIN wt USING (feature)),
+            agg AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                       SUM(wm)::BIGINT AS sum_weight_micro,
+                       CAST(SUM(wm)::BIGINT // COUNT(*)::BIGINT AS BIGINT)
+                           AS avg_weight_micro
+                FROM scored GROUP BY doc_id)
+            -- null-disposition contract: token-less docs (null/empty
+            -- text) emit an explicit zero row, mirroring explode_outer
+            SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.sum_weight_micro, 0) AS sum_weight_micro,
+                   coalesce(a.avg_weight_micro, 0) AS avg_weight_micro
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
         """,
         "shard_assign_docs": """
             SELECT doc_id, shard,

@@ -130,11 +130,19 @@ def main() -> None:
         "bm25_search_docs",
     ]
     qs = entry_mod.queries()
+    # best-of-2 per suite query (VERDICT r4 "What's wrong" #1): single-run
+    # timings on this VM carry >25% run-to-run spread, which made the
+    # round-over-round regression table noise-dominated; the second run
+    # also absorbs one-time costs (codegen/Janino compile, file-listing)
+    # that say nothing about the plan.
     for name in suite:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -260,8 +260,38 @@ def _extract_block_text(
     return "".join(out), current_cmap
 
 
+#: plane-15 Private Use Area base for Identity-H placeholder glyphs
+_PUA_BASE = 0xF0000
+#: PUA-A spans U+F0000..U+FFFFD — 65534 usable slots for 2-byte glyph ids
+_PUA_SLOTS = 0xFFFE
+
+
+class IdentityHGlyphs:
+    """Placeholder decoder for Type0 fonts with an Identity-H/V encoding
+    but NO ToUnicode CMap (VERDICT r4 Next-round #8): the show-string is
+    2-byte glyph ids whose Unicode meaning lives in font tables this
+    stdlib extractor does not parse. Decoding them latin-1 (the simple-
+    font fallback) would emit mojibake; instead each glyph id maps to a
+    deterministic plane-15 Private-Use character (U+F0000 + gid) — no
+    U+FFFD, no fake readable text, and identical glyph sequences still
+    hash/dedup/fingerprint identically. parse_pdf_quality counts these
+    placeholders to derive the decode_quality column downstream curation
+    gates on."""
+
+    code_len = 2
+    map = True  # truthy: callers treat any selected decoder as usable
+
+    def decode(self, bs: bytes) -> str:
+        return "".join(
+            chr(_PUA_BASE + (((bs[k] << 8) | bs[k + 1]) % _PUA_SLOTS))
+            for k in range(0, len(bs) - 1, 2)
+        )
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 _TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_IDENTITY_ENC_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
 _FONT_RES_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_RES_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+(\d+)\s+\d+\s+R")
@@ -309,6 +339,13 @@ def _font_cmaps(data: bytes) -> dict[bytes, ToUnicodeCMap]:
             continue
         ref = _TOUNICODE_REF_RE.search(font_body)
         if not ref:
+            # CMap-less CID fallback: an Identity-H/V Type0 font's codes
+            # are 2-byte glyph ids — decode to deterministic PUA
+            # placeholders instead of latin-1 mojibake (IdentityHGlyphs)
+            if _TYPE0_RE.search(font_body) and _IDENTITY_ENC_RE.search(
+                font_body
+            ):
+                fonts[name] = IdentityHGlyphs()
             continue
         cmap_body = objs.get(int(ref.group(1)))
         if cmap_body is None:
@@ -361,6 +398,32 @@ def parse_pdf_bytes(data: bytes) -> str:
     scan in file order — it keys on stream markers only, so it survives
     object-segmentation damage; payloads already evaluated via a page
     are skipped."""
+    return "\n".join(_parse_pdf_texts(data))
+
+
+def parse_pdf_quality(data: bytes) -> tuple[str, float]:
+    """(text, decode_quality): same extraction as parse_pdf_bytes plus
+    the fraction of non-whitespace glyphs decoded through a REAL mapping
+    (ToUnicode CMap or simple-font latin-1), taken as the MINIMUM over
+    text units so one undecodable page governs the flag. Identity-H
+    placeholder glyphs (IdentityHGlyphs, plane-15 PUA) are the
+    undecoded population; a fully digital-born file scores 1.0.
+    Downstream curation gates on this column instead of ingesting
+    placeholder runs as if they were prose."""
+    texts = _parse_pdf_texts(data)
+    quality = 1.0
+    for t in texts:
+        glyphs = [c for c in t if not c.isspace()]
+        if not glyphs:
+            continue
+        bad = sum(
+            1 for c in glyphs if _PUA_BASE <= ord(c) < _PUA_BASE + _PUA_SLOTS
+        )
+        quality = min(quality, 1.0 - bad / len(glyphs))
+    return "\n".join(texts), quality
+
+
+def _parse_pdf_texts(data: bytes) -> list[str]:
     fonts = _font_cmaps(data)
     objs_in_order = [
         (int(m.group(1)), m.group(2)) for m in _OBJ_RE.finditer(data)
@@ -410,7 +473,7 @@ def parse_pdf_bytes(data: bytes) -> str:
         if b"BT" not in payload or payload in consumed:
             continue
         _extract_content_text(payload, fonts, texts)
-    return "\n".join(texts)
+    return texts
 
 
 def pdf_decode_udf():
@@ -428,9 +491,44 @@ def pdf_decode_udf():
 
 
 def load_pdf(spark, path: str):
-    """S4: PDFs -> (delm_file_name, delm_raw_data), text layer decoded on
-    executors. Scanned/image PDFs need an OCR decode_udf via
+    """S4: PDFs -> (delm_file_name, delm_raw_data, decode_quality), text
+    layer decoded on executors. decode_quality is the min-over-pages
+    fraction of glyphs decoded through a real mapping (parse_pdf_quality)
+    — CMap-less Identity-H runs surface as quality < 1 instead of
+    mojibake. Scanned/image PDFs need an OCR decode_udf via
     load_binary_with_udf (reference marker path, data_loaders.py:195-224)."""
-    from delm_spark.io.loaders import load_binary_with_udf
+    from pyspark.sql import functions as F
 
-    return load_binary_with_udf(spark, path, decode_udf=pdf_decode_udf())
+    from delm_spark.constants import FILE_NAME_COL, RAW_DATA_COL
+
+    def _decode(it):
+        import pandas as pd
+
+        for pdf in it:
+            texts, quals = [], []
+            for b in pdf["content"]:
+                if b is None:
+                    texts.append(None)
+                    quals.append(None)
+                else:
+                    t, q = parse_pdf_quality(bytes(b))
+                    texts.append(t)
+                    quals.append(q)
+            yield pd.DataFrame(
+                {
+                    FILE_NAME_COL: pdf[FILE_NAME_COL],
+                    RAW_DATA_COL: texts,
+                    "decode_quality": quals,
+                }
+            )
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("path").alias(FILE_NAME_COL), F.col("content"))
+    )
+    return df.mapInPandas(
+        _decode,
+        schema=f"{FILE_NAME_COL} string, {RAW_DATA_COL} string, "
+        "decode_quality double",
+    )

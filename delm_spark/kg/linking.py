@@ -55,6 +55,66 @@ def surface_embedding(col: Column, dim: int = 64) -> Column:
     )
 
 
+def _trigram_buckets(surface: str, dim: int, cache: dict) -> list:
+    """Python twin of surface_embedding's trigram bucketing for ONE
+    already-normalized surface: padded '^s$', windows substr(i, 3) for
+    i in 1..max(len-2, 1) (the tail window of a length-2 padded string is
+    the whole 2-char string, matching Spark substr semantics), bucket =
+    int(md5(utf8)[:4], 16) % dim. `cache` memoizes trigram -> bucket —
+    trigram diversity is alphabet-bounded, so the md5 cost amortizes to
+    ~zero across a batch."""
+    import hashlib
+
+    padded = "^" + surface + "$"
+    out = []
+    for i in range(max(len(padded) - 2, 1)):
+        t = padded[i : i + 3]
+        b = cache.get(t)
+        if b is None:
+            b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:4], 16) % dim
+            cache[t] = b
+        out.append(b)
+    return out
+
+
+def surface_embeddings_fast(
+    df: DataFrame, surface_col: str, out_col: str, dim: int = 64
+) -> DataFrame:
+    """Arrow-batched numpy twin of `surface_embedding` — identical
+    integer-count vectors (pytest-pinned, tests/test_round5_fixes.py),
+    ~30x the throughput: the native column expression is a nested
+    higher-order function that evaluates INTERPRETED (~130 us/surface),
+    which dominated the linking bench's wall at 100k surfaces.
+    Normalization replicates normalize_mention exactly: ASCII-\\s+
+    collapse (Java regex \\s is ASCII-only), space-only trim (Spark trim
+    strips ' ' only), then lowercase."""
+    import re
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    ws = re.compile(r"\s+", re.ASCII)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def gen(batches):
+        cache: dict = {}
+        for pdf in batches:
+            vecs = []
+            for s in pdf[surface_col]:
+                norm = ws.sub(" ", s).strip(" ").lower()
+                v = np.zeros(dim)
+                for b in _trigram_buckets(norm, dim, cache):
+                    v[b] += 1.0
+                vecs.append(v)
+            out = pdf.copy()
+            out[out_col] = vecs
+            yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def embedding_link_candidates(
     mentions: DataFrame,
     dictionary: DataFrame,
@@ -89,7 +149,7 @@ def embedding_link_candidates(
     """
     from pyspark.sql import Window
 
-    from delm_spark.operators.similarity import _probe_masks, cosine, lsh_bucket
+    from delm_spark.operators.similarity import _probe_masks, lsh_bucket
 
     def band_buckets(vec: Column) -> Column:
         return F.array(
@@ -111,10 +171,14 @@ def embedding_link_candidates(
     # single-threaded. Explicit repartitions are AQE-exempt.
     width = mentions.sparkSession.sparkContext.defaultParallelism
     m = (
-        mentions.select(F.col(surface_col).alias("surface"))
-        .dropDuplicates(["surface"])
-        .repartition(width)
-        .withColumn("__me", surface_embedding(F.col("surface"), dim))
+        surface_embeddings_fast(
+            mentions.select(F.col(surface_col).alias("surface"))
+            .dropDuplicates(["surface"])
+            .repartition(width),
+            "surface",
+            "__me",
+            dim,
+        )
         .localCheckpoint(eager=True)
     )
     m_b = m.select(
@@ -123,18 +187,21 @@ def embedding_link_candidates(
         F.posexplode(band_buckets(F.col("__me"))).alias("__band", "__bkt"),
     )
     d = (
-        dictionary.select("surface", "canonical_id")
-        # deterministic on duplicate surfaces: smallest canonical id wins
-        .groupBy("surface")
-        .agg(F.min("canonical_id").alias("canonical_id"))
-        .withColumn("__de", surface_embedding(F.col("surface"), dim))
+        surface_embeddings_fast(
+            dictionary.select("surface", "canonical_id")
+            # deterministic on duplicate surfaces: smallest canonical id wins
+            .groupBy("surface")
+            .agg(F.min("canonical_id").alias("canonical_id")),
+            "surface",
+            "__de",
+            dim,
+        )
         .localCheckpoint(eager=True)
         .select(F.col("surface").alias("__dsurf"), "canonical_id", "__de")
     )
     masks = _probe_masks(n_planes, probe_radius)
-    d_b = F.broadcast(
+    d_b = (
         d.select(
-            "__dsurf",
             "canonical_id",
             "__de",
             F.posexplode(band_buckets(F.col("__de"))).alias("__band", "__b0"),
@@ -147,24 +214,21 @@ def embedding_link_candidates(
         )
         .drop("__b0")
     )
-    cand = m_b.join(d_b, ["__band", "__bkt"])
-    # A pair matching in several bands is scored once per match rather
-    # than deduped first: a pre-score dropDuplicates would shuffle the
-    # WIDE rows (two dim-sized arrays each), while duplicate matches are
-    # rare (most near pairs agree in one band) and the post-score argmax
-    # window — which shuffles only (surface, id, score) — absorbs them.
-    # Arrow-vectorized scoring: candidate volume is mentions x bucket
-    # load, and the interpreted HOF cosine dominates wall at millions of
-    # pairs; for integer trigram embeddings the numpy result is
-    # bit-identical (exact float64 integer arithmetic).
-    from delm_spark.operators.similarity import cosine_pandas_udf
-
-    _cos = cosine_pandas_udf()
-    scored = cand.select(
-        "surface",
-        "canonical_id",
-        _cos(F.col("__me"), F.col("__de")).alias("link_score"),
-    )
+    # Grouped bucket scoring (cogroup + one numpy matmul per bucket)
+    # instead of join-then-per-pair-cosine: the join shape materialized
+    # every candidate PAIR as a Spark row carrying BOTH dim-wide arrays
+    # (~1 KB/pair crossing Arrow twice), and np.stack ran once per pair
+    # row. Here each side's vectors cross into Python ONCE per bucket,
+    # the m x d score block is one BLAS matmul, and only the per-surface
+    # bucket-local argmax (3 narrow columns) comes back — the global
+    # argmax of bucket argmaxes equals the argmax over all pairs because
+    # (score desc, canonical_id asc) is a total order. Identical scores:
+    # trigram embeddings are integer-valued, so dots and squared norms
+    # are exact in float64 under ANY summation order (matmul == einsum
+    # == interpreted fold), and the tie-break is reproduced exactly by
+    # pre-sorting each bucket's candidates on canonical_id and taking
+    # the FIRST maximum.
+    scored = _cogroup_bucket_argmax(m_b, d_b)
     w = Window.partitionBy("surface").orderBy(
         F.desc("link_score"), F.asc("canonical_id")
     )
@@ -172,6 +236,66 @@ def embedding_link_candidates(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col("link_score") >= threshold))
         .drop("__rn")
+    )
+
+
+#: mention rows per matmul block inside the bucket kernel — bounds the
+#: score block at MENTION_BLOCK x bucket_load floats no matter how hot a
+#: bucket gets (a skewed 50k x 50k bucket would otherwise be a 20 GB
+#: dense matrix in one task)
+_MENTION_BLOCK = 2048
+
+
+def _cogroup_bucket_argmax(m_b: DataFrame, d_b: DataFrame) -> DataFrame:
+    """Per-(band, bucket) grouped scoring kernel: cogroup the mention and
+    dictionary probe frames, stack each side's embeddings once, score
+    with a blocked numpy matmul, and emit ONE row per mention surface —
+    its bucket-local best candidate under (score desc, canonical_id asc).
+
+    Scale shape: both sides shuffle once on the bounded (band, bucket)
+    key — no broadcast requirement, so the same plan runs unchanged when
+    the dictionary outgrows a broadcast; per-task memory is bounded by
+    bucket load x dim + the _MENTION_BLOCK-row score block."""
+    import numpy as np
+    import pandas as pd
+
+    def score(key, mpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"surface": [], "canonical_id": [], "link_score": []}
+        ).astype({"surface": "object", "canonical_id": "object"})
+        if len(mpdf) == 0 or len(dpdf) == 0:
+            return empty
+        # candidates sorted on canonical_id so np.argmax's first-True
+        # semantics IS the smallest-canonical-id tie-break
+        dpdf = dpdf.sort_values("canonical_id", kind="mergesort")
+        D = np.stack(dpdf["__de"].to_numpy()).astype(np.float64)
+        cids = dpdf["canonical_id"].to_numpy()
+        dn = np.sqrt(np.einsum("ij,ij->i", D, D))
+        surfaces, bests, scores = [], [], []
+        for lo in range(0, len(mpdf), _MENTION_BLOCK):
+            blk = mpdf.iloc[lo : lo + _MENTION_BLOCK]
+            M = np.stack(blk["__me"].to_numpy()).astype(np.float64)
+            mn = np.sqrt(np.einsum("ij,ij->i", M, M))
+            S = (M @ D.T) / np.maximum(np.outer(mn, dn), 1e-12)
+            mx = S.max(axis=1)
+            j = np.argmax(S == mx[:, None], axis=1)
+            surfaces.append(blk["surface"].to_numpy())
+            bests.append(cids[j])
+            scores.append(mx)
+        return pd.DataFrame(
+            {
+                "surface": np.concatenate(surfaces),
+                "canonical_id": np.concatenate(bests),
+                "link_score": np.concatenate(scores),
+            }
+        )
+
+    return (
+        m_b.groupBy("__band", "__bkt")
+        .cogroup(d_b.groupBy("__band", "__bkt"))
+        .applyInPandas(
+            score, "surface string, canonical_id string, link_score double"
+        )
     )
 
 

@@ -341,6 +341,17 @@ def hashed_features(col: Column, dim: int) -> Column:
     return hash_bucket(col, dim)
 
 
+def _nonempty_tokens(text_col: str):
+    """Normalized whitespace tokens of a document, null-safe: null text
+    coalesces to '' and empty tokens are filtered, so neither a null doc
+    nor an empty one contributes a phantom '' feature (training) or a
+    phantom token count (scoring)."""
+    return F.filter(
+        F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+
+
 def nb_logodds_weights(
     df: DataFrame,
     label_col: Column,
@@ -361,7 +372,7 @@ def nb_logodds_weights(
     """
     tokens = df.select(
         label_col.cast("boolean").alias("__y"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+        F.explode(_nonempty_tokens(text_col)).alias("w"),
     )
     return (
         tokens.select(hashed_features(F.col("w"), dim).alias("feature"), "__y")
@@ -394,20 +405,33 @@ def hashed_linear_score(
     Plan shape: explode -> broadcast join against the model (dim rows)
     -> one groupBy(doc). No corpus shuffle besides the per-doc
     aggregation; at 100 TB the model rides the broadcast, the token
-    stream never leaves its map task until the final combine."""
+    stream never leaves its map task until the final combine.
+
+    Null-disposition contract (ADVICE r4): EVERY input doc gets exactly
+    one output row — null or empty text scores (n_tokens=0, sums=0)
+    rather than vanishing (explode of a null array) or scoring a phantom
+    '' token (split of ''). explode_outer keeps token-less docs as one
+    null-token row that counts 0 and sums 0."""
     tokens = df.select(
+        F.col(id_col), F.explode_outer(_nonempty_tokens(text_col)).alias("__w")
+    ).select(
         F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__w"),
-    ).select(F.col(id_col), hashed_features(F.col("__w"), dim).alias("feature"))
+        "__w",
+        F.when(
+            F.col("__w").isNotNull(), hashed_features(F.col("__w"), dim)
+        ).alias("feature"),
+    )
     return (
         tokens.join(F.broadcast(weights), "feature", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("__w").alias("n_tokens"),
             F.sum(F.coalesce(F.col("weight_micro"), F.lit(0)))
             .cast("long")
             .alias("sum_weight_micro"),
-            F.expr("sum(coalesce(weight_micro, 0)) div count(1)")
+            F.expr(
+                "sum(coalesce(weight_micro, 0)) div greatest(count(__w), 1)"
+            )
             .cast("long")
             .alias("avg_weight_micro"),
         )

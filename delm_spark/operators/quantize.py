@@ -157,9 +157,16 @@ def pq_topk(
     """PQ-ADC approximate top-k with exact re-rank.
 
     Per query: build the m x k_codes distance table against the
-    broadcast codebooks; ADC distance to a vector = integer sum of its m
-    table entries (ONE groupBy over the encoded join); keep the
-    refine*k closest by (adc, vec_id); exact-cosine re-rank only those.
+    broadcast codebooks, FLATTENED to one array<long> per query
+    (dtab[subspace * k_codes + code]); the encoded table is pivoted to
+    one row per vector (array of its m codes), so ADC distance is a
+    native m-lookup fold over the broadcast table — no per-(vector,
+    subspace) join rows and NO groupBy re-aggregation (the r4 shape
+    joined encoded x qtable into m * n_vectors * n_queries intermediate
+    rows and shuffled them; this computes the identical integer sum
+    inside one codegen stage and ships only (query_id, vec_id, adc) into
+    the WindowGroupLimit top-C). Keep the refine*k closest by
+    (adc, vec_id); exact-cosine re-rank only those.
     Returns (query_id, vec_id, rank) — rank 1..k by (cosine desc,
     vec_id asc), the same output contract as ivf_topk/lsh_topk.
     """
@@ -171,24 +178,70 @@ def pq_topk(
         if codebooks is not None
         else pq_codebooks(embeddings, m, k_codes, id_col, vec_col, dim)
     )
-    enc_fn = pq_encode_fast if fast_encode else pq_encode
-    encoded = enc_fn(embeddings, books, m, id_col, vec_col, dim)
+    if fast_encode:
+        packed = pq_encode_fast(
+            embeddings, books, m, id_col, vec_col, dim, packed=True
+        )
+    else:
+        # pivot the oracle-path encode to one row per vector; array_sort
+        # on (subspace, code) structs puts code j at position j
+        packed = (
+            pq_encode(embeddings, books, m, id_col, vec_col, dim)
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))).alias(
+                    "__sc"
+                )
+            )
+            .select(
+                id_col, F.transform("__sc", lambda s: s["code"]).alias("__codes")
+            )
+        )
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    qtable = qs.crossJoin(F.broadcast(books)).select(
-        "query_id",
-        "subspace",
-        F.col("code_id").alias("code"),
-        _l2sq_fx(_subvec(F.col("__qv"), F.col("subspace"), d_sub), F.col("codevec")).alias(
-            "__d"
-        ),
+    # per-query flattened ADC table: entry (subspace, code) at index
+    # subspace * k_codes + code — n_queries x (m * k_codes) longs, always
+    # broadcast-sized
+    qtab = (
+        qs.crossJoin(F.broadcast(books))
+        .select(
+            "query_id",
+            "__qv",
+            F.struct(
+                "subspace",
+                "code_id",
+                _l2sq_fx(
+                    _subvec(F.col("__qv"), F.col("subspace"), d_sub),
+                    F.col("codevec"),
+                ).alias("__d"),
+            ).alias("__e"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.array_sort(F.collect_list("__e")).alias("__ents"),
+            F.first("__qv").alias("__qv"),
+        )
+        .select(
+            "query_id",
+            "__qv",
+            F.transform("__ents", lambda e: e["__d"]).alias("__dtab"),
+        )
     )
-    adc = (
-        encoded.join(F.broadcast(qtable), ["subspace", "code"])
-        .groupBy("query_id", id_col)
-        .agg(F.sum("__d").alias("__adc"))
-    )
+    # the m-lookup fold is UNROLLED (m is a plan-time constant): element_at
+    # + getItem are whole-stage-codegen expressions, whereas an
+    # F.aggregate/F.transform HOF pair is CodegenFallback — interpreted
+    # per row, which at n_vectors x n_queries rows would give back most of
+    # the join-shape win
+    adc_expr = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("__dtab"), F.col("__codes").getItem(j) + j * k_codes + 1
+        )
+        adc_expr = term if adc_expr is None else adc_expr + term
+    adc = packed.join(
+        F.broadcast(qtab.select("query_id", "__dtab")), how="cross"
+    ).select("query_id", id_col, adc_expr.cast("long").alias("__adc"))
     wc = Window.partitionBy("query_id").orderBy(F.asc("__adc"), F.asc(id_col))
     cands = (
         adc.withColumn("__r", F.row_number().over(wc))
@@ -221,6 +274,7 @@ def pq_encode_fast(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    packed: bool = False,
 ) -> DataFrame:
     """Arrow-batched numpy twin of pq_encode — the production encode
     path. Dense distance math is exactly where catalyst higher-order
@@ -228,9 +282,12 @@ def pq_encode_fast(
     (batch x k) matmul per subspace vs per-row array folds), the same
     trade the extraction stage makes. Output is IDENTICAL to pq_encode
     (pytest-pinned): the per-dimension squared-difference sum runs in
-    ascending index order in both (numpy's pairwise summation is
-    sequential below its 128-element blocksize), and ties break to the
-    smallest code_id (np.argmin first-occurrence == min(struct)).
+    ascending index order in both — an EXPLICIT sequential accumulation
+    over the d_sub columns, matching the catalyst fold term-for-term
+    (numpy's axis-reductions switch to an 8-accumulator tree for n >= 8,
+    which differs from a sequential fold in the last ulp and can flip a
+    rounded nano-unit at production d_sub=8; ADVICE r4) — and ties break
+    to the smallest code_id (np.argmin first-occurrence == min(struct)).
 
     The codebook (m*k rows) is collected driver-side and closure-
     broadcast — it is bounded by construction, never data-sized."""
@@ -255,40 +312,58 @@ def pq_encode_fast(
             for j in range(m):
                 sv = v[:, j * d_sub : (j + 1) * d_sub]
                 # (batch, k) distances with the SAME arithmetic as the
-                # slow path — per-dimension squared diffs summed in index
-                # order, then the nano-unit rounding — so the argmin
-                # (first occurrence == smallest code_id on ties) is
-                # bit-identical; the expanded-matmul form would differ in
-                # the last ulp and occasionally flip a rounded tie
+                # slow path — per-dimension squared diffs accumulated by
+                # an explicit loop in ascending index order (the catalyst
+                # F.aggregate fold is ((0+x0)+x1)+...; ndarray.sum would
+                # use numpy's 8-accumulator tree for d_sub >= 8 and
+                # differ in the last ulp ~half the time), then the
+                # nano-unit rounding — so the argmin (first occurrence ==
+                # smallest code_id on ties) is bit-identical
+                def _seq_l2(c):
+                    diff = sv - books[j][c][None, :]
+                    acc = np.zeros(len(sv), dtype="float64")
+                    for i in range(d_sub):
+                        acc = acc + diff[:, i] * diff[:, i]
+                    return acc
+
                 d_fx = np.floor(
-                    np.stack(
-                        [
-                            ((sv - books[j][c][None, :]) ** 2).sum(axis=1)
-                            for c in range(k)
-                        ],
-                        axis=1,
-                    )
-                    * 1e9
+                    np.stack([_seq_l2(c) for c in range(k)], axis=1) * 1e9
                     # floor(x + 0.5) == HALF_UP for the non-negative d2,
                     # matching Spark F.round and DuckDB round(); np.round
                     # is half-to-EVEN and would flip exact-.5 nano-units
                     + 0.5
                 )
                 codes = np.argmin(d_fx, axis=1)
+                if packed:
+                    out_code.append(codes.astype("int32"))
+                    continue
                 out_ids.append(ids)
                 out_sub.append(np.full(len(ids), j, dtype="int32"))
                 out_code.append(codes.astype("int32"))
-            yield pd.DataFrame(
-                {
-                    id_col: np.concatenate(out_ids),
-                    "subspace": np.concatenate(out_sub),
-                    "code": np.concatenate(out_code),
-                }
-            )
+            if packed:
+                # one row per vector, codes[j] = subspace j's code — the
+                # zero-shuffle input shape of pq_topk's native ADC fold
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "__codes": list(np.stack(out_code, axis=1)),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_ids),
+                        "subspace": np.concatenate(out_sub),
+                        "code": np.concatenate(out_code),
+                    }
+                )
 
-    return embeddings.mapInPandas(
-        enc, schema=f"{id_col} long, subspace int, code int"
+    schema = (
+        f"{id_col} long, __codes array<int>"
+        if packed
+        else f"{id_col} long, subspace int, code int"
     )
+    return embeddings.mapInPandas(enc, schema=schema)
 
 
 def pq_train(

@@ -450,3 +450,47 @@ def test_contents_ref_to_array_object_keeps_font_state():
     ]
     text = parse_pdf_bytes(_assemble_pdf(objs))
     assert text.split("\n") == ["H", "l"]
+
+
+def test_identity_h_without_tounicode_placeholders_and_quality(spark, tmp_path):
+    """VERDICT r4 #8: a Type0/Identity-H font with NO ToUnicode CMap must
+    not decode its 2-byte glyph ids as latin-1 mojibake — each glyph maps
+    to a deterministic plane-15 PUA placeholder, and the per-file
+    decode_quality column (min over text units) flags the page so
+    curation can gate on it."""
+    from delm_spark.io.pdf import parse_pdf_bytes, parse_pdf_quality
+
+    content = b"BT /F1 12 Tf <00410042> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /NotoSans "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 >>",
+    ]
+    pdf = _assemble_pdf(objs)
+    text, quality = parse_pdf_quality(pdf)
+    # glyph ids 0x0041, 0x0042 -> U+F0041, U+F0042: placeholders, not 'A'/'B'
+    assert chr(0xF0041) in text and chr(0xF0042) in text
+    assert "A" not in text and "B" not in text and "�" not in text
+    assert quality == 0.0  # every glyph on the page is a placeholder
+    assert parse_pdf_bytes(pdf) == text  # same text layer either way
+    # a digital-born file scores 1.0
+    _, q_clean = parse_pdf_quality(_minimal_pdf(PDF_CONTENT, compress=True))
+    assert q_clean == 1.0
+    # the Spark loader surfaces the column per file
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "cid.pdf").write_bytes(pdf)
+    (d / "clean.pdf").write_bytes(_minimal_pdf(PDF_CONTENT))
+    from delm_spark.io.pdf import load_pdf
+
+    rows = {
+        r["delm_file_name"].split("/")[-1]: r["decode_quality"]
+        for r in load_pdf(spark, str(d)).collect()
+    }
+    assert rows == {"cid.pdf": 0.0, "clean.pdf": 1.0}

@@ -177,6 +177,52 @@ def test_pq_encode_fast_identical_to_catalyst(spark):
     assert slow == fast
 
 
+def test_pq_encode_fast_identical_at_production_d_sub(spark):
+    """ADVICE r4: at the production defaults (dim=64, m=8 -> d_sub=8)
+    numpy's axis-sum switches to its 8-accumulator tree, which diverges
+    from a sequential fold in the last ulp — the kernel must accumulate
+    per-dimension diffs in explicit index order. Pin bit-identity at
+    d_sub=8, where the old arithmetic could flip a rounded nano-unit."""
+    from delm_spark.operators.quantize import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_fast,
+    )
+
+    emb = _pq_vecs(spark, n=200, dim=64)
+    books = pq_codebooks(emb, m=8, k=16, dim=64)
+    slow = sorted(map(tuple, pq_encode(emb, books, m=8, dim=64).collect()))
+    fast = sorted(map(tuple, pq_encode_fast(emb, books, m=8, dim=64).collect()))
+    assert slow == fast
+
+
+def test_pq_encode_fast_packed_matches_unpacked(spark):
+    from delm_spark.operators.quantize import pq_codebooks, pq_encode_fast
+
+    emb = _pq_vecs(spark, n=150, dim=64)
+    books = pq_codebooks(emb, m=8, k=16, dim=64)
+    flat = pq_encode_fast(emb, books, m=8, dim=64).collect()
+    want = {}
+    for r in flat:
+        want.setdefault(r["vec_id"], [0] * 8)[r["subspace"]] = r["code"]
+    packed = pq_encode_fast(emb, books, m=8, dim=64, packed=True).collect()
+    got = {r["vec_id"]: list(r["__codes"]) for r in packed}
+    assert got == want
+
+
+def test_pq_topk_fast_encode_matches_catalyst_path(spark):
+    """The packed/native-ADC query path (fast_encode=True) must return
+    the same ranks as the catalyst encode + pivot path."""
+    from delm_spark.operators.quantize import pq_topk
+
+    emb = _pq_vecs(spark, n=200, dim=64)
+    qs = emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    slow = pq_topk(emb, qs, m=8, k_codes=16, k=5, refine=4, dim=64)
+    fast = pq_topk(emb, qs, m=8, k_codes=16, k=5, refine=4, dim=64,
+                   fast_encode=True)
+    assert sorted(map(tuple, slow.collect())) == sorted(map(tuple, fast.collect()))
+
+
 def test_pq_train_refines_and_stays_broadcast_sized(spark):
     from delm_spark.operators.quantize import pq_codebooks, pq_train
 
