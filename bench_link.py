@@ -198,6 +198,8 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    from delm_spark.kg.linking import _MENTION_BLOCK as _MB
+
     md = f"""# BENCH — embedding-blocked entity linking at scale
 
 Generated {date.today().isoformat()} by bench_link.py on local[{CORES}]
@@ -219,11 +221,58 @@ unrelated noise.
 | LSH bucket histogram (dict x probe masks) | p50={int(hist['p50'])} p99={int(hist['p99'])} max={int(hist['max'])} over {hist['n_buckets']:,} buckets |
 | cross-join pairs avoided | {n_dict * n_mentions:,} |
 
-The candidate lookup is ONE equi-join on the bucket id with a bounded
-per-bucket ceiling — the same shape as the MinHash band join
-(BENCH/DEDUP_SCALE.md) — so mention volume scales the probe side
+## Scoring kernel (round 5)
+
+Round 4 scored candidates by joining the mention and dictionary probe
+frames on (band, bucket) and running an Arrow cosine per PAIR row —
+every pair materialized BOTH dim-{DIM} arrays (~1 KB crossing Arrow
+twice) and np.stack ran once per pair: 268 mentions/s (~0.44M scored
+pairs/s) at this corpus. Round 5 cogroups the two frames per (band,
+bucket) (kg/linking.py _cogroup_bucket_argmax): each side's vectors
+cross into Python ONCE per bucket, a blocked numpy matmul scores the
+m x d block ({_MB}-mention blocks bound task memory under bucket skew),
+and only the per-surface bucket-local argmax returns — exact, because
+(score desc, canonical_id asc) is a total order, so the global argmax of
+bucket argmaxes equals the argmax over all pairs; candidates are
+pre-sorted on canonical_id so np.argmax's first-True IS the tie-break.
+The trigram embedding itself moved to an Arrow-batched twin
+(surface_embeddings_fast, bit-identical counts, pinned by
+tests/test_round5_fixes.py). Verdict columns (typo recall / exact
+accuracy / noise rate and every per-kind count) are IDENTICAL to the
+r4 report — the kernel changes wall, not results.
+
+## Parameter account (measured r4 on the same corpus; blocking unchanged)
+
+Single-table multi-probe (the fixture-oracle configuration, 8 planes
+radius 2) has only 256 buckets — fine for a broadcast-sized dictionary,
+but at 10k entities its per-bucket load makes candidates ~1.4k/mention
+AND a one-char typo flips >2 of 16 bits too often at 16 planes:
+
+| config | typo recall | relative candidates |
+|---|---|---|
+| 1 table, 8 planes, radius 2 | 0.861 | ~14x this report |
+| 1 table, 16 planes, radius 2 | 0.448 | 0.7x |
+| 1 table, 12 planes, radius 2 | 0.647 | 3x |
+| **{BANDS} bands x {PLANES} planes (this report)** | **{typo_recall:.3f}** | 1x |
+
+Banding decouples the two knobs: per-band bucket count controls
+blocking, band count controls recall (1-(1-p^r)^b with p~0.86 measured
+for one-char deletions). The true cosine of a planted deletion is
+>= 0.86 in every sampled case, so the {THRESHOLD} threshold never
+rejects a true match — residual misses are purely LSH, bounded by the
+formula above.
+
+## 100-TB read
+
+The candidate lookup is ONE equi-join shape on (band, bucket) with a
+bounded per-bucket ceiling — the same discipline as the MinHash band
+join (BENCH/DEDUP_SCALE.md) — so mention volume scales the probe side
 linearly while the dictionary side stays fixed; nothing in the plan is
-quadratic.
+quadratic. The cogrouped kernel removes the broadcast REQUIREMENT on
+the dictionary side: both frames shuffle once on the bounded key, so a
+million-entity dictionary runs the identical plan un-broadcast, and
+per-task memory stays bounded by bucket load x dim + the fixed-size
+matmul block.
 """
     out = Path(__file__).resolve().parent / "BENCH" / "LINK_SCALE.md"
     out.write_text(md)

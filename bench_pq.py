@@ -60,14 +60,27 @@ def make_vecs(spark):
     )
 
 
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_PQ_ATTEMPTS", "3"))
+
+
 def _timed(fn):
-    s0, t0c = steal_counters()
-    t0 = time.perf_counter()
-    out = fn()
-    wall = round(time.perf_counter() - t0, 1)
-    s1, t1c = steal_counters()
-    steal = round((s1 - s0) / max(t1c - t0c, 1) * 100, 1)
-    return out, wall, steal
+    """Run a phase steal-gated, retrying up to MAX_ATTEMPTS when the VM
+    was contended during its window (host steal fluctuates minute to
+    minute; a several-minute train phase often straddles a spike). The
+    LOWEST-steal attempt is kept — never silently the last."""
+    best = None
+    for _ in range(MAX_ATTEMPTS):
+        s0, t0c = steal_counters()
+        t0 = time.perf_counter()
+        out = fn()
+        wall = round(time.perf_counter() - t0, 1)
+        s1, t1c = steal_counters()
+        steal = round((s1 - s0) / max(t1c - t0c, 1) * 100, 1)
+        if best is None or steal < best[2]:
+            best = (out, wall, steal)
+        if steal <= STEAL_MAX:
+            break
+    return best
 
 
 def main() -> None:
@@ -99,20 +112,23 @@ def main() -> None:
 
     books, train_wall, train_steal = _timed(train)
 
-    # --- encode ------------------------------------------------------------
+    # --- encode (ingest-time, once) ------------------------------------------
+    # the persisted PACKED table (one row per vector, m codes) is what
+    # queries scan — encode cost is ingest, not query
     def encode():
-        enc = pq_encode_fast(emb, books, M, dim=DIM)
+        enc = pq_encode_fast(emb, books, M, dim=DIM, packed=True)
         enc.write.mode("overwrite").parquet("/tmp/delm_pq_encoded")
         return spark.read.parquet("/tmp/delm_pq_encoded").count()
 
     n_enc, enc_wall, enc_steal = _timed(encode)
-    assert n_enc == N_VECS * M, n_enc
+    assert n_enc == N_VECS, n_enc
+    enc_table = spark.read.parquet("/tmp/delm_pq_encoded")
 
-    # --- PQ query (trained books) --------------------------------------------
+    # --- PQ query (trained books, precomputed codes) --------------------------
     def pq_query():
         return pq_topk(
             emb, queries, m=M, k_codes=K_CODES, k=TOPK, refine=REFINE,
-            dim=DIM, fast_encode=True, codebooks=books,
+            dim=DIM, codebooks=books, encoded_packed=enc_table,
         ).collect()
 
     pq_rows, pq_wall, pq_steal = _timed(pq_query)
@@ -183,6 +199,7 @@ def main() -> None:
         "recall_at_10_untrained": round(recall_raw, 4),
         "self_hit_rate": round(self_rate, 2),
         "compression_x": round(raw_bytes / pq_bytes, 1),
+        "pq_speedup_vs_bf_x": round(bf_wall / pq_wall, 2),
     }
     md = f"""# BENCH — PQ-ADC ANN at 1M vectors
 
@@ -193,9 +210,19 @@ Generated {date.today().isoformat()} by bench_pq.py on local[{CORES}]
 | phase | wall s | steal % | note |
 |---|---|---|---|
 | train (3 Lloyd iters) | {train_wall} | {train_steal} | assignment = fast encode, update = one groupBy mean per iter |
-| encode {N_VECS:,} vecs | {enc_wall} | {enc_steal} | {out['encode_vecs_per_sec']:,} vecs/s, one map pass + one groupBy |
-| PQ query ({N_QUERIES} queries) | {pq_wall} | {pq_steal} | integer ADC sum + {REFINE * TOPK}-candidate exact re-rank |
+| encode {N_VECS:,} vecs (INGEST, once) | {enc_wall} | {enc_steal} | {out['encode_vecs_per_sec']:,} vecs/s, packed one-row-per-vector table persisted |
+| PQ query ({N_QUERIES} queries, scans codes table) | {pq_wall} | {pq_steal} | unrolled native ADC fold over the broadcast dtab + {REFINE * TOPK}-candidate exact re-rank; {out['pq_speedup_vs_bf_x']}x faster than brute force |
 | brute force (ground truth) | {bf_wall} | {bf_steal} | {N_QUERIES} x {N_VECS:,} exact cosines |
+
+Round-5 query shape (VERDICT r4 Performance #3): the r4 plan joined the
+m-rows-per-vector encode against a per-(query, subspace, code) table and
+re-aggregated m x n_vec x n_q rows through a groupBy (83 s, only 1.36x
+over brute force). Now the codes table holds ONE row per vector
+(array of m codes), each query's ADC table flattens to a broadcast
+array<long>, and the distance is an UNROLLED element_at fold inside one
+whole-stage-codegen stage — no intermediate pair rows, no groupBy; the
+only shuffle left is the WindowGroupLimit top-C. Encode moved to ingest
+where it belongs (the persisted packed table IS the production artifact).
 
 | metric | value |
 |---|---|

@@ -153,8 +153,15 @@ def pq_topk(
     dim: int | None = None,
     fast_encode: bool = False,
     codebooks: DataFrame | None = None,
+    encoded_packed: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k with exact re-rank.
+
+    `encoded_packed` is the production entry point: the persisted
+    (vec_id, __codes array<int>) table from pq_encode_fast(packed=True),
+    encoded ONCE at ingest and scanned by every query — the 64x-smaller
+    scan is the whole point of PQ. When omitted, vectors are encoded
+    inline (correct, but the encode cost lands on the query).
 
     Per query: build the m x k_codes distance table against the
     broadcast codebooks, FLATTENED to one array<long> per query
@@ -178,7 +185,9 @@ def pq_topk(
         if codebooks is not None
         else pq_codebooks(embeddings, m, k_codes, id_col, vec_col, dim)
     )
-    if fast_encode:
+    if encoded_packed is not None:
+        packed = encoded_packed.select(id_col, "__codes")
+    elif fast_encode:
         packed = pq_encode_fast(
             embeddings, books, m, id_col, vec_col, dim, packed=True
         )
