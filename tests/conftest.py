@@ -75,10 +75,47 @@ def ref_delm():
     }
 
 
+_SESSION: dict = {}
+
+
 @pytest.fixture(scope="session")
 def spark():
     from delm_spark.session import get_spark
 
-    s = get_spark(app_name="delm-spark-tests", cores=8, shuffle_partitions=8)
+    s = get_spark(
+        app_name="delm-spark-tests",
+        cores=8,
+        shuffle_partitions=8,
+        # defense in depth for the module-boundary GC below: the driver's
+        # own periodic cleaner GC defaults to 30min — longer than the
+        # whole suite
+        extra_conf={"spark.cleaner.periodicGC.interval": "2min"},
+    )
+    _SESSION["spark"] = s
     yield s
+    _SESSION.pop("spark", None)
     s.stop()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _reclaim_spark_blocks():
+    """localCheckpoint()ed RDD blocks are unpersisted by Spark's
+    ContextCleaner only after BOTH the Python proxy and its JVM handle
+    are garbage-collected — and the driver's periodic GC defaults to 30
+    MINUTES, longer than the suite, so every module's checkpoint blocks
+    accumulated for the whole run and late modules ran ~5x slower under
+    executor-heap pressure (measured: simhash parity 45 s in-suite vs
+    7.9 s isolated; suite wall 1,758 s). Collecting both heaps at each
+    module boundary lets blocks die with their module. Only truly
+    unreferenced RDDs are affected — ContextCleaner is precise by
+    construction, so live cross-module fixtures are untouched."""
+    yield
+    import gc
+
+    gc.collect()
+    s = _SESSION.get("spark")
+    if s is not None:
+        try:
+            s._jvm.System.gc()
+        except Exception:
+            pass
