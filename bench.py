@@ -135,6 +135,8 @@ def main() -> None:
     # round-over-round regression table noise-dominated; the second run
     # also absorbs one-time costs (codegen/Janino compile, file-listing)
     # that say nothing about the plan.
+    import gc
+
     for name in suite:
         runs = []
         for _ in range(2):
@@ -143,6 +145,12 @@ def main() -> None:
             df.count()
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
+        # release the previous queries' checkpoint/shuffle blocks before
+        # timing the next one (ContextCleaner fires on driver GC; see
+        # session.py periodicGC note) so each timing reflects a fresh job,
+        # not the accumulation order of the suite
+        gc.collect()
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

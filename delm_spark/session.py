@@ -54,6 +54,12 @@ def get_spark(
         # better ratio than the snappy default at similar scan speed
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
+        # ContextCleaner unpersists dead RDD/shuffle/checkpoint blocks only
+        # on driver GC; the 30min default periodic GC outlives whole jobs,
+        # so long sessions accumulate every stage's localCheckpoint blocks
+        # (measured 5x slowdown across a 29-min run of mixed jobs). 2min
+        # bounds the leak at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
