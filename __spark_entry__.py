@@ -951,6 +951,23 @@ def near_dup_pipeline_docs(spark, sf_dir):
     )
 
 
+def near_dup_canonical_docs(spark, sf_dir):
+    """Cluster-level near-dup resolution (operators/dedup.py
+    near_dup_canonical): LSH candidates -> exact-Jaccard verification ->
+    connected components over the verified pair graph -> keep the
+    smallest doc_id per cluster. One row per input doc with its
+    canonical representative and the keep verdict; the oracle re-derives
+    the whole chain incl. components via a recursive reachability CTE."""
+    from delm_spark.operators.dedup import near_dup_canonical
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return near_dup_canonical(
+        docs, "text", "doc_id", k=16, bands=4, n=3, threshold=0.5
+    ).orderBy("doc_id")
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -1604,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_embeddings": pq_topk_embeddings,
         # --- round-5 additions
         "streaming_kg_merge": streaming_kg_merge,
+        "near_dup_canonical_docs": near_dup_canonical_docs,
         # --- single/double-round green or complex pipelines (keep under gate)
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "bpe_token_count_docs": bpe_token_count_docs,
@@ -1632,9 +1650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_demo": pagerank_demo,
         "triangle_blocks_demo": triangle_blocks_demo,
         "connected_components_demo": connected_components_demo,
-        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "near_dup_pipeline_docs": near_dup_pipeline_docs,
         # --- multi-round-green veterans (r02+r03+r04 driver rows + pytest)
+        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -2190,6 +2208,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_docs": _minhash_lsh_oracle_sql(k=16, bands=4),
         "near_dup_pipeline_docs": _minhash_lsh_oracle_sql(
             k=16, bands=4, jaccard_threshold=0.5
+        ),
+        "near_dup_canonical_docs": _minhash_lsh_oracle_sql(
+            k=16, bands=4, jaccard_threshold=0.5, canonical=True
         ),
         "explode_extracted_triples": _kg_oracle_sql("triples"),
         "kg_triples_stream": _kg_oracle_sql("triples"),
@@ -3438,7 +3459,10 @@ def _curation_pipeline_oracle_sql() -> str:
 
 
 def _minhash_lsh_oracle_sql(
-    k: int, bands: int, jaccard_threshold: float | None = None
+    k: int,
+    bands: int,
+    jaccard_threshold: float | None = None,
+    canonical: bool = False,
 ) -> str:
     """DuckDB replica of minhash_signatures_agg + banding + bucket join;
     with `jaccard_threshold`, adds the exact n-gram Jaccard re-rank on the
@@ -3468,6 +3492,32 @@ def _minhash_lsh_oracle_sql(
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM bands a JOIN bands b
                   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+    if canonical:
+        # connected components over the verified pair graph via a
+        # recursive reachability closure: every node collects the labels
+        # of all nodes that reach it, MIN label = component id; docs in
+        # no pair map to themselves
+        return base.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1) + f""",
+            vp AS (
+                SELECT id_a, id_b FROM cand
+                JOIN sh a ON cand.id_a = a.doc_id
+                JOIN sh b ON cand.id_b = b.doc_id
+                WHERE (len(list_intersect(a.s, b.s))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(a.s, b.s))), 1))
+                      >= {jaccard_threshold}),
+            sym AS (SELECT id_a AS a, id_b AS b FROM vp
+                    UNION SELECT id_b, id_a FROM vp),
+            reach AS (
+                SELECT a AS id, a AS lbl FROM sym
+                UNION
+                SELECT s.b AS id, r.lbl FROM reach r JOIN sym s ON r.id = s.a),
+            comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   coalesce(c.canonical, d.doc_id) AS canonical_id,
+                   (coalesce(c.canonical, d.doc_id) = d.doc_id) AS is_kept
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            ORDER BY doc_id
+        """
     if jaccard_threshold is None:
         return base + """
             SELECT id_a, id_b FROM cand ORDER BY id_a, id_b

@@ -505,3 +505,56 @@ def incremental_dedup(
             "jaccard",
         )
     )
+
+
+def near_dup_canonical(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    driver_cutoff: int | None = None,
+) -> DataFrame:
+    """Cluster-level near-dup RESOLUTION — the op a training-data pipeline
+    actually runs (pair lists are diagnostics; what ships is "keep one
+    copy per duplicate cluster"): banded MinHash-LSH candidates -> exact
+    n-gram Jaccard verification on candidates only -> connected
+    components over the verified pair graph (near-duplication is
+    transitive through chains A~B~C even when A,C never share a band) ->
+    the smallest id in each component is the canonical representative.
+
+    Returns one row per input doc: (id_col, canonical_id, is_kept) with
+    is_kept = (doc IS its cluster's representative); keeping `is_kept`
+    rows is the dedup, joining on canonical_id is the lineage.
+
+    Scale shape: the only corpus-wide ops are the one-shuffle signature
+    and the final left equi-join of components onto ids; CC runs over
+    the PAIR graph only (bounded by verified duplicates, a tiny fraction
+    of the corpus) with kg/canonicalize's pointer-jumping iterations —
+    never all-pairs, never a corpus-sized iteration."""
+    from delm_spark.kg.canonicalize import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        df,
+        text_col,
+        id_col,
+        n=n,
+        threshold=threshold,
+        candidates=minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands, n=n),
+    )
+    cc_kwargs = {} if driver_cutoff is None else {"driver_cutoff": driver_cutoff}
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        **cc_kwargs,
+    )
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(comp, ids[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_kept", F.col(id_col) == F.col("canonical_id"))
+    )

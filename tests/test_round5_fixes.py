@@ -65,3 +65,24 @@ def test_hashed_linear_score_null_and_empty_text(spark):
         assert by_id[d]["avg_weight_micro"] == 0
     assert by_id[1]["n_tokens"] == 3 and by_id[1]["sum_weight_micro"] > 0
     assert by_id[4]["n_tokens"] == 2 and by_id[4]["sum_weight_micro"] < 0
+
+
+def test_near_dup_canonical_transitive_chain(spark):
+    """A~B and B~C verified near-dups with A,C below the Jaccard
+    threshold of each other must still share one canonical id (the
+    component walk), and every doc gets exactly one row."""
+    from delm_spark.operators.dedup import near_dup_canonical
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    a = base + "alpha beta gamma delta"
+    b = base + "alpha beta gamma epsilon"   # near a
+    c = base + "alpha zeta gamma epsilon"   # near b, farther from a
+    rows = [(1, a), (2, b), (3, c), (4, "completely unrelated text about spark plans")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in near_dup_canonical(
+        df, "text", "doc_id", k=16, bands=8, n=3, threshold=0.6
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["canonical_id"] == out[2]["canonical_id"] == out[3]["canonical_id"] == 1
+    assert out[1]["is_kept"] and not out[2]["is_kept"] and not out[3]["is_kept"]
+    assert out[4]["canonical_id"] == 4 and out[4]["is_kept"]
