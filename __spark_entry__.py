@@ -968,6 +968,52 @@ def near_dup_canonical_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def containment_dedup_docs(spark, sf_dir):
+    """ASYMMETRIC near-dup detection (operators/dedup.py
+    containment_pairs): MinHash-LSH candidates -> exact shingle-set
+    containment of the SMALLER set, |A∩B| / min(|A|,|B|), in exact
+    BIGINT micro-units — catches the quote/boilerplate/near-subset
+    pattern symmetric Jaccard under-scores. The oracle reuses the
+    minhash/banding SQL and re-derives every containment value with
+    the same integer arithmetic."""
+    from delm_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return containment_pairs(
+        docs, "text", "doc_id", n=3, k=16, bands=4, threshold_micro=600_000
+    ).orderBy("id_a", "id_b")
+
+
+def kg_triple_provenance(spark, sf_dir):
+    """Triple support accounting (kg/analytics.py triple_provenance):
+    one row per canonical (subj_id, pred, obj_id) with extraction count,
+    distinct-conversation count, surface-form variety, and a
+    deterministic first-seen pointer — the confidence table downstream
+    triple filtering consumes. Single groupBy over the flagship
+    pipeline's linked triples; the oracle re-derives the whole chain
+    plus the aggregation in SQL."""
+    from delm_spark.kg.analytics import triple_provenance
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return triple_provenance(res.triples).orderBy("subj_id", "pred", "obj_id")
+
+
+def kg_entity_cooccur(spark, sf_dir):
+    """Entity co-occurrence lift (kg/analytics.py entity_cooccurrence):
+    conversation-level distinct entity sets -> native pair expansion (no
+    self-join, no skew blow-up) -> pair counts -> exact-integer lift
+    (1e6 * N * c_ab div (c_a * c_b), = exp(PMI) in micro-units). The
+    oracle re-derives counts and lift with the same BIGINT arithmetic."""
+    from delm_spark.kg.analytics import entity_cooccurrence
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return entity_cooccurrence(res.triples).orderBy("entity_a", "entity_b")
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -1622,6 +1668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions
         "streaming_kg_merge": streaming_kg_merge,
         "near_dup_canonical_docs": near_dup_canonical_docs,
+        "containment_dedup_docs": containment_dedup_docs,
+        "kg_triple_provenance": kg_triple_provenance,
+        "kg_entity_cooccur": kg_entity_cooccur,
         # --- single/double-round green or complex pipelines (keep under gate)
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "bpe_token_count_docs": bpe_token_count_docs,
@@ -2212,6 +2261,11 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_canonical_docs": _minhash_lsh_oracle_sql(
             k=16, bands=4, jaccard_threshold=0.5, canonical=True
         ),
+        "containment_dedup_docs": _minhash_lsh_oracle_sql(
+            k=16, bands=4, containment_micro=600_000
+        ),
+        "kg_triple_provenance": _kg_oracle_sql("provenance"),
+        "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
         "explode_extracted_triples": _kg_oracle_sql("triples"),
         "kg_triples_stream": _kg_oracle_sql("triples"),
         # streamed two-micro-batch merge must equal the from-scratch batch
@@ -3045,6 +3099,48 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                    subj, pred, obj, subj_id, obj_id
             FROM linked ORDER BY conv_id, turn_idx, chunk_pos, item_pos
         """
+    if kind == "provenance":
+        # kg/analytics.py triple_provenance: one aggregation over the
+        # linked triples; first_seen's zero-padded turn index makes the
+        # lexicographic min a deterministic (conv, turn) pointer
+        return linked + """
+            SELECT subj_id, pred, obj_id,
+                   count(*) AS n_support,
+                   count(DISTINCT conv_id) AS n_convs,
+                   count(DISTINCT (subj || '|' || obj)) AS n_surfaces,
+                   min(conv_id || '#' || lpad(turn_idx::VARCHAR, 6, '0'))
+                       AS first_seen
+            FROM linked
+            GROUP BY subj_id, pred, obj_id
+            ORDER BY subj_id, pred, obj_id
+        """
+    if kind == "cooccur":
+        # kg/analytics.py entity_cooccurrence: conversation-level distinct
+        # entity sets, unordered pairs, exact-BIGINT lift micro-units —
+        # the same (1e6 * N * c_ab) div (c_a * c_b) integer arithmetic
+        return linked + """,
+            ents AS (
+                SELECT DISTINCT conv_id, e
+                FROM (SELECT conv_id, unnest([subj_id, obj_id]) AS e
+                      FROM linked)),
+            ca AS (SELECT e, count(*) AS c FROM ents GROUP BY e),
+            ntab AS (SELECT count(DISTINCT conv_id) AS n FROM ents),
+            cab AS (
+                SELECT a.e AS entity_a, b.e AS entity_b,
+                       count(*) AS n_cooccur
+                FROM ents a JOIN ents b
+                  ON a.conv_id = b.conv_id AND a.e < b.e
+                GROUP BY a.e, b.e)
+            SELECT entity_a, entity_b, n_cooccur,
+                   ca1.c AS n_a, ca2.c AS n_b,
+                   CAST((1000000 * ntab.n * n_cooccur)
+                        // (ca1.c * ca2.c) AS BIGINT) AS lift_micro
+            FROM cab
+            JOIN ca ca1 ON cab.entity_a = ca1.e
+            JOIN ca ca2 ON cab.entity_b = ca2.e
+            CROSS JOIN ntab
+            ORDER BY entity_a, entity_b
+        """
     if kind == "linked_embedding":
         # embedding-blocked residue resolution (resolve_mention_residue):
         # distinct 'mention:*' surfaces -> trigram-md5 embeddings -> sign-LSH
@@ -3463,6 +3559,7 @@ def _minhash_lsh_oracle_sql(
     bands: int,
     jaccard_threshold: float | None = None,
     canonical: bool = False,
+    containment_micro: int | None = None,
 ) -> str:
     """DuckDB replica of minhash_signatures_agg + banding + bucket join;
     with `jaccard_threshold`, adds the exact n-gram Jaccard re-rank on the
@@ -3517,6 +3614,25 @@ def _minhash_lsh_oracle_sql(
                    (coalesce(c.canonical, d.doc_id) = d.doc_id) AS is_kept
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
             ORDER BY doc_id
+        """
+    if containment_micro is not None:
+        # operators/dedup.py containment_pairs: exact BIGINT containment
+        # of the smaller shingle set on the LSH candidates; contained_id
+        # is the smaller set's doc (size tie -> id_a, which is < id_b)
+        return base + f"""
+            SELECT id_a, id_b,
+                   CAST((1000000 * len(list_intersect(a.s, b.s)))
+                        // greatest(least(len(a.s), len(b.s)), 1)
+                        AS BIGINT) AS containment_micro,
+                   CASE WHEN len(b.s) < len(a.s) THEN id_b ELSE id_a END
+                       AS contained_id
+            FROM cand
+            JOIN sh a ON cand.id_a = a.doc_id
+            JOIN sh b ON cand.id_b = b.doc_id
+            WHERE CAST((1000000 * len(list_intersect(a.s, b.s)))
+                       // greatest(least(len(a.s), len(b.s)), 1)
+                       AS BIGINT) >= {containment_micro}
+            ORDER BY id_a, id_b
         """
     if jaccard_threshold is None:
         return base + """

@@ -240,6 +240,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold_micro: int = 600_000,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: shingle-set containment.
+
+    Jaccard misses the quote/boilerplate/subset pattern — a short document
+    wholly embedded in a much longer one scores a tiny Jaccard (the union
+    is dominated by the long doc) yet is exactly the redundancy a training
+    corpus wants gone. Containment of the SMALLER shingle set,
+    C = |A ∩ B| / min(|A|, |B|), is the standard fix (Broder's containment
+    measure, the basis of suffix-style substring dedup at document
+    granularity).
+
+    Candidates come from the same MinHash LSH banding as the Jaccard path
+    (pass `candidates` to reuse an existing pair table) — never all-pairs.
+    NB: banded MinHash recall is driven by Jaccard, so extreme size ratios
+    with low Jaccard can escape the blocking; at the default 4x4 banding
+    that is the documented trade (raise `bands` / lower `rows` to push
+    recall toward containment-heavy pairs).
+
+    Returns (id_a, id_b, containment_micro, contained_id) where
+    containment_micro = floor(1e6 * |A∩B| / min(|A|,|B|)) in EXACT BIGINT
+    arithmetic (sizes and intersections are integers — no float, so the
+    SQL oracle reproduces every value bit-for-bit), and contained_id is
+    the doc with the smaller shingle set (the near-subset; ties break to
+    the smaller id). Pairs below `threshold_micro` are dropped.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
+    )
+    if candidates is None:
+        candidates = minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands, n=n)
+    pairs = (
+        candidates.join(sh.alias("a"), candidates["id_a"] == F.col("a.__id"))
+        .join(sh.alias("b"), candidates["id_b"] == F.col("b.__id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    size_a = F.size(F.col("a.__sh"))
+    size_b = F.size(F.col("b.__sh"))
+    small = F.least(size_a, size_b)
+    cont = F.expr(
+        "(1000000 * cast(__inter as bigint)) div greatest(__small, 1)"
+    )
+    return (
+        pairs.select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            inter.alias("__inter"),
+            small.alias("__small"),
+            # id_a < id_b by construction, so the size tie breaks to id_a
+            F.when(size_b < size_a, F.col("b.__id"))
+            .otherwise(F.col("a.__id"))
+            .alias("contained_id"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            cont.cast("long").alias("containment_micro"),
+            "contained_id",
+        )
+        .filter(F.col("containment_micro") >= threshold_micro)
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 — sign-safe in a BIGINT, SQL-reproducible
 
 
