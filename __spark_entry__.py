@@ -1014,6 +1014,38 @@ def kg_entity_cooccur(spark, sf_dir):
     return entity_cooccurrence(res.triples).orderBy("entity_a", "entity_b")
 
 
+def kg_communities(spark, sf_dir):
+    """Community detection (kg/communities.py label_propagation):
+    4-round synchronous LPA with deterministic tie-breaks (most-frequent
+    neighbor label, ties to the smallest) over the flagship pipeline's
+    canonical entity graph — GraphX LabelPropagation semantics, two
+    node-keyed shuffles per round, no all-pairs structure. The oracle
+    unrolls the same 4 rounds in SQL."""
+    from delm_spark.kg.communities import label_propagation
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    edges = res.triples.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return label_propagation(edges, iters=4).orderBy("node")
+
+
+def kmeans_clusters_embeddings(spark, sf_dir):
+    """Distributed Lloyd k-means in EXACT integer arithmetic
+    (operators/cluster.py): vectors quantized once to BIGINT micro-units,
+    integer squared-L2, centroid update = sum div count, md5-ordered
+    deterministic init, argmin ties to the smallest cluster — so the
+    3-iteration fit + assignment is bit-reproducible and the oracle
+    unrolls the identical math in SQL. Assignment is a broadcast
+    single-row nested-loop (packed centroid array) + native array_min
+    fold: ZERO shuffle of the corpus side."""
+    from delm_spark.operators.cluster import kmeans_cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster(emb, k=8, iters=3).orderBy("vec_id")
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -1671,6 +1703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup_docs": containment_dedup_docs,
         "kg_triple_provenance": kg_triple_provenance,
         "kg_entity_cooccur": kg_entity_cooccur,
+        "kg_communities": kg_communities,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
         # --- single/double-round green or complex pipelines (keep under gate)
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "bpe_token_count_docs": bpe_token_count_docs,
@@ -2266,6 +2300,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
+        "kg_communities": _kg_oracle_sql("communities"),
+        "kmeans_clusters_embeddings": _kmeans_oracle_sql(k=8, iters=3),
         "explode_extracted_triples": _kg_oracle_sql("triples"),
         "kg_triples_stream": _kg_oracle_sql("triples"),
         # streamed two-micro-batch merge must equal the from-scratch batch
@@ -3141,6 +3177,33 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             CROSS JOIN ntab
             ORDER BY entity_a, entity_b
         """
+    if kind == "communities":
+        # kg/communities.py label_propagation: 4 unrolled synchronous LPA
+        # rounds — undirected simple graph, most-frequent neighbor label,
+        # ties to the smallest label — then community sizes by window
+        iters = 4
+        lpa = """,
+            und AS (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                       greatest(subj_id, obj_id) AS b
+                FROM linked WHERE subj_id <> obj_id),
+            sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+            lab0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym)"""
+        for r in range(1, iters + 1):
+            lpa += f""",
+            lab{r} AS (
+                SELECT node, lbl FROM (
+                    SELECT node, lbl, row_number() OVER (PARTITION BY node
+                               ORDER BY c DESC, lbl ASC) AS rn
+                    FROM (SELECT s.a AS node, l.lbl, count(*) AS c
+                          FROM sym s JOIN lab{r - 1} l ON s.b = l.node
+                          GROUP BY s.a, l.lbl))
+                WHERE rn = 1)"""
+        return linked + lpa + f"""
+            SELECT node, lbl AS community,
+                   count(*) OVER (PARTITION BY lbl) AS n_members
+            FROM lab{iters} ORDER BY node
+        """
     if kind == "linked_embedding":
         # embedding-blocked residue resolution (resolve_mention_residue):
         # distinct 'mention:*' surfaces -> trigram-md5 embeddings -> sign-LSH
@@ -3552,6 +3615,65 @@ def _curation_pipeline_oracle_sql() -> str:
             LEFT JOIN packed p ON c.doc_id = p.doc_id
             ORDER BY c.doc_id
         """
+
+
+def _kmeans_oracle_sql(k: int, iters: int, salt: str = "kmeans") -> str:
+    """DuckDB replica of operators/cluster.py kmeans_cluster: micro-unit
+    quantization (floor(x*1e6) — IEEE-identical), md5-ordered init,
+    `iters` unrolled Lloyd rounds (exact BIGINT squared-L2 argmin with
+    ties to the smallest cluster_id; centroid = sum // count, both
+    engines truncate toward zero; empty clusters keep their centroid),
+    then the final assignment."""
+    sql = f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+            FROM embeddings),
+        cent0 AS (
+            SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || '|{salt}')) - 1
+                       AS cluster_id,
+                   vm AS cv
+            FROM e ORDER BY md5(vec_id::VARCHAR || '|{salt}') LIMIT {k})"""
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        sql += f""",
+        asg{it} AS (
+            SELECT vec_id, vm, cluster_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cluster_id ASC) AS rn
+                FROM (SELECT e.vec_id, e.vm, c.cluster_id,
+                             list_sum(list_transform(generate_series(1, len(vm)),
+                                      i -> (vm[i] - cv[i]) * (vm[i] - cv[i]))) AS d
+                      FROM e CROSS JOIN {prev} c))
+            WHERE rn = 1),
+        sums{it} AS (
+            SELECT cluster_id, dim, sum(x) AS s, count(*) AS cnt FROM (
+                SELECT cluster_id, unnest(vm) AS x,
+                       unnest(range(1, len(vm) + 1)) AS dim
+                FROM asg{it})
+            GROUP BY cluster_id, dim),
+        newc{it} AS (
+            SELECT cluster_id, list(CAST(s // cnt AS BIGINT) ORDER BY dim) AS cv
+            FROM sums{it} GROUP BY cluster_id),
+        cent{it} AS (
+            SELECT p.cluster_id, coalesce(n.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN newc{it} n USING (cluster_id))"""
+        prev = f"cent{it}"
+    return sql + f""",
+        final AS (
+            SELECT vec_id, cluster_id, d FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cluster_id ASC) AS rn
+                FROM (SELECT e.vec_id, e.vm, c.cluster_id,
+                             list_sum(list_transform(generate_series(1, len(vm)),
+                                      i -> (vm[i] - cv[i]) * (vm[i] - cv[i]))) AS d
+                      FROM e CROSS JOIN {prev} c))
+            WHERE rn = 1)
+        SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id,
+               CAST(d AS BIGINT) AS dist_micro2
+        FROM final ORDER BY vec_id
+    """
 
 
 def _minhash_lsh_oracle_sql(
