@@ -1046,6 +1046,100 @@ def kmeans_clusters_embeddings(spark, sf_dir):
     return kmeans_cluster(emb, k=8, iters=3).orderBy("vec_id")
 
 
+def tool_sequences_transcripts(spark, sf_dir):
+    """Agent-trajectory tool-sequence mining (kg/trajectory.py
+    tool_sequences): consecutive tool bigrams per conversation (lead
+    over the conv_id window restricted to tool turns), support = total
+    occurrences + distinct conversations. One conv shuffle + one
+    map-side-combinable n-gram aggregation."""
+    from delm_spark.kg.trajectory import tool_sequences
+
+    t = _fixture_transcripts(spark)
+    return tool_sequences(t, n=2).orderBy("tool_seq")
+
+
+def entity_timeline_kg(spark, sf_dir):
+    """Canonical-entity temporal profile (kg/trajectory.py
+    entity_timeline): pipeline triples join back to their source turns
+    on the natural (conv_id, turn_idx) key for epoch timestamps, then
+    one aggregation per entity — first/last mention, conversation
+    spread, active span. The temporal companion of triple_provenance."""
+    from delm_spark.kg.trajectory import entity_timeline
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return entity_timeline(res.triples, t).orderBy("entity")
+
+
+def random_walks_kg(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus (kg/walks.py
+    random_walks) over the canonical entity graph: 4 hops from every
+    node, next hop = md5-argmin neighbor — one equi-join + one min_by
+    aggregation per hop, frontier stays one row per walk."""
+    from delm_spark.kg.walks import random_walks
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    edges = res.triples.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return random_walks(edges, length=4, seed="walk").orderBy("walk_id")
+
+
+def kmv_distinct_tokens(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketch.py kmv_distinct) of
+    the corpus token vocabulary: k=256 smallest 48-bit md5 hashes of the
+    distinct normalized tokens; estimate (k-1)*2^48 div h_k, exact when
+    cardinality < k. One distinct shuffle + TakeOrdered(k)."""
+    from delm_spark.operators.dedup import normalize_text
+    from delm_spark.operators.sketch import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return kmv_distinct(toks, "tok", k=256)
+
+
+def hll_users_events(spark, sf_dir):
+    """HyperLogLog distinct users (operators/sketch.py hll_cardinality,
+    p=8): md5-derived registers, exact-BIGINT harmonic sum, micronat
+    linear counting — one map pass + a 256-row mergeable register
+    aggregation, cross-engine reproducible unlike
+    approx_count_distinct."""
+    from delm_spark.operators.sketch import hll_cardinality
+
+    events = _t(spark, sf_dir, "events")
+    return hll_cardinality(events, "user_id")
+
+
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling (operators/sample.py
+    weighted_ticket_sample): length-weighted ticket lottery, priority =
+    min of w md5 tickets per doc — native array_min over a sequence
+    transform (no explode, no shuffle), TakeOrdered top-k."""
+    from delm_spark.operators.sample import weighted_ticket_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_ticket_sample(
+        docs, 50, "doc_id", F.expr("n_chars div 200 + 1"), max_weight=8
+    ).orderBy("priority", "doc_id")
+
+
+def tfidf_top_terms_docs(spark, sf_dir):
+    """Per-document TF-IDF keywords (operators/search.py
+    tfidf_top_terms): integer-micronat idf over corpus counts, top-3
+    terms per doc via a WindowGroupLimit rank filter; the df table
+    reuses the tf exchange (ReuseExchange), term join deliberately
+    not broadcast (corpus-scale vocabulary)."""
+    from delm_spark.operators.search import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tfidf_top_terms(docs, top_n=3).orderBy(
+        "doc_id", F.desc("tfidf_micro"), "term"
+    )
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -1705,20 +1799,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccur": kg_entity_cooccur,
         "kg_communities": kg_communities,
         "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "tool_sequences_transcripts": tool_sequences_transcripts,
+        "entity_timeline_kg": entity_timeline_kg,
+        "random_walks_kg": random_walks_kg,
+        "kmv_distinct_tokens": kmv_distinct_tokens,
+        "hll_users_events": hll_users_events,
+        "weighted_sample_docs": weighted_sample_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
         # --- single/double-round green or complex pipelines (keep under gate)
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "bpe_token_count_docs": bpe_token_count_docs,
-        "embedding_topk_cosine": embedding_topk_cosine,
-        "lsh_topk_embeddings": lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "embedding_near_dup_vecs": embedding_near_dup_vecs,
         "stateful_sessionize_events": stateful_sessionize_events,
         "stream_dedup_events": stream_dedup_events,
-        "minhash_signature_docs": minhash_signature_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "quality_score_docs": quality_score_docs,
-        "salted_user_counts": salted_user_counts,
-        "multimodal_media_features": multimodal_media_features,
         "image_pixel_stats_docs": image_pixel_stats_docs,
         "audio_features_docs": audio_features_docs,
         "video_frame_sample_docs": video_frame_sample_docs,
@@ -1735,6 +1829,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_demo": connected_components_demo,
         "near_dup_pipeline_docs": near_dup_pipeline_docs,
         # --- multi-round-green veterans (r02+r03+r04 driver rows + pytest)
+        "embedding_topk_cosine": embedding_topk_cosine,
+        "lsh_topk_embeddings": lsh_topk_embeddings,
+        "minhash_signature_docs": minhash_signature_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "quality_score_docs": quality_score_docs,
+        "salted_user_counts": salted_user_counts,
+        "multimodal_media_features": multimodal_media_features,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "q1_pricing_summary": q1_pricing_summary,
@@ -2302,6 +2403,71 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
         "kg_communities": _kg_oracle_sql("communities"),
         "kmeans_clusters_embeddings": _kmeans_oracle_sql(k=8, iters=3),
+        "tool_sequences_transcripts": _tool_sequences_oracle_sql(n=2),
+        "entity_timeline_kg": _kg_oracle_sql("timeline"),
+        "random_walks_kg": _kg_oracle_sql("walks"),
+        # operators/sketch.py kmv_distinct over the distinct-token stream:
+        # 48-bit md5 hashes, k smallest, (k-1)*2^48 div h_k (exact < k)
+        "kmv_distinct_tokens": """
+            WITH toks AS (
+                SELECT unnest(string_split(trim(lower(
+                           regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+                FROM documents),
+            h AS (SELECT DISTINCT
+                         ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+                  FROM toks WHERE tok <> ''),
+            mins AS (SELECT h FROM h ORDER BY h LIMIT 256)
+            SELECT count(*) AS k_used, max(h) AS kth_hash,
+                   CASE WHEN count(*) < 256 THEN count(*)
+                        ELSE (255::BIGINT * 281474976710656) // max(h)
+                   END AS est_distinct
+            FROM mins
+        """,
+        "hll_users_events": _hll_oracle_sql("events", "user_id"),
+        # operators/sample.py weighted_ticket_sample: min-of-w-md5-tickets
+        # priority, clamped length-derived weights, top-50
+        "weighted_sample_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       least(greatest(coalesce(n_chars // 200 + 1, 1), 1), 8)
+                           AS weight_used
+                FROM documents),
+            p AS (SELECT doc_id, weight_used,
+                         list_min(list_transform(
+                             generate_series(1, weight_used),
+                             i -> md5(doc_id::VARCHAR || '#' || i)))
+                             AS priority
+                  FROM w)
+            SELECT doc_id, weight_used, priority FROM p
+            ORDER BY priority, doc_id LIMIT 50
+        """,
+        # operators/search.py tfidf_top_terms: integer-micronat idf, top-3
+        # per doc, ties to the lexicographically smaller term
+        "tfidf_top_terms_docs": """
+            WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
+            toks AS (
+                SELECT doc_id, unnest(string_split(trim(lower(
+                           regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+                FROM d),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks WHERE term <> '' GROUP BY doc_id, term),
+            dftab AS (SELECT term, count(*)::BIGINT AS df,
+                             max(tf)::BIGINT AS max_tf
+                      FROM tf GROUP BY term),
+            n AS (SELECT floor(ln(count(*)) * 1e6 + 0.5)::BIGINT AS ln_n FROM d),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dftab.df, dftab.max_tf,
+                       tf.tf * (n.ln_n
+                                - floor(ln(dftab.df) * 1e6 + 0.5)::BIGINT)
+                           AS tfidf_micro
+                FROM tf JOIN dftab USING (term) CROSS JOIN n),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf_micro DESC, term ASC) AS rn
+                FROM scored)
+            SELECT doc_id, term, tf, df, max_tf, tfidf_micro FROM ranked
+            WHERE rn <= 3 ORDER BY doc_id, tfidf_micro DESC, term
+        """,
         "explode_extracted_triples": _kg_oracle_sql("triples"),
         "kg_triples_stream": _kg_oracle_sql("triples"),
         # streamed two-micro-batch merge must equal the from-scratch batch
@@ -3177,6 +3343,56 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             CROSS JOIN ntab
             ORDER BY entity_a, entity_b
         """
+    if kind == "timeline":
+        # kg/trajectory.py entity_timeline: triples join their source
+        # turns on (conv_id, turn_idx) for epoch seconds, one agg per
+        # entity endpoint
+        return linked + f""",
+            ts_map AS (
+                SELECT conv_id, turn_idx,
+                       CAST(floor(date_part('epoch', ts)) AS BIGINT) AS epoch
+                FROM read_parquet('{tp}')),
+            ents AS (
+                SELECT l.conv_id, e, m.epoch
+                FROM (SELECT conv_id, turn_idx,
+                             unnest([subj_id, obj_id]) AS e
+                      FROM linked) l
+                JOIN ts_map m USING (conv_id, turn_idx))
+            SELECT e AS entity, count(*) AS n_mentions,
+                   count(DISTINCT conv_id) AS n_convs,
+                   min(epoch) AS first_ts, max(epoch) AS last_ts,
+                   max(epoch) - min(epoch) AS span_sec
+            FROM ents GROUP BY e ORDER BY entity
+        """
+    if kind == "walks":
+        # kg/walks.py random_walks: 4 unrolled hops, next = arg_min
+        # neighbor by md5(cur '>' nxt '#s|seed') over the symmetrized
+        # simple graph
+        length, seed = 4, "walk"
+        sql = """,
+            und AS (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                       greatest(subj_id, obj_id) AS b
+                FROM linked WHERE subj_id <> obj_id),
+            sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+            w0 AS (SELECT DISTINCT a AS walk_id, a AS cur, a AS path
+                   FROM sym)"""
+        prev = "w0"
+        for s in range(1, length + 1):
+            sql += f""",
+            w{s} AS (
+                SELECT walk_id,
+                       arg_min(s.b, md5(w.cur || '>' || s.b
+                                        || '#{s}|{seed}')) AS cur,
+                       w.path || '>' || arg_min(s.b, md5(w.cur || '>' || s.b
+                                        || '#{s}|{seed}')) AS path
+                FROM {prev} w JOIN sym s ON w.cur = s.a
+                GROUP BY walk_id, w.cur, w.path)"""
+            prev = f"w{s}"
+        return linked + sql + f"""
+            SELECT walk_id, path, cur AS end_node
+            FROM {prev} ORDER BY walk_id
+        """
     if kind == "communities":
         # kg/communities.py label_propagation: 4 unrolled synchronous LPA
         # rounds — undirected simple graph, most-frequent neighbor label,
@@ -3615,6 +3831,64 @@ def _curation_pipeline_oracle_sql() -> str:
             LEFT JOIN packed p ON c.doc_id = p.doc_id
             ORDER BY c.doc_id
         """
+
+
+def _tool_sequences_oracle_sql(n: int = 2) -> str:
+    """DuckDB replica of kg/trajectory.py tool_sequences over the
+    committed transcript fixture: consecutive tool n-grams via lead()
+    over the per-conversation tool-turn stream."""
+    tp = (_FIXTURES / "transcripts.parquet").as_posix() + "/*.parquet"
+    leads = ["tool"] + [
+        f"lead(tool, {i}) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+        for i in range(1, n)
+    ]
+    seq = " || '>' || ".join(leads)
+    last = leads[-1]
+    return f"""
+        WITH t AS (
+            SELECT conv_id, turn_idx, tool FROM read_parquet('{tp}')
+            WHERE role = 'tool' AND tool IS NOT NULL),
+        g AS (SELECT conv_id, {seq} AS tool_seq, {last} AS nxt FROM t)
+        SELECT tool_seq, count(*) AS n_occurrences,
+               count(DISTINCT conv_id) AS n_convs
+        FROM g WHERE nxt IS NOT NULL
+        GROUP BY tool_seq ORDER BY tool_seq
+    """
+
+
+def _hll_oracle_sql(table: str, col: str) -> str:
+    """DuckDB replica of operators/sketch.py hll_cardinality (p=8):
+    md5-derived registers, exact-BIGINT harmonic sum S = sum 2^(25-M),
+    raw estimate (alpha_micro*m^2*2^25) div S, micronat linear counting
+    below the 2.5m threshold. All products pre-multiplied in Python to
+    dodge DuckDB's INT32 literal arithmetic."""
+    from delm_spark.operators.sketch import hll_alpha_micro
+
+    m = 256
+    am = hll_alpha_micro(m)
+    return f"""
+        WITH r AS (
+            SELECT ('0x' || substr(md5({col}::VARCHAR), 1, 2))::BIGINT AS reg,
+                   ('0x' || substr(md5({col}::VARCHAR), 3, 6))::BIGINT AS rem
+            FROM {table}),
+        regs AS (SELECT reg, max(CASE WHEN rem = 0 THEN 25
+                                      ELSE 25 - length(bin(rem)) END) AS M
+                 FROM r GROUP BY reg),
+        agg AS (SELECT count(*) AS n_used,
+                       sum((1::BIGINT << (25 - M))) AS s_used FROM regs),
+        est AS (SELECT n_used,
+                       s_used + ({m} - n_used) * 33554432 AS s_scaled,
+                       {am * m * m}::BIGINT * 33554432
+                           // (s_used + ({m} - n_used) * 33554432) AS raw_micro
+                FROM agg)
+        SELECT {m} AS m, n_used, s_scaled::BIGINT AS s_scaled,
+               ((CASE WHEN ({m} - n_used) > 0
+                          AND raw_micro * 2 <= {5_000_000 * m}
+                     THEN {m} * (floor(ln({m}) * 1e6 + 0.5)::BIGINT
+                                 - floor(ln({m} - n_used) * 1e6 + 0.5)::BIGINT)
+                     ELSE raw_micro END) // 1000000)::BIGINT AS est_distinct
+        FROM est
+    """
 
 
 def _kmeans_oracle_sql(k: int, iters: int, salt: str = "kmeans") -> str:

@@ -1,0 +1,127 @@
+"""Agent-trajectory analytics over transcript tables: tool-sequence
+mining and canonical-entity timelines (north-star extensions).
+
+The input table (conv_id, turn_idx, role, text, tool, ts) is an *agent*
+transcript: tool turns record which tool the agent invoked. Two analyses
+a transcript-curation pipeline runs before using the corpus as training
+data:
+
+- `tool_sequences` — frequent consecutive tool n-grams ("which tool
+  chains do agents actually execute"), the support table behind
+  trajectory filtering (drop conversations exercising only degenerate
+  chains) and behind curriculum mixing by tool diversity.
+- `entity_timeline` — per canonical entity: first/last mention time,
+  mention counts, conversation spread. The temporal companion to
+  `kg/analytics.triple_provenance`: an entity asserted by one
+  conversation in one minute is a different trust class from one
+  mentioned across months.
+
+The reference (Center-for-Applied-AI/delm) has no trajectory or temporal
+analytics (its pipeline is per-record extraction only, `src/delm/delm.py`);
+these follow the repo's oracle discipline — exact integer arithmetic
+(epoch seconds, counts), so DuckDB re-derives every value bit-for-bit.
+
+Scale notes (100 TB / 1000-executor framing):
+
+- `tool_sequences`: ONE shuffle on conv_id for the per-conversation
+  window (lead over turn order), then one map-side-combinable
+  aggregation on the n-gram string. The window partition is a single
+  conversation — bounded by conversation length, never corpus-wide, so
+  hot conversations skew a partition by at most their own turn count.
+- `entity_timeline`: the triple side joins the transcript side on the
+  natural key (conv_id, turn_idx) — a sort-merge join both sides of
+  which are already hash-distributed by conv_id in the pipeline, then
+  one aggregation on entity id. No broadcast of the corpus, no
+  all-pairs structure; a hyper-frequent entity lands on one reducer
+  with partial aggregates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tool_sequences(
+    transcripts: DataFrame,
+    n: int = 2,
+    min_support: int = 1,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Consecutive tool n-grams across conversations with support counts.
+
+    A tool n-gram is `n` successive tool turns (rows with role='tool'
+    and a non-null tool) of one conversation in turn order — successive
+    among tool turns, i.e. user/assistant turns in between do not break
+    the chain (the standard sequence-mining view of an agent trajectory).
+
+    Returns (tool_seq, n_occurrences, n_convs), filtered to
+    n_convs >= min_support. `tool_seq` joins tool names with '>'.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    t = transcripts.filter(
+        (F.col(role_col) == "tool") & F.col(tool_col).isNotNull()
+    )
+    steps = [F.col(tool_col)] + [
+        F.lead(tool_col, i).over(w) for i in range(1, n)
+    ]
+    grams = t.select(
+        F.col(conv_col).alias("__conv"),
+        F.concat_ws(">", *steps).alias("tool_seq"),
+        steps[-1].alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    return (
+        grams.groupBy("tool_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("__conv").alias("n_convs"),
+        )
+        .filter(F.col("n_convs") >= min_support)
+    )
+
+
+def entity_timeline(
+    triples: DataFrame,
+    transcripts: DataFrame,
+    subj_col: str = "subj_id",
+    obj_col: str = "obj_id",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal profile per canonical entity.
+
+    Joins the extracted triples back to the transcript turns they came
+    from (natural key conv_id, turn_idx) and aggregates per entity
+    (appearing as subject or object):
+
+      n_mentions    — total triple endpoints naming the entity,
+      n_convs       — distinct conversations,
+      first_ts, last_ts — epoch seconds (BIGINT) of the earliest and
+                      latest mentioning turn,
+      span_sec      — last_ts - first_ts, the entity's active span.
+    """
+    ts_map = transcripts.select(
+        F.col(conv_col).alias("__conv"),
+        F.col(turn_col).alias("__turn"),
+        F.col(ts_col).cast("long").alias("__epoch"),
+    )
+    ents = triples.select(
+        F.col(conv_col).alias("__conv"),
+        F.col(turn_col).alias("__turn"),
+        F.explode(F.array(F.col(subj_col), F.col(obj_col))).alias("entity"),
+    )
+    joined = ents.join(ts_map, ["__conv", "__turn"])
+    return joined.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("__conv").alias("n_convs"),
+        F.min("__epoch").alias("first_ts"),
+        F.max("__epoch").alias("last_ts"),
+        (F.max("__epoch") - F.min("__epoch")).alias("span_sec"),
+    )

@@ -104,3 +104,57 @@ def domain_mix_fractions(
     out = {s: min(t * w / counts[s], 1.0) for s, w in norm.items()}
     out.update({s: 0.0 for s, w in weights.items() if w <= 0})
     return out
+
+
+def weighted_ticket_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    weight_col,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sample of k rows: ticket-lottery priority.
+
+    Each row holds w tickets (w = its integer weight, clamped to
+    [1, max_weight]); ticket i is md5(id '#' i) and the row's priority
+    is its SMALLEST ticket. The sample is the k rows with the smallest
+    priorities (ties — impossible for distinct ids — break by id). A
+    row's min-of-w-uniform-hashes is stochastically smaller the larger
+    w is, so inclusion probability rises monotonically with weight,
+    while the whole draw stays a pure function of the ids: the
+    partitioning-independent, retry-safe, cross-engine-reproducible
+    analog of weighted sampling without replacement (the same
+    derandomization the repo's seeded/stratified samplers use; NOT the
+    float-exponent Efraimidis-Spirakis scheme, whose ln/pow last-ulp
+    behavior is engine-specific).
+
+    Plan shape: the per-row priority is a native array_min over a
+    sequence-transform (bounded by max_weight, no explode, no shuffle);
+    orderBy+limit plans as TakeOrderedAndProject — per-partition top-k,
+    map-only over the corpus. Returns (id_col, weight_used, priority).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 1 <= max_weight <= 4096:
+        raise ValueError(f"max_weight must be in [1, 4096], got {max_weight}")
+    w = F.least(
+        F.greatest(F.coalesce(weight_col, F.lit(1)).cast("long"), F.lit(1)),
+        F.lit(max_weight),
+    )
+    priority = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda i: F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit("#"), i)
+            ),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            w.alias("weight_used"),
+            priority.alias("priority"),
+        )
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from delm_spark.operators.dedup import normalize_text
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "tfidf_top_terms"]
 
 
 def bm25_topk(
@@ -125,4 +125,89 @@ def bm25_topk(
         )
         .orderBy(F.desc("score_micro"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-n keyword terms by TF-IDF — the distributed
+    keyword-extraction pass used to label / facet a training corpus.
+
+    tfidf_micro(d, t) = tf(d, t) * (ln(N) - ln(df(t))) in integer
+    micronats: ln is applied only to whole-corpus integer counts (N and
+    the per-term document frequencies), per the repo's micronat
+    discipline, so every score is exact BIGINT arithmetic and the
+    DuckDB oracle reproduces it bit-for-bit. Ties break by term asc.
+
+    Plan shape (100-TB framing): ONE token shuffle builds the per-(doc,
+    term) tf table; the document-frequency table is a second aggregation
+    OVER THE SAME exchange (ReusedExchange serves both — verified in the
+    executed plan), NOT a second corpus scan; tf joins df by term
+    equi-join (the term vocabulary is corpus-scale — deliberately not
+    broadcast); the per-doc top-n is a rank-filter window that Catalyst
+    executes as WindowGroupLimit (per-partition partial top-n before the
+    doc shuffle). No Python, no all-pairs, no global sort.
+
+    `max_tf` (the term's highest in-document frequency) is part of the
+    output for two reasons: augmented/normalized-tf consumers need it,
+    and aggregating the tf column in the df branch is what keeps both
+    consumers' canonical subtrees identical so Catalyst serves them from
+    the single reused exchange — pruning tf out of the df aggregate
+    demotes the plan to a second full token pass.
+
+    Returns (id_col, term, tf, df, max_tf, tfidf_micro) with <= top_n
+    rows per document, terms with df < min_df excluded.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dftab = tf.groupBy("term").agg(
+        F.count(id_col).cast("long").alias("df"),
+        F.max("tf").alias("max_tf"),
+    )
+    if min_df > 1:
+        dftab = dftab.filter(F.col("df") >= min_df)
+    n_docs = df.agg(
+        F.floor(F.log(F.count(F.lit(1))) * 1e6 + 0.5)
+        .cast("long")
+        .alias("__ln_n_micro")
+    )
+    scored = (
+        tf.join(dftab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            "max_tf",
+            (
+                F.col("tf")
+                * (
+                    F.col("__ln_n_micro")
+                    - F.floor(F.log("df") * 1e6 + 0.5).cast("long")
+                )
+            ).alias("tfidf_micro"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .drop("__rn")
     )

@@ -204,3 +204,40 @@ def test_asof_join_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_reuses_token_exchange_and_group_limits(spark):
+    """tfidf_top_terms must serve the tf and df branches from ONE token
+    pass (ReusedExchange in the executed plan — requires max_tf to stay
+    in the output, see the operator docstring) and plan the per-doc
+    top-n as WindowGroupLimit, with zero Python stages."""
+    df = entry_mod.tfidf_top_terms_docs(spark, SF_DIR)
+    df.collect()  # AQE finalizes exchange reuse only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+
+
+def test_sketch_and_weighted_sample_plan_shapes(spark):
+    """kmv = one distinct exchange + TakeOrdered; hll = two exchanges
+    (registers + 1-row agg); weighted sample = ZERO exchanges, pure
+    map + TakeOrdered — all JVM-native."""
+    kmv = entry_mod.kmv_distinct_tokens(spark, SF_DIR)
+    p = _plan(kmv, "simple")
+    assert "TakeOrderedAndProject" in p and "EvalPython" not in p
+
+    from delm_spark.operators.sample import weighted_ticket_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ws = weighted_ticket_sample(
+        docs, 50, "doc_id", F.expr("n_chars div 200 + 1"), max_weight=8
+    )
+    p = _plan(ws, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+    hll = entry_mod.hll_users_events(spark, SF_DIR)
+    p = _plan(hll, "simple")
+    assert p.count("Exchange") <= 2 and "EvalPython" not in p

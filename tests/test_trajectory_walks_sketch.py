@@ -1,0 +1,293 @@
+"""Closed-form tests for the round-5 analytics family: tool-sequence
+mining + entity timelines (kg/trajectory.py), deterministic random
+walks (kg/walks.py), cardinality sketches (operators/sketch.py),
+weighted ticket sampling and TF-IDF keywords. Oracle parity at sf0.001
+lives in test_oracle_parity.py; these pin hand-computed values,
+determinism under repartitioning, and estimator error bounds."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from delm_spark.kg.trajectory import entity_timeline, tool_sequences
+from delm_spark.kg.walks import random_walks
+from delm_spark.operators.sample import weighted_ticket_sample
+from delm_spark.operators.search import tfidf_top_terms
+from delm_spark.operators.sketch import (
+    hll_alpha_micro,
+    hll_cardinality,
+    kmv_distinct,
+)
+
+# ----------------------------------------------------------- trajectory
+
+
+def _transcripts(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp"
+    ).withColumn("ts", F.coalesce("ts", F.timestamp_seconds(F.lit(0))))
+
+
+def test_tool_sequences_bigrams_skip_non_tool_turns(spark):
+    """user/assistant turns between tool turns do NOT break the chain;
+    incomplete tail n-grams are dropped."""
+    rows = [
+        ("c1", 0, "tool", "search", None),
+        ("c1", 1, "user", None, None),
+        ("c1", 2, "tool", "fetch", None),
+        ("c1", 3, "tool", "search", None),
+        ("c2", 0, "tool", "search", None),
+        ("c2", 1, "tool", "fetch", None),
+    ]
+    out = {
+        r["tool_seq"]: (r["n_occurrences"], r["n_convs"])
+        for r in tool_sequences(_transcripts(spark, rows), n=2).collect()
+    }
+    assert out == {"search>fetch": (2, 2), "fetch>search": (1, 1)}
+
+
+def test_tool_sequences_min_support_and_unigrams(spark):
+    rows = [
+        ("c1", 0, "tool", "a", None),
+        ("c1", 1, "tool", "b", None),
+        ("c2", 0, "tool", "a", None),
+    ]
+    t = _transcripts(spark, rows)
+    uni = {r["tool_seq"]: r["n_convs"] for r in tool_sequences(t, n=1).collect()}
+    assert uni == {"a": 2, "b": 1}
+    sup = tool_sequences(t, n=1, min_support=2).collect()
+    assert [r["tool_seq"] for r in sup] == ["a"]
+    with pytest.raises(ValueError):
+        tool_sequences(t, n=0)
+
+
+def test_entity_timeline_closed_form(spark):
+    triples = spark.createDataFrame(
+        [
+            ("c1", 0, "e:a", "e:b"),
+            ("c1", 1, "e:a", "e:c"),
+            ("c2", 0, "e:a", "e:b"),
+        ],
+        "conv_id string, turn_idx int, subj_id string, obj_id string",
+    )
+    trans = spark.createDataFrame(
+        [
+            ("c1", 0, 100),
+            ("c1", 1, 200),
+            ("c2", 0, 50),
+        ],
+        "conv_id string, turn_idx int, epoch long",
+    ).select("conv_id", "turn_idx", F.timestamp_seconds("epoch").alias("ts"))
+    out = {
+        r["entity"]: (
+            r["n_mentions"], r["n_convs"], r["first_ts"], r["last_ts"], r["span_sec"]
+        )
+        for r in entity_timeline(triples, trans).collect()
+    }
+    assert out == {
+        "e:a": (3, 2, 50, 200, 150),
+        "e:b": (2, 2, 50, 100, 50),
+        "e:c": (1, 1, 200, 200, 0),
+    }
+
+
+# ----------------------------------------------------------------- walks
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_random_walks_shape_and_validity(spark):
+    """Every node starts one walk of length+1 nodes; every hop follows a
+    real (symmetrized) edge; self-loops are dropped up front."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "a")]
+    out = random_walks(_edges(spark, pairs), length=3, seed="t").collect()
+    assert len(out) == 4
+    adj = set()
+    for s, d in pairs:
+        if s != d:
+            adj |= {(s, d), (d, s)}
+    for r in out:
+        nodes = r["path"].split(">")
+        assert len(nodes) == 4 and nodes[0] == r["walk_id"]
+        assert nodes[-1] == r["end_node"]
+        for u, v in zip(nodes, nodes[1:]):
+            assert (u, v) in adj
+
+
+def test_random_walks_deterministic_hop_matches_hash(spark):
+    """Walk from the two-neighbor node picks the md5-argmin neighbor —
+    recompute the hash rule in Python and compare hop 1."""
+    pairs = [("x", "y"), ("x", "z")]
+    out = {
+        r["walk_id"]: r["path"]
+        for r in random_walks(_edges(spark, pairs), length=1, seed="s").collect()
+    }
+    nxt = min(
+        ["y", "z"],
+        key=lambda v: hashlib.md5(f"x>{v}#1|s".encode()).hexdigest(),
+    )
+    assert out["x"] == f"x>{nxt}"
+    # degree-1 nodes must walk back to their only neighbor
+    assert out["y"] == "y>x" and out["z"] == "z>x"
+
+
+def test_random_walks_partitioning_independent(spark):
+    pairs = [(f"n{i}", f"n{(i * 7 + 1) % 20}") for i in range(40)]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, random_walks(e, length=4).collect()))
+    b = sorted(map(tuple, random_walks(e.repartition(13), length=4).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        random_walks(e, length=0)
+
+
+# ---------------------------------------------------------------- sketch
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["k_used"] == 100 and row["est_distinct"] == 100
+
+
+def test_kmv_estimate_within_bound(spark):
+    """Relative error of KMV at k=256 is ~1/sqrt(k-2) ≈ 6.3%; assert a
+    generous 4-sigma bound on 20k distinct values."""
+    n = 20_000
+    df = spark.range(n).select(F.concat(F.lit("u"), "id").alias("v"))
+    est = kmv_distinct(df, "v", k=256).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 0.25
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "v", k=1)
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    df = spark.range(5000).select((F.col("id") % 50).cast("string").alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["k_used"] == 50 and row["est_distinct"] == 50
+
+
+def test_hll_small_range_linear_counting(spark):
+    """30 distinct of 256 registers → linear-counting branch, which is
+    near-exact at this load factor."""
+    df = spark.range(30).select(F.concat(F.lit("x"), "id").alias("v"))
+    row = hll_cardinality(df, "v").collect()[0]
+    assert row["m"] == 256
+    assert abs(row["est_distinct"] - 30) <= 3
+
+
+def test_hll_estimate_within_bound(spark):
+    """HLL sigma at m=256 is 1.04/16 = 6.5%; assert 4 sigma on 50k."""
+    n = 50_000
+    df = spark.range(n).select(F.concat(F.lit("y"), "id").alias("v"))
+    row = hll_cardinality(df, "v").collect()[0]
+    assert abs(row["est_distinct"] - n) / n < 0.26
+    with pytest.raises(ValueError):
+        hll_cardinality(df, "v", p=12)
+
+
+def test_hll_register_math_matches_python(spark):
+    """Recompute registers, harmonic sum and estimate in pure Python."""
+    vals = [f"k{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    row = hll_cardinality(df, "v").collect()[0]
+    m, regs = 256, {}
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        reg, rem = int(h[:2], 16), int(h[2:8], 16)
+        rho = 25 if rem == 0 else 25 - rem.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s = sum(1 << (25 - M) for M in regs.values()) + (m - len(regs)) * (1 << 25)
+    assert row["n_used"] == len(regs) and row["s_scaled"] == s
+    raw = hll_alpha_micro(m) * m * m * (1 << 25) // s
+    n_empty = m - len(regs)
+    if n_empty > 0 and raw * 2 <= 5_000_000 * m:
+        lc = m * (
+            math.floor(math.log(m) * 1e6 + 0.5)
+            - math.floor(math.log(n_empty) * 1e6 + 0.5)
+        )
+        assert row["est_distinct"] == lc // 1_000_000
+    else:
+        assert row["est_distinct"] == raw // 1_000_000
+
+
+# --------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_deterministic_and_clamped(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 200).alias("w")
+    )
+    a = weighted_ticket_sample(df, 20, "doc_id", F.col("w"), max_weight=8)
+    b = weighted_ticket_sample(
+        df.repartition(17), 20, "doc_id", F.col("w"), max_weight=8
+    )
+    ra, rb = a.collect(), b.collect()
+    assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
+    assert len(ra) == 20
+    assert all(1 <= r["weight_used"] <= 8 for r in ra)
+    # recompute one row's priority: min of w md5 tickets
+    r0 = ra[0]
+    tickets = [
+        hashlib.md5(f"{r0['doc_id']}#{i}".encode()).hexdigest()
+        for i in range(1, r0["weight_used"] + 1)
+    ]
+    assert r0["priority"] == min(tickets)
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """Heavier rows must be overrepresented: ids 0..499 weight 8, ids
+    500..999 weight 1 → the 100-row sample should skew heavy ~8:1."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, 8).otherwise(1).alias("w"),
+    )
+    out = weighted_ticket_sample(df, 100, "doc_id", F.col("w")).collect()
+    heavy = sum(1 for r in out if r["doc_id"] < 500)
+    assert heavy > 65  # E[heavy] ≈ 89 under the 8:1 ticket ratio
+    with pytest.raises(ValueError):
+        weighted_ticket_sample(df, 0, "doc_id", F.col("w"))
+
+
+# ----------------------------------------------------------------- tfidf
+
+
+def test_tfidf_top_terms_closed_form(spark):
+    """3-doc corpus: 'rare' appears in 1 doc, 'common' in all 3 (idf 0),
+    scores recomputed in Python micronats."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common common other"),
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, top_n=2).collect()
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["max_tf"], r["tfidf_micro"])
+        for r in out
+    }
+    ln = lambda c: math.floor(math.log(c) * 1e6 + 0.5)  # noqa: E731
+    assert got[(1, "rare")] == (2, 1, 2, 2 * (ln(3) - ln(1)))
+    assert got[(2, "other")] == (1, 2, 1, ln(3) - ln(2))
+    assert got[(1, "common")] == (1, 3, 2, 0)
+    # top_n=2 → at most 2 rows per doc, ties broken by term asc
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["term"])
+    assert all(len(v) <= 2 for v in per_doc.values())
+    with pytest.raises(ValueError):
+        tfidf_top_terms(docs, top_n=0)
+
+
+def test_tfidf_min_df_filters_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa cc")], "doc_id long, text string"
+    )
+    terms = {r["term"] for r in tfidf_top_terms(docs, top_n=5, min_df=2).collect()}
+    assert terms == {"aa"}
