@@ -1140,6 +1140,19 @@ def tfidf_top_terms_docs(spark, sf_dir):
     )
 
 
+def bpe_learn_docs(spark, sf_dir):
+    """Distributed BPE vocabulary learning (operators/bpe.py bpe_learn):
+    4 merges over the documents corpus — ONE corpus shuffle builds the
+    word-count table (then localCheckpointed), every merge round is a
+    vocab-bounded pair count + 1-row argmax + map-only string rewrite.
+    Double-space symbol representation makes the greedy merge a literal
+    replace() with identical semantics in Spark and DuckDB."""
+    from delm_spark.operators.bpe import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_learn(docs, n_merges=4).orderBy("rank")
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -1806,8 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_events": hll_users_events,
         "weighted_sample_docs": weighted_sample_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "bpe_learn_docs": bpe_learn_docs,
         # --- single/double-round green or complex pipelines (keep under gate)
-        "q5_local_supplier_volume": q5_local_supplier_volume,
         "bpe_token_count_docs": bpe_token_count_docs,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "embedding_near_dup_vecs": embedding_near_dup_vecs,
@@ -1829,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_demo": connected_components_demo,
         "near_dup_pipeline_docs": near_dup_pipeline_docs,
         # --- multi-round-green veterans (r02+r03+r04 driver rows + pytest)
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "embedding_topk_cosine": embedding_topk_cosine,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "minhash_signature_docs": minhash_signature_docs,
@@ -2404,6 +2418,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _kg_oracle_sql("communities"),
         "kmeans_clusters_embeddings": _kmeans_oracle_sql(k=8, iters=3),
         "tool_sequences_transcripts": _tool_sequences_oracle_sql(n=2),
+        "bpe_learn_docs": _bpe_oracle_sql(n_merges=4),
         "entity_timeline_kg": _kg_oracle_sql("timeline"),
         "random_walks_kg": _kg_oracle_sql("walks"),
         # operators/sketch.py kmv_distinct over the distinct-token stream:
@@ -3831,6 +3846,46 @@ def _curation_pipeline_oracle_sql() -> str:
             LEFT JOIN packed p ON c.doc_id = p.doc_id
             ORDER BY c.doc_id
         """
+
+
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
+    """DuckDB replica of operators/bpe.py bpe_learn: word counts once,
+    then `n_merges` unrolled rounds of (pair count over the word table,
+    1-row argmax with count-desc/left/right tie-break, double-space
+    replace + gap renormalization)."""
+    sql = r"""
+        WITH toks0 AS (
+            SELECT unnest(string_split_regex(trim(lower(
+                       regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+            FROM documents),
+        w0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS rep,
+                      count(*)::BIGINT AS cnt
+               FROM toks0 WHERE w <> '' GROUP BY w)"""
+    for r in range(1, n_merges + 1):
+        sql += f""",
+        pairs{r} AS (
+            SELECT p['a'] AS l, p['r'] AS r, sum(cnt)::BIGINT AS pair_count
+            FROM (
+                SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])
+                              ::STRUCT(a VARCHAR, r VARCHAR)[]) AS p, cnt
+                FROM (SELECT string_split_regex(trim(rep), ' +') AS toks, cnt
+                      FROM w{r - 1})
+                WHERE len(toks) >= 2)
+            GROUP BY 1, 2),
+        best{r} AS (SELECT l, r, pair_count FROM pairs{r}
+                    ORDER BY pair_count DESC, l, r LIMIT 1),
+        w{r} AS (SELECT regexp_replace(
+                     replace(rep, ' ' || b.l || '  ' || b.r || ' ',
+                                  ' ' || b.l || b.r || ' '),
+                     ' +', '  ', 'g') AS rep, cnt
+                 FROM w{r - 1} CROSS JOIN best{r} b)"""
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS rank, l AS left, r AS right, pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return sql + f"""
+        SELECT * FROM ({union}) ORDER BY rank
+    """
 
 
 def _tool_sequences_oracle_sql(n: int = 2) -> str:

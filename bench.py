@@ -128,6 +128,11 @@ def main() -> None:
         "gopher_quality_docs",
         "unigram_lm_docs",
         "bm25_search_docs",
+        "kmeans_clusters_embeddings",
+        "kmv_distinct_tokens",
+        "hll_users_events",
+        "weighted_sample_docs",
+        "tfidf_top_terms_docs",
     ]
     qs = entry_mod.queries()
     # best-of-2 per suite query (VERDICT r4 "What's wrong" #1): single-run
