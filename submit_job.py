@@ -72,10 +72,16 @@ def main() -> None:
                          "merged graph is written to --output")
     ap.add_argument("--analytics", action="store_true",
                     help="also materialize graph analytics over the "
-                         "canonical graph: degree_distribution/ and "
-                         "pagerank/ under --output (kg/graph.py)")
+                         "canonical graph: degree_distribution/, "
+                         "pagerank/ and communities/ (4-round LPA) under "
+                         "--output (kg/graph.py, kg/communities.py)")
     ap.add_argument("--pagerank-iters", type=int, default=10,
                     help="power iterations for --analytics PageRank")
+    ap.add_argument("--walks-length", type=int, default=0,
+                    help="when > 0, also materialize walks/ — one "
+                         "deterministic hash-seeded random walk of this "
+                         "length per canonical node (kg/walks.py), the "
+                         "graph-embedding training corpus")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -135,6 +141,7 @@ def main() -> None:
         # of the final partitioned table, not a recompute of the pipeline
         # DAG (kg/graph.py scale notes apply: hash aggs + one shuffle per
         # PageRank iteration, no all-pairs work)
+        from delm_spark.kg.communities import label_propagation
         from delm_spark.kg.graph import degree_distribution, pagerank
 
         graph = spark.read.parquet(f"{args.output}/edges").select(
@@ -147,7 +154,22 @@ def main() -> None:
         pagerank(graph, iters=args.pagerank_iters).write.mode("overwrite").parquet(
             f"{args.output}/pagerank"
         )
-        out["analytics"] = ["degree_distribution", "pagerank"]
+        label_propagation(graph, iters=4).write.mode("overwrite").parquet(
+            f"{args.output}/communities"
+        )
+        out["analytics"] = ["degree_distribution", "pagerank", "communities"]
+
+    if args.walks_length > 0:
+        from delm_spark.kg.walks import random_walks
+
+        graph = spark.read.parquet(f"{args.output}/edges").select(
+            F.col("subj_canonical").alias("src"),
+            F.col("obj_canonical").alias("dst"),
+        )
+        random_walks(graph, length=args.walks_length).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/walks")
+        out["walks_length"] = args.walks_length
 
     print(json.dumps(out))
     spark.stop()

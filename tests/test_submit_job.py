@@ -37,6 +37,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             "--dictionary", str(REPO / "tests/fixtures/dictionary.parquet"),
             "--output", str(out),
             "--analytics", "--pagerank-iters", "3",
+            "--walks-length", "4",
         ],
         capture_output=True, text=True, timeout=420, env=env,
     )
@@ -49,9 +50,13 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     # "partitioned edges table"): Hive pred= directories present
     assert [p for p in (out / "edges").iterdir() if p.name.startswith("pred=")]
     # --analytics materializes the day-after queries over the written graph
-    assert stats["analytics"] == ["degree_distribution", "pagerank"]
+    assert stats["analytics"] == [
+        "degree_distribution", "pagerank", "communities"
+    ]
     assert (out / "degree_distribution" / "_SUCCESS").exists()
     assert (out / "pagerank" / "_SUCCESS").exists()
+    assert (out / "communities" / "_SUCCESS").exists()
+    assert (out / "walks" / "_SUCCESS").exists()
     import duckdb
 
     con = duckdb.connect()
@@ -63,6 +68,18 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         f"SELECT count(*), sum(rank) FROM '{out}/pagerank/*.parquet'"
     ).fetchone()
     assert pr[0] > 0 and abs(pr[1] - 1.0) < 1e-6  # ranks sum to 1
+    # communities: one row per node, total community sizes re-add to nodes
+    com = con.execute(
+        f"SELECT count(*), count(DISTINCT community) FROM '{out}/communities/*.parquet'"
+    ).fetchone()
+    # (walks/communities drop self-loop-only nodes; pagerank keeps them)
+    assert 0 < com[1] <= com[0] <= pr[0]
+    # walks: one walk per node, every path has length+1 nodes
+    wk = con.execute(
+        f"SELECT count(*), min(len(string_split(path, '>'))), "
+        f"max(len(string_split(path, '>'))) FROM '{out}/walks/*.parquet'"
+    ).fetchone()
+    assert 0 < wk[0] <= pr[0] and wk[1] == 5 and wk[2] == 5
 
 
 @pytest.mark.skipif(not SPARK_SUBMIT.exists(), reason="spark-submit not on host")
