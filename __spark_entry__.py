@@ -1153,6 +1153,43 @@ def bpe_learn_docs(spark, sf_dir):
     return bpe_learn(docs, n_merges=4).orderBy("rank")
 
 
+def stream_hourly_triples(spark, sf_dir):
+    """Watermarked windowed aggregation as a STREAM (streaming/stream.py
+    hourly_triple_counts): the streaming triple chain stream-static-joins
+    its source turns for event time, then counts triples per (1-hour
+    window, predicate) with a 2-hour watermark in APPEND mode — so the
+    parquet sink holds exactly the windows the watermark closed
+    (window_end <= max event time - 2h; the availableNow no-data final
+    batch flushes them). The oracle re-derives both the counts AND the
+    eviction boundary in SQL, pinning Spark's late-data semantics, not
+    just the arithmetic."""
+    import tempfile
+
+    from delm_spark.streaming.stream import (
+        hourly_triple_counts,
+        read_transcript_stream,
+        run_stream_to_parquet,
+        streaming_triples,
+    )
+
+    stream = read_transcript_stream(spark, str(_FIXTURES / "transcripts.parquet"))
+    ts_map = _fixture_transcripts(spark).select("conv_id", "turn_idx", "ts")
+    with_ts = streaming_triples(stream).join(ts_map, ["conv_id", "turn_idx"])
+    out = tempfile.mkdtemp(prefix="delm_stream_hourly_")
+    q = run_stream_to_parquet(hourly_triple_counts(with_ts), out, out + "_ckpt")
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("window_start").cast("long").alias("win_start"),
+            F.col("window_end").cast("long").alias("win_end"),
+            "pred",
+            "n_triples",
+        )
+        .orderBy("win_start", "pred")
+    )
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -1820,8 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "bpe_learn_docs": bpe_learn_docs,
+        "stream_hourly_triples": stream_hourly_triples,
         # --- single/double-round green or complex pipelines (keep under gate)
-        "bpe_token_count_docs": bpe_token_count_docs,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "embedding_near_dup_vecs": embedding_near_dup_vecs,
         "stateful_sessionize_events": stateful_sessionize_events,
@@ -1843,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pipeline_docs": near_dup_pipeline_docs,
         # --- multi-round-green veterans (r02+r03+r04 driver rows + pytest)
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "bpe_token_count_docs": bpe_token_count_docs,
         "embedding_topk_cosine": embedding_topk_cosine,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "minhash_signature_docs": minhash_signature_docs,
@@ -2419,6 +2457,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters_embeddings": _kmeans_oracle_sql(k=8, iters=3),
         "tool_sequences_transcripts": _tool_sequences_oracle_sql(n=2),
         "bpe_learn_docs": _bpe_oracle_sql(n_merges=4),
+        "stream_hourly_triples": _kg_oracle_sql("hourly"),
         "entity_timeline_kg": _kg_oracle_sql("timeline"),
         "random_walks_kg": _kg_oracle_sql("walks"),
         # operators/sketch.py kmv_distinct over the distinct-token stream:
@@ -3357,6 +3396,28 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             JOIN ca ca2 ON cab.entity_b = ca2.e
             CROSS JOIN ntab
             ORDER BY entity_a, entity_b
+        """
+    if kind == "hourly":
+        # streaming/stream.py hourly_triple_counts in APPEND mode: the
+        # parquet sink holds exactly the windows the final watermark
+        # (max event time - 2h) closed — the WHERE below re-derives the
+        # eviction boundary, so the oracle pins the late-data semantics
+        return base + f""",
+            ts_map AS (SELECT conv_id, turn_idx, ts FROM read_parquet('{tp}')),
+            t AS (SELECT c.pred, m.ts
+                  FROM cleaned c JOIN ts_map m USING (conv_id, turn_idx)),
+            wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w
+                   FROM read_parquet('{tp}'))
+            SELECT CAST(floor(date_part('epoch', date_trunc('hour', ts)))
+                       AS BIGINT) AS win_start,
+                   CAST(floor(date_part('epoch',
+                            date_trunc('hour', ts) + INTERVAL 1 HOUR))
+                       AS BIGINT) AS win_end,
+                   pred, count(*) AS n_triples
+            FROM t CROSS JOIN wm
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+            GROUP BY 1, 2, pred
+            ORDER BY win_start, pred
         """
     if kind == "timeline":
         # kg/trajectory.py entity_timeline: triples join their source
