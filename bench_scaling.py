@@ -354,6 +354,12 @@ Raw per-level JSON:
 """
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
+    # preserve the hand-maintained cross-round history (everything from
+    # the first "## Round-" section on) — a refresh replaces only the
+    # generated measurement sections above it
+    if out.exists() and "\n## Round-" in out.read_text():
+        hist = out.read_text()
+        md = md.rstrip() + "\n\n" + hist[hist.index("\n## Round-") + 1 :]
     out.write_text(md)
     print(json.dumps({"efficiency": round(eff, 3),
                       "thr_low": lo["triples_per_sec"], "thr_high": hi["triples_per_sec"],
