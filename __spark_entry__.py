@@ -24,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from delm_spark.data.synthetic import entity_dictionary, generate_transcripts
 from delm_spark.kg.graph import (
+    clustering_coefficient,
     degree_distribution,
     k_hop_neighbors,
     pagerank,
@@ -1190,6 +1191,24 @@ def stream_hourly_triples(spark, sf_dir):
     )
 
 
+def clustering_coeff_graph(spark, sf_dir):
+    """Per-node local clustering coefficient (kg/graph.py
+    clustering_coefficient) over the chain+skip block graph — exact
+    integer cc_micro = (2e6 * triangles) div (d * (d-1)); composition of
+    the degree-ordered triangle enumeration with the degree table. The
+    oracle re-derives triangles with an a<b<c three-way self-join."""
+    rn = _rn_graph_base(spark, sf_dir, _PR_N)
+    chain = rn.filter(F.col("rn") % 64 != 63).select(
+        F.col("rn").alias("u"), (F.col("rn") + 1).alias("v")
+    )
+    skip = rn.filter(F.col("rn") % 64 <= 61).select(
+        F.col("rn").alias("u"), (F.col("rn") + 2).alias("v")
+    )
+    return clustering_coefficient(
+        chain.unionByName(skip), src="u", dst="v"
+    ).orderBy("node")
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -1858,8 +1877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "bpe_learn_docs": bpe_learn_docs,
         "stream_hourly_triples": stream_hourly_triples,
+        "clustering_coeff_graph": clustering_coeff_graph,
         # --- single/double-round green or complex pipelines (keep under gate)
-        "ivf_topk_embeddings": ivf_topk_embeddings,
         "embedding_near_dup_vecs": embedding_near_dup_vecs,
         "stateful_sessionize_events": stateful_sessionize_events,
         "stream_dedup_events": stream_dedup_events,
@@ -1881,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multi-round-green veterans (r02+r03+r04 driver rows + pytest)
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "bpe_token_count_docs": bpe_token_count_docs,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
         "embedding_topk_cosine": embedding_topk_cosine,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "minhash_signature_docs": minhash_signature_docs,
@@ -2629,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_demo": _pagerank_oracle_sql(_PR_N, _PR_ITERS, _PR_DAMPING),
         "triangle_blocks_demo": _triangle_oracle_sql(_PR_N),
+        "clustering_coeff_graph": _clustering_oracle_sql(_PR_N),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(
             dim=64, k=10, n_planes=8, probe_radius=2
         ),
@@ -3729,6 +3750,44 @@ def _triangle_oracle_sql(n: int) -> str:
             SELECT CAST(floor(a / 64) AS BIGINT) AS block,
                    count(*) AS n_triangles
             FROM t GROUP BY block ORDER BY block
+        """
+    )
+
+
+def _clustering_oracle_sql(n: int) -> str:
+    """Per-node clustering coefficient over the chain+skip graph: the
+    implementation-independent a<b<c triangle enumeration, exploded to
+    endpoints, joined to the degree table, exact-integer cc_micro."""
+    return (
+        _rn_graph_sql(n)
+        + """,
+            edges0 AS (
+                SELECT rn AS u, rn + 1 AS v FROM rn WHERE rn % 64 <> 63
+                UNION ALL
+                SELECT rn, rn + 2 FROM rn WHERE rn % 64 <= 61),
+            e AS (
+                SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+                FROM edges0 WHERE u <> v),
+            t AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+            pn AS (
+                SELECT node, count(*)::BIGINT AS n_triangles
+                FROM (SELECT unnest([a, b, c]) AS node FROM t)
+                GROUP BY node),
+            deg AS (
+                SELECT node, count(*)::BIGINT AS degree
+                FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                GROUP BY node)
+            SELECT d.node, d.degree,
+                   coalesce(pn.n_triangles, 0)::BIGINT AS n_triangles,
+                   (CASE WHEN d.degree >= 2
+                         THEN (2000000 * coalesce(pn.n_triangles, 0))
+                              // (d.degree * (d.degree - 1))
+                         ELSE 0 END)::BIGINT AS cc_micro
+            FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node
         """
     )
 

@@ -221,3 +221,46 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return triangles(edges, src, dst).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node, exact-integer.
+
+    cc(v) = 2 * t(v) / (deg(v) * (deg(v) - 1)) where t(v) counts the
+    triangles through v — quantized to cc_micro = (2e6 * t) div
+    (d * (d - 1)) so the SQL oracle reproduces it bit-for-bit (degree-1
+    nodes score 0). Composition of the existing degree-ordered triangle
+    enumeration (each triangle explodes to its three endpoints, one
+    combinable aggregation) with the degree table; nodes on no triangle
+    keep a zero row. Returns (node, degree, n_triangles, cc_micro).
+    """
+    und = undirected_edges(edges, src, dst)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    per_node = (
+        triangles(edges, src, dst)
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                "2000000 * coalesce(n_triangles, 0) div "
+                "(degree * (degree - 1))"
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("cc_micro"),
+    )
