@@ -1209,6 +1209,18 @@ def clustering_coeff_graph(spark, sf_dir):
     ).orderBy("node")
 
 
+def bigram_lm_docs(spark, sf_dir):
+    """Bigram-LM surprisal per document (operators/curation.py
+    bigram_lm_score): UNK-mapped top-30 vocabulary, add-one smoothing,
+    integer micronats — per-doc bigrams from an IN-ROW array zip (no
+    second corpus shuffle), conditional tables broadcast back. The
+    fluency companion of unigram_lm_docs."""
+    from delm_spark.operators.curation import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, vocab_size=30).orderBy("doc_id")
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -1878,8 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_docs": bpe_learn_docs,
         "stream_hourly_triples": stream_hourly_triples,
         "clustering_coeff_graph": clustering_coeff_graph,
+        "bigram_lm_docs": bigram_lm_docs,
         # --- single/double-round green or complex pipelines (keep under gate)
-        "embedding_near_dup_vecs": embedding_near_dup_vecs,
         "stateful_sessionize_events": stateful_sessionize_events,
         "stream_dedup_events": stream_dedup_events,
         "image_pixel_stats_docs": image_pixel_stats_docs,
@@ -1901,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "bpe_token_count_docs": bpe_token_count_docs,
         "ivf_topk_embeddings": ivf_topk_embeddings,
+        "embedding_near_dup_vecs": embedding_near_dup_vecs,
         "embedding_topk_cosine": embedding_topk_cosine,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "minhash_signature_docs": minhash_signature_docs,
@@ -2477,6 +2490,46 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters_embeddings": _kmeans_oracle_sql(k=8, iters=3),
         "tool_sequences_transcripts": _tool_sequences_oracle_sql(n=2),
         "bpe_learn_docs": _bpe_oracle_sql(n_merges=4),
+        "bigram_lm_docs": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(
+                           regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))),
+                           ' '), w -> w <> '') AS ws
+                FROM documents),
+            tok AS (SELECT unnest(ws) AS w FROM docs),
+            cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            voc AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 30),
+            ex AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,
+                          unnest(ws) AS w
+                   FROM docs),
+            mx AS (SELECT e.doc_id, e.i,
+                          CASE WHEN v.w IS NULL THEN '<unk>' ELSE e.w END AS mw
+                   FROM ex e LEFT JOIN voc v ON e.w = v.w),
+            grams AS (SELECT a.doc_id, a.mw AS w1, b.mw AS w2
+                      FROM mx a JOIN mx b
+                        ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            uni AS (SELECT w1, floor(ln(count(*) + 31) * 1e6 + 0.5)::BIGINT
+                               AS ln_den
+                    FROM grams GROUP BY w1),
+            bi AS (SELECT w1, w2, floor(ln(count(*) + 1) * 1e6 + 0.5)::BIGINT
+                              AS ln_num
+                   FROM grams GROUP BY w1, w2),
+            sc AS (SELECT g.doc_id, u.ln_den - b.ln_num AS s
+                   FROM grams g
+                   JOIN bi b USING (w1, w2) JOIN uni u USING (w1)),
+            pd AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                          sum(s)::BIGINT AS sum_surprisal_micro,
+                          (sum(s) // count(*))::BIGINT AS avg_surprisal_micro
+                   FROM sc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(sum_surprisal_micro, 0)::BIGINT
+                       AS sum_surprisal_micro,
+                   coalesce(avg_surprisal_micro, 0)::BIGINT
+                       AS avg_surprisal_micro
+            FROM docs d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
+        """,
         "stream_hourly_triples": _kg_oracle_sql("hourly"),
         "entity_timeline_kg": _kg_oracle_sql("timeline"),
         "random_walks_kg": _kg_oracle_sql("walks"),

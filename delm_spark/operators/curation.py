@@ -436,3 +436,113 @@ def hashed_linear_score(
             .alias("avg_weight_micro"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 30,
+) -> DataFrame:
+    """Mean BIGRAM surprisal per document in integer micronats — the
+    second-order companion of `unigram_lm_score` (fluency-sensitive
+    where the unigram score only sees word choice).
+
+    Model: tokens outside the top-`vocab_size` unigram vocabulary map
+    to '<unk>' (so the conditional tables are vocab-bounded at corpus
+    scale); add-one smoothing over the (vocab_size + 1)-symbol alphabet:
+
+        surprisal(w1 w2) = ln(c(w1) + V + 1) - ln(c(w1 w2) + 1)
+
+    with both counts over the UNK-mapped corpus. `ln` is applied only to
+    whole-corpus integer counts (the micronat discipline), so every
+    per-document value is exact BIGINT arithmetic, independent of
+    aggregation and partitioning.
+
+    Plan shape (100-TB framing): ONE token pass builds unigram counts
+    (top-V vocabulary broadcast back); per-document bigrams come from an
+    IN-ROW zip of the UNK-mapped token array (map-only, no
+    second corpus shuffle); the bigram-count aggregation and the final
+    per-doc aggregation are the only exchanges; the conditional tables
+    join back broadcast (bounded by (V+1)^2 observed entries).
+
+    Returns (id_col, n_bigrams, sum_surprisal_micro, avg_surprisal_micro)
+    with single-token/empty docs keeping an n_bigrams=0 zero row.
+    """
+    micronats = lambda c: F.floor(F.log(c) * 1e6 + 0.5).cast("long")  # noqa: E731
+    words = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    docs = df.select(
+        F.col(id_col),
+        F.filter(words, lambda w: w != F.lit("")).alias("__ws"),
+    )
+    tokens = docs.select(F.explode("__ws").alias("w"))
+    counts = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w")
+    )
+    # UNK-map in-row via a broadcast membership join of the exploded
+    # unigram stream is avoided: the vocabulary is collected once
+    # (bounded by vocab_size) and folded into a native array_contains
+    # literal, keeping the mapping map-only on both passes
+    vset = sorted(r["w"] for r in vocab.collect())
+    in_vocab = lambda w: F.array_contains(  # noqa: E731
+        F.array(*[F.lit(v) for v in vset]) if vset else F.array(F.lit("")),
+        w,
+    )
+    mapped = docs.select(
+        F.col(id_col),
+        F.transform(
+            "__ws", lambda w: F.when(in_vocab(w), w).otherwise(F.lit("<unk>"))
+        ).alias("__ms"),
+    )
+    grams = mapped.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(
+                    "__ms", 1, F.greatest(F.size("__ms") - 1, F.lit(0))
+                ),
+                F.slice(
+                    "__ms", 2, F.greatest(F.size("__ms") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    uni = (
+        grams.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .select("w1", micronats(F.col("c1") + vocab_size + 1).alias("ln_den"))
+    )
+    bi = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .select("w1", "w2", micronats(F.col("c12") + 1).alias("ln_num"))
+    )
+    scored = (
+        grams.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .select(id_col, (F.col("ln_den") - F.col("ln_num")).alias("s"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("s").cast("long").alias("sum_surprisal_micro"),
+        F.expr("sum(s) div count(1)").cast("long").alias("avg_surprisal_micro"),
+    )
+    # zero rows for docs with < 2 tokens (LEFT join back over all inputs)
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_surprisal_micro", F.lit(0))
+            .cast("long")
+            .alias("sum_surprisal_micro"),
+            F.coalesce("avg_surprisal_micro", F.lit(0))
+            .cast("long")
+            .alias("avg_surprisal_micro"),
+        )
+    )

@@ -291,3 +291,45 @@ def test_tfidf_min_df_filters_rare_terms(spark):
     )
     terms = {r["term"] for r in tfidf_top_terms(docs, top_n=5, min_df=2).collect()}
     assert terms == {"aa"}
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_closed_form(spark):
+    """2-doc corpus, vocab covers everything (no <unk>): recompute the
+    add-one-smoothed surprisals in Python micronats."""
+    import math
+
+    from delm_spark.operators.curation import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: tuple(r)[1:] for r in bigram_lm_score(docs, vocab_size=30).collect()}
+    ln = lambda c: math.floor(math.log(c) * 1e6 + 0.5)  # noqa: E731
+    V = 31
+    # bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,a)
+    # history counts: c(a) = 3 (two a->b + one a->a), c(b) = 1
+    s_ab = ln(3 + V) - ln(2 + 1)
+    s_ba = ln(1 + V) - ln(1 + 1)
+    s_aa = ln(3 + V) - ln(1 + 1)
+    assert out[1] == (3, s_ab * 2 + s_ba, (s_ab * 2 + s_ba) // 3)
+    assert out[2] == (1, s_aa, s_aa)
+    # single-token and null docs keep zero rows
+    assert out[3] == (0, 0, 0) and out[4] == (0, 0, 0)
+
+
+def test_bigram_lm_unk_mapping(spark):
+    """vocab_size=1 keeps only the most frequent token; everything else
+    becomes one shared <unk> history."""
+    from delm_spark.operators.curation import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "z q z"), (2, "z r z")], "doc_id long, text string"
+    )
+    out = bigram_lm_score(docs, vocab_size=1).collect()
+    # mapped streams: z <unk> z twice -> both docs identical scores
+    rows = {r["doc_id"]: (r["n_bigrams"], r["sum_surprisal_micro"]) for r in out}
+    assert rows[1] == rows[2] and rows[1][0] == 2
