@@ -1221,6 +1221,45 @@ def bigram_lm_docs(spark, sf_dir):
     return bigram_lm_score(docs, vocab_size=30).orderBy("doc_id")
 
 
+def negative_samples_kg(spark, sf_dir):
+    """Filtered TransE-style negative sampling (kg/completion.py
+    negative_samples) over the flagship extraction chain's triples: 2
+    hash-drawn corruptions per positive (md5-derived side + replacement
+    rank, broadcast entity dictionary), degenerate draws and
+    false-negatives (corruptions that are themselves positives) removed.
+    The oracle re-derives the extraction chain AND the sampling
+    arithmetic (60-bit hex hash, integer div/mod, NOT EXISTS filter)."""
+    from delm_spark.kg.completion import negative_samples
+
+    triples = explode_extracted_triples(spark, sf_dir).select(
+        "subj", "pred", "obj"
+    )
+    return negative_samples(triples, k=2, seed=0).orderBy(
+        "subj", "pred", "obj", "neg_idx"
+    )
+
+
+def link_prediction_kg(spark, sf_dir):
+    """Common-neighbor / Adamic-Adar / resource-allocation link
+    prediction (kg/completion.py link_prediction_scores) over the
+    chain+skip block graph: wedge enumeration through each common
+    neighbor, per-w terms quantized to integers BEFORE the sum
+    (aggregation-order independent), existing edges anti-joined out.
+    The oracle replays the wedge join and the exact-integer scoring."""
+    from delm_spark.kg.completion import link_prediction_scores
+
+    rn = _rn_graph_base(spark, sf_dir, _PR_N)
+    chain = rn.filter(F.col("rn") % 64 != 63).select(
+        F.col("rn").alias("u"), (F.col("rn") + 1).alias("v")
+    )
+    skip = rn.filter(F.col("rn") % 64 <= 61).select(
+        F.col("rn").alias("u"), (F.col("rn") + 2).alias("v")
+    )
+    return link_prediction_scores(
+        chain.unionByName(skip), src="u", dst="v"
+    ).orderBy("u", "v")
+
+
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3, rotating 4-block LSH — full
     recall for Hamming <= 3 by pigeonhole; md5-derived 60-bit signatures
@@ -1891,6 +1930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_triples": stream_hourly_triples,
         "clustering_coeff_graph": clustering_coeff_graph,
         "bigram_lm_docs": bigram_lm_docs,
+        "negative_samples_kg": negative_samples_kg,
+        "link_prediction_kg": link_prediction_kg,
         # --- single/double-round green or complex pipelines (keep under gate)
         "stateful_sessionize_events": stateful_sessionize_events,
         "stream_dedup_events": stream_dedup_events,
@@ -2703,6 +2744,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_demo": _pagerank_oracle_sql(_PR_N, _PR_ITERS, _PR_DAMPING),
         "triangle_blocks_demo": _triangle_oracle_sql(_PR_N),
         "clustering_coeff_graph": _clustering_oracle_sql(_PR_N),
+        "negative_samples_kg": _kg_oracle_sql("negatives"),
+        "link_prediction_kg": _link_prediction_oracle_sql(_PR_N),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(
             dim=64, k=10, n_planes=8, probe_radius=2
         ),
@@ -3409,6 +3452,45 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             FROM cleaned
             ORDER BY conv_id, turn_idx, chunk_pos, subj, pred, obj
         """
+    if kind == "negatives":
+        # kg/completion.py negative_samples(k=2, seed=0): 60-bit md5 hash
+        # picks side (h%2) and replacement rank ((h//2) mod |E|); drop
+        # degenerate draws and corruptions that are themselves positives
+        return base + """,
+            pos AS (SELECT DISTINCT subj, pred, obj FROM cleaned),
+            ents AS (
+                SELECT entity,
+                       row_number() OVER (ORDER BY entity) - 1 AS rank
+                FROM (SELECT subj AS entity FROM pos
+                      UNION SELECT obj FROM pos)),
+            n AS (SELECT count(*) AS n_ent FROM ents),
+            drawn AS (
+                SELECT subj, pred, obj, neg_idx,
+                       ('0x' || substr(md5('neg|0|' || subj || '|' || pred
+                            || '|' || obj || '|'
+                            || CAST(neg_idx AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM pos CROSS JOIN (SELECT unnest([0, 1]) AS neg_idx) t),
+            sided AS (
+                SELECT subj, pred, obj, neg_idx::BIGINT AS neg_idx,
+                       CASE WHEN h % 2 = 0 THEN 'subj' ELSE 'obj'
+                            END AS corrupt_side,
+                       (h // 2) % (SELECT n_ent FROM n) AS repl_rank
+                FROM drawn),
+            repl AS (
+                SELECT s.subj, s.pred, s.obj, s.neg_idx, s.corrupt_side,
+                       CASE WHEN s.corrupt_side = 'subj' THEN e.entity
+                            ELSE s.subj END AS neg_subj,
+                       CASE WHEN s.corrupt_side = 'obj' THEN e.entity
+                            ELSE s.obj END AS neg_obj
+                FROM sided s JOIN ents e ON e.rank = s.repl_rank)
+            SELECT subj, pred, obj, neg_idx, corrupt_side, neg_subj, neg_obj
+            FROM repl r
+            WHERE (neg_subj <> subj OR neg_obj <> obj)
+              AND NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.subj = r.neg_subj AND p.pred = r.pred
+                                AND p.obj = r.neg_obj)
+            ORDER BY subj, pred, obj, neg_idx
+        """
     linked = base + f""",
             dict AS (SELECT surface, canonical_id FROM read_parquet('{dp}')),
             normed AS (
@@ -3841,6 +3923,49 @@ def _clustering_oracle_sql(n: int) -> str:
                               // (d.degree * (d.degree - 1))
                          ELSE 0 END)::BIGINT AS cc_micro
             FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node
+        """
+    )
+
+
+def _link_prediction_oracle_sql(n: int) -> str:
+    """Common-neighbor / Adamic-Adar / resource-allocation scores over
+    the chain+skip graph: adjacency self-join wedge enumeration, per-w
+    terms quantized to integers BEFORE the sum, existing edges removed
+    (kg/completion.py link_prediction_scores)."""
+    return (
+        _rn_graph_sql(n)
+        + """,
+            edges0 AS (
+                SELECT rn AS u, rn + 1 AS v FROM rn WHERE rn % 64 <> 63
+                UNION ALL
+                SELECT rn, rn + 2 FROM rn WHERE rn % 64 <= 61),
+            e AS (
+                SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+                FROM edges0 WHERE u <> v),
+            adj AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL SELECT v, u FROM e),
+            wterm AS (
+                SELECT node,
+                       floor(1e6 / ln(degree) + 0.5)::BIGINT AS aa_term,
+                       (1000000 // degree)::BIGINT AS ra_term
+                FROM (SELECT node, count(*)::BIGINT AS degree
+                      FROM adj GROUP BY node)),
+            wedges AS (
+                SELECT a1.node AS node, a1.nbr AS u, a2.nbr AS v
+                FROM adj a1 JOIN adj a2
+                  ON a1.node = a2.node AND a1.nbr < a2.nbr),
+            scored AS (
+                SELECT u, v, count(*)::BIGINT AS common_neighbors,
+                       sum(w.aa_term)::BIGINT AS aa_micro,
+                       sum(w.ra_term)::BIGINT AS ra_micro
+                FROM wedges JOIN wterm w USING (node)
+                GROUP BY u, v)
+            SELECT s.u, s.v, s.common_neighbors, s.aa_micro, s.ra_micro
+            FROM scored s
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.u = s.u AND e.v = s.v)
+            ORDER BY s.u, s.v
         """
     )
 
