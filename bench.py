@@ -133,6 +133,7 @@ def main() -> None:
         "hll_users_events",
         "weighted_sample_docs",
         "tfidf_top_terms_docs",
+        "link_prediction_kg",
     ]
     qs = entry_mod.queries()
     # best-of-2 per suite query (VERDICT r4 "What's wrong" #1): single-run
