@@ -1114,6 +1114,59 @@ def hll_users_events(spark, sf_dir):
     return hll_cardinality(events, "user_id")
 
 
+def cms_user_counts_events(spark, sf_dir):
+    """Count-Min frequency estimates (operators/sketch.py
+    count_min_table + cms_estimate_counts, depth=4 width=64) for every
+    distinct event user, joined to the exact counts: (user, est, exact)
+    with est >= exact by CMS's one-sided guarantee. width=64 < 150 users
+    forces real collisions, so the overestimates are exercised, not
+    vacuous. The sketch build is one map-side-combinable aggregation to
+    <= 256 cells; the probe is a broadcast join of those cells. The
+    oracle re-derives the salted md5 bucket hashes, the cell table, and
+    the per-key min in SQL."""
+    from delm_spark.operators.sketch import cms_estimate_counts
+
+    events = _t(spark, sf_dir, "events")
+    est = cms_estimate_counts(events, "user_id", depth=4, width=64)
+    exact = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("exact_count")
+    )
+    return (
+        est.join(exact, "key")
+        .select(
+            F.col("key").cast("long").alias("user_id"),
+            "est_count",
+            "exact_count",
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_rollup_cube(spark, sf_dir):
+    """Hypertable-style time rollup: event counts and value sums at
+    every granularity of ROLLUP(day, event_type) in ONE pass — the
+    partial-aggregate expand that replaces N separate groupBys (and N
+    scans) with one shuffle. grouping_id() disambiguates the levels;
+    value sums are quantized to integer micro-units before aggregation
+    so totals are order-independent. The oracle is DuckDB's own
+    GROUP BY ROLLUP."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value_micro"),
+    )
+    return (
+        base.rollup("day", "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.sum("value_micro").alias("value_micro_sum"),
+        )
+        .orderBy("gid", "day", "event_type")
+    )
+
+
 def weighted_sample_docs(spark, sf_dir):
     """Deterministic weighted sampling (operators/sample.py
     weighted_ticket_sample): length-weighted ticket lottery, priority =
@@ -1932,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_docs": bigram_lm_docs,
         "negative_samples_kg": negative_samples_kg,
         "link_prediction_kg": link_prediction_kg,
+        "cms_user_counts_events": cms_user_counts_events,
+        "events_rollup_cube": events_rollup_cube,
         # --- single/double-round green or complex pipelines (keep under gate)
         "stateful_sessionize_events": stateful_sessionize_events,
         "stream_dedup_events": stream_dedup_events,
@@ -2592,6 +2647,47 @@ def oracle_sql() -> dict[str, str]:
             FROM mins
         """,
         "hll_users_events": _hll_oracle_sql("events", "user_id"),
+        # operators/sketch.py count_min_table + cms_estimate_counts:
+        # salted md5 bucket hashes, cell table, per-key min, exact join
+        "cms_user_counts_events": """
+            WITH j AS (SELECT unnest([0, 1, 2, 3]) AS depth_row),
+            buckets AS (
+                SELECT user_id, depth_row,
+                       ('0x' || substr(md5('cm' || CAST(depth_row AS VARCHAR)
+                            || '|' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                           % 64 AS bucket
+                FROM events CROSS JOIN j),
+            cells AS (
+                SELECT depth_row, bucket, count(*)::BIGINT AS cell_count
+                FROM buckets GROUP BY depth_row, bucket),
+            probes AS (
+                SELECT DISTINCT user_id, depth_row, bucket FROM buckets),
+            est AS (
+                SELECT p.user_id, min(c.cell_count)::BIGINT AS est_count
+                FROM probes p JOIN cells c USING (depth_row, bucket)
+                GROUP BY p.user_id),
+            exact AS (
+                SELECT user_id, count(*)::BIGINT AS exact_count
+                FROM events GROUP BY user_id)
+            SELECT user_id, est_count, exact_count
+            FROM est JOIN exact USING (user_id)
+            ORDER BY user_id
+        """,
+        # one-pass ROLLUP(day, event_type) with grouping_id and
+        # integer-micro value sums — oracle is DuckDB's native ROLLUP
+        "events_rollup_cube": """
+            WITH base AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                       floor(value * 1e6 + 0.5)::BIGINT AS value_micro
+                FROM events)
+            SELECT day, event_type,
+                   (GROUPING(day) * 2 + GROUPING(event_type))::BIGINT AS gid,
+                   count(*)::BIGINT AS n_events,
+                   sum(value_micro)::BIGINT AS value_micro_sum
+            FROM base
+            GROUP BY ROLLUP(day, event_type)
+            ORDER BY gid, day, event_type
+        """,
         # operators/sample.py weighted_ticket_sample: min-of-w-md5-tickets
         # priority, clamped length-derived weights, top-50
         "weighted_sample_docs": """

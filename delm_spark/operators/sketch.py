@@ -1,15 +1,16 @@
-"""Mergeable cardinality sketches: k-minimum-values (KMV) and
-HyperLogLog — the 100-TB answer to "how many distinct X" when an exact
-count-distinct shuffle is too expensive or the counts must be merged
-across partitions/days/shards.
+"""Mergeable sketches: k-minimum-values (KMV) and HyperLogLog for
+"how many distinct X", and Count-Min for "how often did key x occur" —
+the 100-TB answers when an exact shuffle is too expensive or the
+summaries must be merged across partitions/days/shards.
 
-Spark ships approx_count_distinct (HLL++), but its register hashing is
-engine-internal: the result is not reproducible outside Spark, so it
-cannot sit under this repo's cross-engine correctness oracle, and its
-sketch bytes cannot be merged by a non-Spark consumer. These two
-operators use md5-derived hashes and EXACT integer arithmetic end to
-end, so DuckDB re-derives the estimate bit-for-bit and the register /
-min-hash tables are portable.
+Spark ships approx_count_distinct (HLL++) and an internal
+CountMinSketch, but their hashing is engine-internal: the results are
+not reproducible outside Spark, so they cannot sit under this repo's
+cross-engine correctness oracle, and the sketch bytes cannot be merged
+by a non-Spark consumer. These operators use md5-derived hashes and
+EXACT integer arithmetic end to end, so DuckDB re-derives every
+estimate bit-for-bit and the register / min-hash / cell tables are
+portable.
 
 - `kmv_distinct` (Bar-Yossef et al. 2002): keep the k smallest 48-bit
   hashes; estimate = (k-1) * 2^48 / h_k. Plan: one distinct-hash
@@ -153,4 +154,93 @@ def hll_cardinality(df: DataFrame, col: str, p: int = 8) -> DataFrame:
         "n_used",
         s,
         est.alias("est_distinct"),
+    )
+
+
+def _cms_buckets(key: Column, depth: int, width: int) -> Column:
+    """Array of `depth` bucket indices for `key`: row j hashes with the
+    salt 'cm{j}|' (first 48 md5 bits mod width) — SQL-reproducible as
+    list_transform(generate_series(...), j -> ('0x' ||
+    substr(md5('cm' || j || '|' || key), 1, 12))::BIGINT % width)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm"), j.cast("string"), F.lit("|"),
+                        key.cast("string"),
+                    )
+                ),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long")
+        % width,
+    )
+
+
+def count_min_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch table (Cormode & Muthukrishnan 2005) over `col`:
+    one row per non-empty (depth_row, bucket) cell with its summed count.
+
+    The classic mergeable frequency sketch: depth*width integers answer
+    "how often did key x occur" with one-sided error (never an
+    undercount, overcount <= 2N/width w.p. 1 - 2^-depth). The build is a
+    single map-side-combinable aggregation — depth rows per input record
+    reduce to at most depth*width cells regardless of corpus size, so
+    the sketch is a broadcast-sized object at any scale and cells from
+    disjoint corpora merge by addition. md5-salted row hashes keep the
+    table bit-reproducible in SQL (unlike Spark's internal CountMinSketch
+    whose hash seeds are engine-private).
+    """
+    if not 1 <= depth <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    if not 2 <= width <= 1 << 20:
+        raise ValueError(f"width must be in [2, 2^20], got {width}")
+    return (
+        df.select(
+            F.posexplode(_cms_buckets(F.col(col), depth, width)).alias(
+                "depth_row", "bucket"
+            )
+        )
+        .groupBy("depth_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_count"))
+    )
+
+
+def cms_estimate_counts(
+    df: DataFrame,
+    col: str,
+    keys: DataFrame | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the Count-Min sketch of `df[col]` for every key in
+    `keys` (default: the distinct keys of the corpus itself): estimate =
+    min over the depth rows of the key's cell counts.
+
+    Returns (key, est_count) with est_count >= the true frequency by
+    CMS's one-sided guarantee. The sketch (<= depth*width rows) is
+    broadcast into the probe join, so estimating any number of keys is
+    one broadcast hash join + a width-`depth` min aggregation — no
+    shuffle of the corpus beyond the sketch build's own combine.
+    """
+    sketch = count_min_table(df, col, depth, width)
+    if keys is None:
+        keys = df.select(F.col(col).alias("key")).distinct()
+    else:
+        keys = keys.select(F.col(keys.columns[0]).alias("key"))
+    probes = keys.select(
+        "key",
+        F.posexplode(_cms_buckets(F.col("key"), depth, width)).alias(
+            "depth_row", "bucket"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth_row", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cell_count").cast("long").alias("est_count"))
     )

@@ -333,3 +333,96 @@ def test_bigram_lm_unk_mapping(spark):
     # mapped streams: z <unk> z twice -> both docs identical scores
     rows = {r["doc_id"]: (r["n_bigrams"], r["sum_surprisal_micro"]) for r in out}
     assert rows[1] == rows[2] and rows[1][0] == 2
+
+
+def test_cms_one_sided_and_exact_when_sparse(spark):
+    """Estimates never undercount; with width >> keys and no collisions
+    the estimate is exact."""
+    from delm_spark.operators.sketch import cms_estimate_counts
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate_counts(df, "k", depth=4, width=4096).collect()
+    }
+    assert got == {"a": 7, "b": 3, "c": 1}
+
+
+def test_cms_collisions_only_overcount(spark):
+    """width=2 forces collisions: every estimate >= truth, and the
+    total overcount is bounded by the sketch guarantee shape."""
+    from delm_spark.operators.sketch import cms_estimate_counts
+
+    truth = {f"k{i}": i + 1 for i in range(8)}
+    rows = [(k,) for k, n in truth.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate_counts(df, "k", depth=4, width=2).collect()
+    }
+    assert set(got) == set(truth)
+    assert all(got[k] >= truth[k] for k in truth)
+
+
+def test_cms_python_replica(spark):
+    """Recompute the salted bucket hashes, cell table and per-key min in
+    pure Python — the sketch is a pure function of the input."""
+    from delm_spark.operators.sketch import cms_estimate_counts, count_min_table
+
+    vals = [f"u{i % 11}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    depth, width = 3, 8
+    cells = {}
+    for v in vals:
+        for j in range(depth):
+            h = hashlib.md5(f"cm{j}|{v}".encode()).hexdigest()
+            b = int(h[:12], 16) % width
+            cells[(j, b)] = cells.get((j, b), 0) + 1
+    got_cells = {
+        (r["depth_row"], r["bucket"]): r["cell_count"]
+        for r in count_min_table(df, "k", depth=depth, width=width).collect()
+    }
+    assert got_cells == cells
+    expected = {}
+    for v in set(vals):
+        expected[v] = min(
+            cells[(j, int(hashlib.md5(f"cm{j}|{v}".encode()).hexdigest()[:12], 16) % width)]
+            for j in range(depth)
+        )
+    got = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate_counts(df, "k", depth=depth, width=width).collect()
+    }
+    assert got == expected
+
+
+def test_cms_mergeable_and_validation(spark):
+    """Sketch of a union == cell-wise sum of the parts' sketches (the
+    mergeability contract), and bad params raise."""
+    import pytest as _pytest
+
+    from delm_spark.operators.sketch import count_min_table
+
+    a = spark.createDataFrame([(f"x{i % 5}",) for i in range(40)], "k string")
+    b = spark.createDataFrame([(f"x{i % 9}",) for i in range(50)], "k string")
+    t_union = {
+        (r["depth_row"], r["bucket"]): r["cell_count"]
+        for r in count_min_table(a.unionByName(b), "k", 4, 16).collect()
+    }
+    t_a = {
+        (r["depth_row"], r["bucket"]): r["cell_count"]
+        for r in count_min_table(a, "k", 4, 16).collect()
+    }
+    t_b = {
+        (r["depth_row"], r["bucket"]): r["cell_count"]
+        for r in count_min_table(b, "k", 4, 16).collect()
+    }
+    merged = {
+        c: t_a.get(c, 0) + t_b.get(c, 0) for c in set(t_a) | set(t_b)
+    }
+    assert t_union == merged
+    with _pytest.raises(ValueError):
+        count_min_table(a, "k", depth=0)
+    with _pytest.raises(ValueError):
+        count_min_table(a, "k", width=1)
