@@ -1638,6 +1638,23 @@ def bm25_search_docs(spark, sf_dir):
     return bm25_topk(docs, ["spark", "merge", "window"], k=20)
 
 
+def rrf_search_docs(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/search.py rrf_fuse) of two
+    retrieval lists over the same 3-term query — BM25 top-30 and raw
+    term-frequency top-30 — each contributing integer 1e6 div (60+rank)
+    micro-units; fused top-20 by (rrf desc, id asc). The oracle
+    re-derives BOTH rankers, the rank windows, and the fusion in SQL."""
+    from delm_spark.operators.search import bm25_topk, rrf_fuse, term_count_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "window"]
+    return rrf_fuse(
+        [bm25_topk(docs, terms, k=30), term_count_topk(docs, terms, k=30)],
+        k_rrf=60,
+        k=20,
+    )
+
+
 def stratified_sample_docs(spark, sf_dir):
     """Deterministic per-language stratified sampling (domain-mixing
     primitive): keep iff md5-bucket(doc_id) < frac * 10000 — map-only,
@@ -1987,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_kg": link_prediction_kg,
         "cms_user_counts_events": cms_user_counts_events,
         "events_rollup_cube": events_rollup_cube,
+        "rrf_search_docs": rrf_search_docs,
         # --- single/double-round green or complex pipelines (keep under gate)
         "stateful_sessionize_events": stateful_sessionize_events,
         "stream_dedup_events": stream_dedup_events,
@@ -3037,6 +3055,57 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::INT AS n_terms_hit
             FROM scored GROUP BY doc_id
             ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+        """,
+        # operators/search.py rrf_fuse over bm25_topk(30) + term_count_topk(30)
+        "rrf_search_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                           ' ') AS w
+                FROM documents),
+            docs AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM w),
+            prof AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                            SUM(dl)::BIGINT AS sum_dl FROM docs),
+            stacked AS (
+                SELECT doc_id, dl, t.term,
+                       len(list_filter(w, x -> x = t.term))::BIGINT AS tf
+                FROM docs, (VALUES ('spark'), ('merge'), ('window')) t(term)
+                WHERE len(list_filter(w, x -> x = t.term)) > 0),
+            dfreq AS (SELECT term, COUNT(*)::BIGINT AS df
+                      FROM stacked GROUP BY 1),
+            scored AS (
+                SELECT s.doc_id,
+                       CAST(floor(
+                           ln((p.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * (s.tf * (1.2 + 1.0)
+                              / (s.tf + 1.2 * ((1.0 - 0.75)
+                                 + 0.75 * s.dl / (p.sum_dl / p.n_docs))))
+                           * 1e6 + 0.5) AS BIGINT) AS sc
+                FROM stacked s JOIN dfreq d USING (term) CROSS JOIN prof p),
+            bm25 AS (
+                SELECT doc_id, SUM(sc)::BIGINT AS score_micro
+                FROM scored GROUP BY doc_id
+                ORDER BY score_micro DESC, doc_id ASC LIMIT 30),
+            tc AS (
+                SELECT doc_id, SUM(tf)::BIGINT AS score_micro
+                FROM stacked GROUP BY doc_id
+                ORDER BY score_micro DESC, doc_id ASC LIMIT 30),
+            r1 AS (
+                SELECT doc_id,
+                       1000000 // (60 + row_number() OVER (
+                           ORDER BY score_micro DESC, doc_id ASC)) AS t
+                FROM bm25),
+            r2 AS (
+                SELECT doc_id,
+                       1000000 // (60 + row_number() OVER (
+                           ORDER BY score_micro DESC, doc_id ASC)) AS t
+                FROM tc),
+            u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+            SELECT doc_id, SUM(t)::BIGINT AS rrf_micro,
+                   COUNT(*)::INT AS n_lists
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_micro DESC, doc_id ASC LIMIT 20
         """,
         "incremental_dedup_docs": _incremental_dedup_oracle_sql(
             k=16, bands=4, split=250, jaccard_threshold=0.5

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from delm_spark.operators.dedup import normalize_text
 
-__all__ = ["bm25_topk", "tfidf_top_terms"]
+__all__ = ["bm25_topk", "tfidf_top_terms", "term_count_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -210,4 +210,87 @@ def tfidf_top_terms(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= top_n)
         .drop("__rn")
+    )
+
+
+def term_count_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Boolean retrieval with raw term-frequency ranking: score_micro =
+    total occurrences of the query terms (an exact integer — the
+    micro-suffix keeps the column contract shared with bm25_topk), docs
+    with zero hits dropped. Same scale shape as BM25's tf stage: the
+    token stream is filtered to the query vocabulary inside the row via
+    native array filters, so nothing corpus-sized ever shuffles."""
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("term_count_topk requires at least one query term")
+    words = F.split(normalize_text(F.col(text_col)), " ")
+
+    # factory capture — a defaulted second lambda arg would be bound to
+    # the array index by PySpark's HOF dispatch (see bm25_topk._tf)
+    def _hits(term: str):
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    score = sum((_hits(t) for t in terms), start=F.lit(0))
+    return (
+        df.select(F.col(id_col), score.cast("long").alias("score_micro"))
+        .filter(F.col("score_micro") > 0)
+        .orderBy(F.desc("score_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score_micro",
+    k_rrf: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of top-k retrieval
+    lists: each list contributes 1e6 div (k_rrf + rank) micro-units per
+    document, ranks assigned by (score desc, id asc) — integer terms, so
+    the fused score is aggregation-order independent and
+    SQL-reproducible. Returns (id_col, rrf_micro, n_lists) ordered by
+    fused score desc, id asc, limited to k.
+
+    The rank window is global by construction, which is CORRECT here and
+    cheap: the inputs are top-k retrieval lists (bounded by their own
+    LIMIT), never corpus-sized — fusing corpus-scale rankings would need
+    the two-phase prefix-sum rank instead."""
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    if k_rrf < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    contribs = [
+        r.select(
+            F.col(id_col),
+            F.row_number().over(w).alias("__rank"),
+        ).select(
+            id_col,
+            F.expr(f"CAST(1000000 div ({k_rrf} + __rank) AS BIGINT)").alias(
+                "__rrf_term"
+            ),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("__rrf_term").cast("long").alias("rrf_micro"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc(id_col))
+        .limit(k)
     )

@@ -429,3 +429,72 @@ def test_domain_mix_fractions_rejects_negative_weight(spark):
     )
     with pytest.raises(ValueError, match=">= 0"):
         domain_mix_fractions(df, "lang", {"en": 1, "es": -0.5})
+
+
+# ------------------------------------------------------------ rank fusion
+
+
+def test_term_count_topk_exact(spark):
+    from delm_spark.operators.search import term_count_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark merge"),
+            (2, "window"),
+            (3, "nothing relevant here"),
+            (4, "spark merge window spark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["score_micro"])
+        for r in term_count_topk(df, ["spark", "merge", "window"], k=10).collect()
+    ]
+    assert got == [(4, 4), (1, 3), (2, 1)]  # zero-hit doc 3 dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        term_count_topk(df, [])
+
+
+def test_rrf_fuse_closed_form(spark):
+    """Two 3-item lists with one shared doc: fused score is the exact
+    integer sum of 1e6 // (60 + rank) contributions."""
+    from delm_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 900), (11, 800), (12, 700)], "doc_id long, score_micro long"
+    )
+    r2 = spark.createDataFrame(
+        [(12, 500), (13, 400)], "doc_id long, score_micro long"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_micro"], r["n_lists"])
+        for r in rrf_fuse([r1, r2], k=10).collect()
+    }
+    t = lambda rank: 1_000_000 // (60 + rank)  # noqa: E731
+    assert got == {
+        10: (t(1), 1),
+        11: (t(2), 1),
+        12: (t(3) + t(1), 2),
+        13: (t(2), 1),
+    }
+
+
+def test_rrf_fuse_rank_ties_break_by_id(spark):
+    from delm_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(2, 100), (1, 100)], "doc_id long, score_micro long"
+    )
+    got = {
+        r["doc_id"]: r["rrf_micro"] for r in rrf_fuse([r1], k=10).collect()
+    }
+    # equal scores: the smaller id takes the better rank
+    assert got[1] > got[2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    with _pytest.raises(ValueError):
+        rrf_fuse([r1], k_rrf=0)
