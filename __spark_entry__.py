@@ -1059,6 +1059,49 @@ def tool_sequences_transcripts(spark, sf_dir):
     return tool_sequences(t, n=2).orderBy("tool_seq")
 
 
+def transcript_integrity_report(spark, sf_dir):
+    """Per-conversation structural QA (kg/trajectory.py
+    transcript_integrity) over the fixture corpus PLUS four
+    deterministically corrupted copies of every conversation —
+    duplicated turn index, reversed timestamps, stuck role, blanked
+    turns — so every disposition class is exercised, not vacuous.
+    Single window+aggregate shuffle; the oracle replays the corruption
+    and the gate in SQL."""
+    from delm_spark.kg.trajectory import transcript_integrity
+
+    t = _fixture_transcripts(spark)
+    pre = lambda p: F.concat(F.lit(p), F.col("conv_id"))  # noqa: E731
+    dup = t.select(
+        pre("dup:").alias("conv_id"),
+        F.when(F.col("turn_idx") == 1, 0)
+        .otherwise(F.col("turn_idx"))
+        .alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+    rev = t.select(
+        pre("rev:").alias("conv_id"), "turn_idx", "role", "text", "tool",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 1000 - turn_idx, 0, 0)"
+        ).alias("ts"),
+    )
+    rr = t.select(
+        pre("rr:").alias("conv_id"), "turn_idx",
+        F.lit("agent").alias("role"), "text", "tool", "ts",
+    )
+    empty = t.select(
+        pre("empty:").alias("conv_id"), "turn_idx", "role",
+        F.when(F.col("turn_idx") % 3 == 0, "")
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "tool", "ts",
+    )
+    allv = t.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    for v in (dup, rev, rr, empty):
+        allv = allv.unionByName(v)
+    return transcript_integrity(allv).orderBy("conv_id")
+
+
 def entity_timeline_kg(spark, sf_dir):
     """Canonical-entity temporal profile (kg/trajectory.py
     entity_timeline): pipeline triples join back to their source turns
@@ -2005,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts_events": cms_user_counts_events,
         "events_rollup_cube": events_rollup_cube,
         "rrf_search_docs": rrf_search_docs,
+        "transcript_integrity_report": transcript_integrity_report,
         # --- single/double-round green or complex pipelines (keep under gate)
         "stateful_sessionize_events": stateful_sessionize_events,
         "stream_dedup_events": stream_dedup_events,
@@ -2860,6 +2904,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff_graph": _clustering_oracle_sql(_PR_N),
         "negative_samples_kg": _kg_oracle_sql("negatives"),
         "link_prediction_kg": _link_prediction_oracle_sql(_PR_N),
+        "transcript_integrity_report": _integrity_oracle_sql(),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(
             dim=64, k=10, n_planes=8, probe_radius=2
         ),
@@ -4090,6 +4135,71 @@ def _clustering_oracle_sql(n: int) -> str:
             FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node
         """
     )
+
+
+def _integrity_oracle_sql() -> str:
+    """DuckDB replica of transcript_integrity over the fixture corpus +
+    the four corrupted variants the query builds (dup turn index,
+    reversed timestamps, stuck role, blanked turns). NULLS FIRST matches
+    Spark's ascending-null ordering in the lag window tiebreak."""
+    tp = (_FIXTURES / "transcripts.parquet").as_posix() + "/*.parquet"
+    return f"""
+            WITH src AS (
+                SELECT conv_id, turn_idx, role, text, tool, ts
+                FROM read_parquet('{tp}')),
+            allv AS (
+                SELECT * FROM src
+                UNION ALL
+                SELECT 'dup:' || conv_id,
+                       CASE WHEN turn_idx = 1 THEN 0 ELSE turn_idx END,
+                       role, text, tool, ts FROM src
+                UNION ALL
+                SELECT 'rev:' || conv_id, turn_idx, role, text, tool,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                           + (1000 - turn_idx) * INTERVAL 1 HOUR FROM src
+                UNION ALL
+                SELECT 'rr:' || conv_id, turn_idx, 'agent', text, tool, ts
+                FROM src
+                UNION ALL
+                SELECT 'empty:' || conv_id, turn_idx, role,
+                       CASE WHEN turn_idx % 3 = 0 THEN '' ELSE text END,
+                       tool, ts FROM src),
+            lagged AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0
+                            END AS ts_reg,
+                       CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0
+                            END AS role_rep,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN 1 ELSE 0 END AS emp,
+                       CASE WHEN tool IS NOT NULL AND tool <> ''
+                            THEN 1 ELSE 0 END AS tl
+                FROM allv
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY turn_idx NULLS FIRST,
+                                      ts NULLS FIRST, role NULLS FIRST)),
+            agg AS (
+                SELECT conv_id,
+                       count(*)::BIGINT AS n_turns,
+                       (count(*) - count(DISTINCT turn_idx))::BIGINT
+                           AS n_dup_turn_idx,
+                       (max(turn_idx) + 1
+                        - count(DISTINCT turn_idx))::BIGINT
+                           AS n_gap_turn_idx,
+                       sum(ts_reg)::BIGINT AS n_ts_regressions,
+                       sum(role_rep)::BIGINT AS n_role_repeats,
+                       sum(emp)::BIGINT AS n_empty_text,
+                       sum(tl)::BIGINT AS n_tool_turns
+                FROM lagged GROUP BY conv_id)
+            SELECT *,
+                   CASE WHEN n_dup_turn_idx > 0 THEN 'dup_turn_idx'
+                        WHEN n_gap_turn_idx > 0 THEN 'gap_turn_idx'
+                        WHEN n_ts_regressions > 0 THEN 'ts_regression'
+                        WHEN n_role_repeats > 0 THEN 'role_repeat'
+                        WHEN n_empty_text > 0 THEN 'empty_text'
+                        ELSE 'ok' END AS disposition
+            FROM agg ORDER BY conv_id
+        """
 
 
 def _link_prediction_oracle_sql(n: int) -> str:

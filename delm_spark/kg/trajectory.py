@@ -125,3 +125,87 @@ def entity_timeline(
         F.max("__epoch").alias("last_ts"),
         (F.max("__epoch") - F.min("__epoch")).alias("span_sec"),
     )
+
+
+def transcript_integrity(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation structural QA over the transcript table — the
+    admission gate a 10^12-turn corpus needs BEFORE extraction: a
+    conversation with duplicated or missing turn indices, out-of-order
+    timestamps, stuck roles, or empty turns produces garbage triples and
+    should be quarantined, not extracted.
+
+    One window pass (lag over turn order within a conversation) feeds
+    one aggregation on conv_id — the window partition is a single
+    conversation (bounded by its own turn count, never corpus-wide), and
+    the groupBy reuses the window's hash distribution, so the whole gate
+    is a single shuffle. Exact integer counters:
+
+      n_turns             — rows in the conversation,
+      n_dup_turn_idx      — rows beyond the first per turn_idx,
+      n_gap_turn_idx      — missing indices in [0, max(turn_idx)],
+      n_ts_regressions    — turns whose ts < the previous turn's ts,
+      n_role_repeats      — turns repeating the previous turn's role,
+      n_empty_text        — null-or-blank text turns,
+      n_tool_turns        — turns with a tool recorded,
+      disposition         — first failing rule in the fixed severity
+                            order dup_turn_idx > gap_turn_idx >
+                            ts_regression > role_repeat > empty_text,
+                            else 'ok' (the first-drop-wins discipline of
+                            curate.run_curation).
+    """
+    # (ts, role) tiebreak: with duplicated turn indices (exactly the
+    # corruption this gate detects) a turn_idx-only order would leave
+    # the lag neighbors engine-dependent; the full key is a total order
+    # on every lag-compared column, so counts are deterministic
+    w = Window.partitionBy(conv_col).orderBy(turn_col, ts_col, role_col)
+    flagged = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("__turn"),
+        F.when(F.col(ts_col) < F.lag(ts_col).over(w), 1)
+        .otherwise(0)
+        .alias("__ts_reg"),
+        F.when(F.col(role_col) == F.lag(role_col).over(w), 1)
+        .otherwise(0)
+        .alias("__role_rep"),
+        F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), 1
+        )
+        .otherwise(0)
+        .alias("__empty"),
+        F.when(
+            F.col(tool_col).isNotNull() & (F.col(tool_col) != ""), 1
+        )
+        .otherwise(0)
+        .alias("__tool"),
+    )
+    agg = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (F.count(F.lit(1)) - F.countDistinct("__turn"))
+        .cast("long")
+        .alias("n_dup_turn_idx"),
+        (F.max("__turn") + 1 - F.countDistinct("__turn"))
+        .cast("long")
+        .alias("n_gap_turn_idx"),
+        F.sum("__ts_reg").cast("long").alias("n_ts_regressions"),
+        F.sum("__role_rep").cast("long").alias("n_role_repeats"),
+        F.sum("__empty").cast("long").alias("n_empty_text"),
+        F.sum("__tool").cast("long").alias("n_tool_turns"),
+    )
+    return agg.select(
+        "*",
+        F.when(F.col("n_dup_turn_idx") > 0, F.lit("dup_turn_idx"))
+        .when(F.col("n_gap_turn_idx") > 0, F.lit("gap_turn_idx"))
+        .when(F.col("n_ts_regressions") > 0, F.lit("ts_regression"))
+        .when(F.col("n_role_repeats") > 0, F.lit("role_repeat"))
+        .when(F.col("n_empty_text") > 0, F.lit("empty_text"))
+        .otherwise(F.lit("ok"))
+        .alias("disposition"),
+    )

@@ -426,3 +426,81 @@ def test_cms_mergeable_and_validation(spark):
         count_min_table(a, "k", depth=0)
     with _pytest.raises(ValueError):
         count_min_table(a, "k", width=1)
+
+
+# ------------------------------------------------------- integrity gate
+
+
+def _tconv(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+
+
+def test_transcript_integrity_dispositions(spark):
+    from datetime import datetime
+
+    from delm_spark.kg.trajectory import transcript_integrity
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 5, 0)
+    t2 = datetime(2024, 1, 1, 12, 10, 0)
+    rows = [
+        # ok: alternating roles, increasing ts, dense indices
+        ("ok", 0, "user", "hi", None, t0),
+        ("ok", 1, "agent", "hello", "search", t1),
+        # dup: turn 0 twice (also a gap at 1, but dup wins the severity order)
+        ("dup", 0, "user", "a", None, t0),
+        ("dup", 0, "agent", "b", None, t1),
+        ("dup", 2, "user", "c", None, t2),
+        # gap: indices 0, 2
+        ("gap", 0, "user", "a", None, t0),
+        ("gap", 2, "agent", "b", None, t1),
+        # tsrev: ts goes backwards
+        ("tsrev", 0, "user", "a", None, t1),
+        ("tsrev", 1, "agent", "b", None, t0),
+        # rr: same role twice
+        ("rr", 0, "user", "a", None, t0),
+        ("rr", 1, "user", "b", None, t1),
+        # emp: blank text
+        ("emp", 0, "user", "  ", None, t0),
+        ("emp", 1, "agent", "b", None, t1),
+    ]
+    got = {
+        r["conv_id"]: r
+        for r in transcript_integrity(_tconv(spark, rows)).collect()
+    }
+    assert got["ok"]["disposition"] == "ok"
+    assert got["ok"]["n_tool_turns"] == 1
+    assert got["dup"]["disposition"] == "dup_turn_idx"
+    assert got["dup"]["n_dup_turn_idx"] == 1
+    assert got["dup"]["n_gap_turn_idx"] == 1  # index 1 missing
+    assert got["gap"]["disposition"] == "gap_turn_idx"
+    assert got["gap"]["n_gap_turn_idx"] == 1
+    assert got["tsrev"]["disposition"] == "ts_regression"
+    assert got["tsrev"]["n_ts_regressions"] == 1
+    assert got["rr"]["disposition"] == "role_repeat"
+    assert got["rr"]["n_role_repeats"] == 1
+    assert got["emp"]["disposition"] == "empty_text"
+    assert got["emp"]["n_empty_text"] == 1
+
+
+def test_transcript_integrity_partition_invariant(spark):
+    """Counts are stable under repartitioning (the window is the only
+    order-sensitive construct and its key is a total order)."""
+    from datetime import datetime
+
+    from delm_spark.kg.trajectory import transcript_integrity
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (f"c{i}", j, "user" if (i + j) % 2 == 0 else "agent",
+         f"t{j}", None, t0)
+        for i in range(20)
+        for j in range(5)
+    ]
+    df = _tconv(spark, rows)
+    a = sorted(map(tuple, transcript_integrity(df).collect()))
+    b = sorted(map(tuple, transcript_integrity(df.repartition(17)).collect()))
+    assert a == b
