@@ -2049,18 +2049,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_cube": events_rollup_cube,
         "rrf_search_docs": rrf_search_docs,
         "transcript_integrity_report": transcript_integrity_report,
-        # --- single/double-round green or complex pipelines (keep under gate)
-        "stateful_sessionize_events": stateful_sessionize_events,
-        "stream_dedup_events": stream_dedup_events,
-        "image_pixel_stats_docs": image_pixel_stats_docs,
-        "audio_features_docs": audio_features_docs,
-        "video_frame_sample_docs": video_frame_sample_docs,
+        # --- the flagship KG chain stays inside the 50-slot driver gate
         "explode_extracted_triples": explode_extracted_triples,
         "embedding_entity_link": embedding_entity_link,
         "kg_triples_stream": kg_triples_stream,
         "kg_triples_pipeline": kg_triples_pipeline,
         "kg_triples_linked_pipeline": kg_triples_linked_pipeline,
         "kg_nodes_canonical": kg_nodes_canonical,
+        # --- single/double-round green or complex pipelines
+        "stateful_sessionize_events": stateful_sessionize_events,
+        "stream_dedup_events": stream_dedup_events,
+        "image_pixel_stats_docs": image_pixel_stats_docs,
+        "audio_features_docs": audio_features_docs,
+        "video_frame_sample_docs": video_frame_sample_docs,
         "kg_degree_distribution": kg_degree_distribution,
         "kg_two_hop_entities": kg_two_hop_entities,
         "pagerank_demo": pagerank_demo,
