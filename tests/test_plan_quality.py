@@ -241,3 +241,57 @@ def test_sketch_and_weighted_sample_plan_shapes(spark):
     hll = entry_mod.hll_users_events(spark, SF_DIR)
     p = _plan(hll, "simple")
     assert p.count("Exchange") <= 2 and "EvalPython" not in p
+
+
+def test_negative_samples_broadcasts_entity_ranks(spark):
+    """Replacement entities arrive via broadcast joins; the corruption
+    path never SMJs the draw table against the dictionary, and nothing
+    falls out to Python."""
+    from delm_spark.kg.completion import negative_samples
+
+    t = spark.createDataFrame(
+        [(f"e{i}", "p", f"e{i+1}") for i in range(50)],
+        "subj string, pred string, obj string",
+    )
+    plan = _plan(negative_samples(t, k=2))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_prediction_no_cartesian_all_native(spark):
+    from delm_spark.kg.completion import link_prediction_scores
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    plan = _plan(link_prediction_scores(e))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_probe_join_broadcasts_sketch(spark):
+    """The <= depth*width-cell sketch must broadcast into the probe
+    join — estimating keys never shuffles on the cell key."""
+    from delm_spark.operators.sketch import cms_estimate_counts
+
+    df = spark.createDataFrame(
+        [(f"u{i % 20}",) for i in range(500)], "k string"
+    )
+    plan = _plan(cms_estimate_counts(df, "k", depth=4, width=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rollup_is_single_expand_native(spark):
+    """ROLLUP compiles to one Expand + aggregation — no unions of
+    repeated scans, no Python."""
+    df = entry_mod.events_rollup_cube(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" in plan
+    # one physical scan feeds every rollup level (formatted plans print
+    # each node twice — tree + details — so count file-index entries)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Union" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
