@@ -1102,6 +1102,30 @@ def transcript_integrity_report(spark, sf_dir):
     return transcript_integrity(allv).orderBy("conv_id")
 
 
+def fuzzy_surface_pairs(spark, sf_dir):
+    """Edit-distance similarity join (operators/editdist.py
+    edit_distance_pairs): FastSS deletion-neighborhood blocking + ONE
+    variant equi-join + exact native levenshtein refine — never
+    all-pairs. Input = dictionary surfaces plus a one-char-truncated
+    typo copy of every long surface, so the lev<=1 pair set is real.
+    The oracle re-derives the deletion neighborhoods (list_transform),
+    the blocking join, and the refine in SQL."""
+    from delm_spark.operators.editdist import edit_distance_pairs
+
+    d = _fixture_dictionary(spark)
+    orig = d.select(
+        F.concat(F.lit("o:"), F.col("surface")).alias("key_id"),
+        F.col("surface").alias("s"),
+    )
+    typo = d.filter(F.length("surface") > 6).select(
+        F.concat(F.lit("t:"), F.col("surface")).alias("key_id"),
+        F.expr("substring(surface, 1, length(surface) - 1)").alias("s"),
+    )
+    return edit_distance_pairs(
+        orig.unionByName(typo), "s", "key_id", max_edits=1
+    ).orderBy("id_a", "id_b")
+
+
 def entity_timeline_kg(spark, sf_dir):
     """Canonical-entity temporal profile (kg/trajectory.py
     entity_timeline): pipeline triples join back to their source turns
@@ -2049,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_cube": events_rollup_cube,
         "rrf_search_docs": rrf_search_docs,
         "transcript_integrity_report": transcript_integrity_report,
+        "fuzzy_surface_pairs": fuzzy_surface_pairs,
         # --- the flagship KG chain stays inside the 50-slot driver gate
         "explode_extracted_triples": explode_extracted_triples,
         "embedding_entity_link": embedding_entity_link,
@@ -2906,6 +2931,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples_kg": _kg_oracle_sql("negatives"),
         "link_prediction_kg": _link_prediction_oracle_sql(_PR_N),
         "transcript_integrity_report": _integrity_oracle_sql(),
+        "fuzzy_surface_pairs": _fuzzy_pairs_oracle_sql(),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(
             dim=64, k=10, n_planes=8, probe_radius=2
         ),
@@ -4136,6 +4162,41 @@ def _clustering_oracle_sql(n: int) -> str:
             FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node
         """
     )
+
+
+def _fuzzy_pairs_oracle_sql() -> str:
+    """DuckDB replica of edit_distance_pairs(max_edits=1) over the
+    dictionary surfaces + truncated-typo copies: deletion neighborhoods
+    via list_transform, variant equi-join, exact levenshtein refine."""
+    dp = (_FIXTURES / "dictionary.parquet").as_posix() + "/*.parquet"
+    return f"""
+            WITH dict AS (SELECT surface FROM read_parquet('{dp}')),
+            tbl AS (
+                SELECT 'o:' || surface AS id, surface AS s FROM dict
+                UNION ALL
+                SELECT 't:' || surface,
+                       substr(surface, 1, length(surface) - 1)
+                FROM dict WHERE length(surface) > 6),
+            keys AS (
+                SELECT id, s FROM tbl
+                WHERE s IS NOT NULL AND length(s) BETWEEN 3 AND 64),
+            expl AS (
+                SELECT id, s,
+                       unnest(list_distinct(list_prepend(s,
+                           list_transform(range(0, length(s)),
+                               i -> substr(s, 1, i) || substr(s, i + 2)))))
+                           AS v
+                FROM keys),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.s AS str_a, b.s AS str_b
+                FROM expl a JOIN expl b
+                  ON a.v = b.v AND a.id < b.id)
+            SELECT id_a, id_b, str_a, str_b,
+                   levenshtein(str_a, str_b)::BIGINT AS lev
+            FROM cand WHERE levenshtein(str_a, str_b) <= 1
+            ORDER BY id_a, id_b
+        """
 
 
 def _integrity_oracle_sql() -> str:
