@@ -280,6 +280,19 @@ class PipelineConfig:
     embedding_dim: int = 64
     embedding_planes: int = 8
     embedding_probe_radius: int = 2
+    #: admission gate (kg/trajectory.transcript_integrity): quarantine
+    #: conversations with duplicated/missing turn indices, timestamp
+    #: regressions, stuck roles, or blank turns BEFORE chunking — a
+    #: malformed conversation produces garbage triples, and at 10^12
+    #: turns it is cheaper to gate than to clean downstream. Off by
+    #: default: the fixture corpus is gate-clean only for structural
+    #: rules a given deployment opts into.
+    integrity_gate: bool = False
+    #: which rules quarantine (severity order fixed in
+    #: trajectory.INTEGRITY_RULES). Default = structural only: agent
+    #: transcripts legitimately repeat roles and may carry blank turns,
+    #: so those counters report but don't drop unless opted in.
+    integrity_rules: tuple = ("dup_turn_idx", "gap_turn_idx", "ts_regression")
 
 
 def config_fingerprint(config: "PipelineConfig", backend) -> str:
@@ -304,6 +317,10 @@ def config_fingerprint(config: "PipelineConfig", backend) -> str:
             config.embedding_planes,
             config.embedding_probe_radius,
         ],
+        # gated vs ungated corpora differ from stage s1 on — a resumed
+        # checkpoint must not silently mix them; rule set matters too
+        "integrity_gate": config.integrity_gate,
+        "integrity_rules": list(config.integrity_rules),
     }
     # a PromptedApiBackend with a changed model/temperature/template produces
     # different extractions — the class name alone must not pass the resume
@@ -329,6 +346,9 @@ class PipelineResult:
     nodes: DataFrame
     edges: DataFrame
     runner: StageRunner
+    #: per-conversation integrity report (only when
+    #: config.integrity_gate) — the quarantine ledger
+    integrity: Optional[DataFrame] = None
 
 
 def chunk_transcripts(transcripts: DataFrame) -> DataFrame:
@@ -412,6 +432,25 @@ def run_pipeline(
     # so repeated broadcast builds don't recompute anything: no eager
     # checkpoints (each one costs a dedicated ~0.5 s job in local mode).
     labels = canonical_map(dictionary)
+
+    integrity = None
+    if config.integrity_gate:
+        from .trajectory import transcript_integrity
+
+        integrity = runner.stage(
+            "s0_integrity",
+            lambda: transcript_integrity(
+                transcripts, rules=tuple(config.integrity_rules)
+            ),
+        )
+        # semi join, not broadcast: the ok list is corpus-scale (most
+        # conversations pass), and conv_id is the key every downstream
+        # stage already hashes on
+        transcripts = transcripts.join(
+            integrity.filter(F.col("disposition") == "ok").select("conv_id"),
+            "conv_id",
+            "left_semi",
+        )
 
     if config.sample_size:
         from delm_spark.operators.sample import seeded_sample_records
@@ -536,4 +575,5 @@ def run_pipeline(
         nodes=nodes,
         edges=edges,
         runner=runner,
+        integrity=integrity,
     )

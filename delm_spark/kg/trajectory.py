@@ -127,6 +127,24 @@ def entity_timeline(
     )
 
 
+#: full severity chain, most severe first — the order disposition picks
+INTEGRITY_RULES = (
+    "dup_turn_idx",
+    "gap_turn_idx",
+    "ts_regression",
+    "role_repeat",
+    "empty_text",
+)
+
+_RULE_COUNTER = {
+    "dup_turn_idx": "n_dup_turn_idx",
+    "gap_turn_idx": "n_gap_turn_idx",
+    "ts_regression": "n_ts_regressions",
+    "role_repeat": "n_role_repeats",
+    "empty_text": "n_empty_text",
+}
+
+
 def transcript_integrity(
     transcripts: DataFrame,
     conv_col: str = "conv_id",
@@ -135,6 +153,7 @@ def transcript_integrity(
     text_col: str = "text",
     tool_col: str = "tool",
     ts_col: str = "ts",
+    rules: tuple = INTEGRITY_RULES,
 ) -> DataFrame:
     """Per-conversation structural QA over the transcript table — the
     admission gate a 10^12-turn corpus needs BEFORE extraction: a
@@ -155,12 +174,22 @@ def transcript_integrity(
       n_role_repeats      — turns repeating the previous turn's role,
       n_empty_text        — null-or-blank text turns,
       n_tool_turns        — turns with a tool recorded,
-      disposition         — first failing rule in the fixed severity
-                            order dup_turn_idx > gap_turn_idx >
+      disposition         — first failing *enforced* rule in the fixed
+                            severity order dup_turn_idx > gap_turn_idx >
                             ts_regression > role_repeat > empty_text,
                             else 'ok' (the first-drop-wins discipline of
                             curate.run_curation).
+
+    ``rules`` selects which counters participate in the disposition
+    (severity order is always the fixed chain above, restricted to the
+    enforced subset); all counters are reported regardless. Agent
+    transcripts legitimately repeat roles (assistant tool-call then
+    assistant text), so a deployment typically enforces only the
+    structural rules — see PipelineConfig.integrity_rules.
     """
+    unknown = set(rules) - set(INTEGRITY_RULES)
+    if unknown:
+        raise ValueError(f"unknown integrity rules: {sorted(unknown)}")
     # (ts, role) tiebreak: with duplicated turn indices (exactly the
     # corruption this gate detects) a turn_idx-only order would leave
     # the lag neighbors engine-dependent; the full key is a total order
@@ -199,13 +228,11 @@ def transcript_integrity(
         F.sum("__empty").cast("long").alias("n_empty_text"),
         F.sum("__tool").cast("long").alias("n_tool_turns"),
     )
-    return agg.select(
-        "*",
-        F.when(F.col("n_dup_turn_idx") > 0, F.lit("dup_turn_idx"))
-        .when(F.col("n_gap_turn_idx") > 0, F.lit("gap_turn_idx"))
-        .when(F.col("n_ts_regressions") > 0, F.lit("ts_regression"))
-        .when(F.col("n_role_repeats") > 0, F.lit("role_repeat"))
-        .when(F.col("n_empty_text") > 0, F.lit("empty_text"))
-        .otherwise(F.lit("ok"))
-        .alias("disposition"),
-    )
+    disposition = F.lit("ok")
+    # build the when-chain back-to-front so severity order is preserved
+    for rule in reversed(INTEGRITY_RULES):
+        if rule in rules:
+            disposition = F.when(
+                F.col(_RULE_COUNTER[rule]) > 0, F.lit(rule)
+            ).otherwise(disposition)
+    return agg.select("*", disposition.alias("disposition"))
