@@ -1139,6 +1139,30 @@ def entity_timeline_kg(spark, sf_dir):
     return entity_timeline(res.triples, t).orderBy("entity")
 
 
+def context_window_turns(spark, sf_dir):
+    """Rolling conversational context per turn (kg/trajectory.py
+    context_windows, k=3): the north star's window-ordered turn
+    assembly as a standalone operator — each turn paired with its
+    previous-3-turn 'role: text' block. ONE conv_id shuffle; the frame
+    is rowsBetween(-3,-1) so a hot conversation costs O(k x its own
+    length), never corpus-wide state."""
+    from delm_spark.kg.trajectory import context_windows
+
+    t = _fixture_transcripts(spark)
+    return context_windows(t, k=3).orderBy("conv_id", "turn_idx")
+
+
+def turn_latency_transcripts(spark, sf_dir):
+    """Per-conversation response-latency profile (kg/trajectory.py
+    turn_latency): exact integer epoch-second gaps between consecutive
+    turns, assistant-turn wait sums/maxes — one conv_id window shuffle
+    whose hash distribution the trailing aggregation reuses."""
+    from delm_spark.kg.trajectory import turn_latency
+
+    t = _fixture_transcripts(spark)
+    return turn_latency(t).orderBy("conv_id")
+
+
 def random_walks_kg(spark, sf_dir):
     """Deterministic DeepWalk-style walk corpus (kg/walks.py
     random_walks) over the canonical entity graph: 4 hops from every
@@ -2080,6 +2104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_stream": kg_triples_stream,
         "kg_triples_pipeline": kg_triples_pipeline,
         "kg_triples_linked_pipeline": kg_triples_linked_pipeline,
+        # --- round-5 late additions: first in line for the next gate rotation
+        "context_window_turns": context_window_turns,
+        "turn_latency_transcripts": turn_latency_transcripts,
         "kg_nodes_canonical": kg_nodes_canonical,
         # --- single/double-round green or complex pipelines
         "stateful_sessionize_events": stateful_sessionize_events,
@@ -2827,6 +2854,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_kg_merge": _kg_oracle_sql("linked"),
         "kg_triples_pipeline": _kg_oracle_sql("linked"),
         "kg_triples_linked_pipeline": _kg_oracle_sql("linked_embedding", typos=True),
+        "context_window_turns": _context_windows_oracle_sql(k=3),
+        "turn_latency_transcripts": _turn_latency_oracle_sql(),
         "kg_nodes_canonical": _kg_oracle_sql("nodes"),
         "kg_degree_distribution": _kg_oracle_sql("degree"),
         "kg_two_hop_entities": _kg_oracle_sql("two_hop"),
@@ -4197,6 +4226,59 @@ def _fuzzy_pairs_oracle_sql() -> str:
             FROM cand WHERE levenshtein(str_a, str_b) <= 1
             ORDER BY id_a, id_b
         """
+
+
+def _context_windows_oracle_sql(k: int = 3) -> str:
+    """DuckDB replica of kg/trajectory.py context_windows: string_agg
+    over a ROWS BETWEEN k PRECEDING AND 1 PRECEDING frame, coalesced to
+    '' (Spark's concat_ws over an empty collect_list) with count(*)
+    over the same frame."""
+    tp = (_FIXTURES / "transcripts.parquet").as_posix() + "/*.parquet"
+    return f"""
+        SELECT conv_id, turn_idx, role, text,
+               coalesce(
+                   string_agg(role || ': ' || coalesce(text, ''), chr(10))
+                       OVER w,
+                   '') AS context,
+               count(*) OVER w AS n_context_turns
+        FROM read_parquet('{tp}')
+        WINDOW w AS (PARTITION BY conv_id
+                     ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST,
+                              role NULLS FIRST
+                     ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING)
+        ORDER BY conv_id, turn_idx
+    """
+
+
+def _turn_latency_oracle_sql() -> str:
+    """DuckDB replica of kg/trajectory.py turn_latency: lag of epoch
+    seconds per conversation, exact-BIGINT sums/maxes, assistant-turn
+    gaps isolated by role."""
+    tp = (_FIXTURES / "transcripts.parquet").as_posix() + "/*.parquet"
+    return f"""
+        WITH lagged AS (
+            SELECT conv_id,
+                   epoch(ts)::BIGINT AS ep,
+                   epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER w
+                       AS delta,
+                   CASE WHEN role = 'assistant'
+                        THEN epoch(ts)::BIGINT
+                             - lag(epoch(ts)::BIGINT) OVER w
+                        END AS asst_delta
+            FROM read_parquet('{tp}')
+            WINDOW w AS (PARTITION BY conv_id
+                         ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST,
+                                  role NULLS FIRST))
+        SELECT conv_id,
+               count(*)::BIGINT AS n_turns,
+               (max(ep) - min(ep))::BIGINT AS span_sec,
+               coalesce(sum(delta), 0)::BIGINT AS sum_latency_sec,
+               coalesce(max(delta), 0)::BIGINT AS max_latency_sec,
+               count(asst_delta)::BIGINT AS asst_n,
+               coalesce(sum(asst_delta), 0)::BIGINT AS asst_sum_latency_sec,
+               coalesce(max(asst_delta), 0)::BIGINT AS asst_max_latency_sec
+        FROM lagged GROUP BY conv_id ORDER BY conv_id
+    """
 
 
 def _integrity_oracle_sql() -> str:

@@ -236,3 +236,93 @@ def transcript_integrity(
                 F.col(_RULE_COUNTER[rule]) > 0, F.lit(rule)
             ).otherwise(disposition)
     return agg.select("*", disposition.alias("disposition"))
+
+
+def context_windows(
+    transcripts: DataFrame,
+    k: int = 3,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling conversational context per turn — the north star's
+    "window-ordered turn assembly" as a standalone operator: each turn
+    paired with its previous `k` turns rendered `role: text` and joined
+    with newlines, the prompt-context block a context-aware extraction
+    backend consumes.
+
+    One shuffle (conv_id window); the frame is rowsBetween(-k, -1) so
+    a hot conversation costs O(k * its own turn count), never
+    corpus-wide state. Output adds:
+
+      context          — previous-k-turn block ('' for turn 0),
+      n_context_turns  — rows actually in the frame (< k at the head).
+
+    Deterministic under duplicated turn indices via the same total
+    order as transcript_integrity (turn, ts, role)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col, ts_col, role_col)
+        .rowsBetween(-k, -1)
+    )
+    line = F.concat_ws(": ", F.col(role_col), F.coalesce(F.col(text_col), F.lit("")))
+    return transcripts.select(
+        conv_col,
+        turn_col,
+        role_col,
+        text_col,
+        F.concat_ws("\n", F.collect_list(line).over(w)).alias("context"),
+        F.size(F.collect_list(line).over(w)).cast("long").alias("n_context_turns"),
+    )
+
+
+def turn_latency(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation response-latency profile in exact integer epoch
+    seconds — the transcript-QA companion to transcript_integrity: a
+    conversation whose assistant turns arrive hours apart is a different
+    training class from a tight interactive session, and latency
+    percentiles are what an agent-infra team actually monitors.
+
+    One conv_id shuffle (lag window) feeding one aggregation that reuses
+    the window's hash distribution. Exact integers only (sums + counts +
+    maxes, no floats) so DuckDB re-derives every value:
+
+      n_turns            — rows,
+      span_sec           — last ts - first ts,
+      sum_latency_sec    — sum of consecutive-turn deltas (= span when
+                           timestamps are monotone),
+      max_latency_sec    — largest single gap,
+      asst_n             — assistant turns with a predecessor,
+      asst_sum_latency_sec / asst_max_latency_sec — gaps preceding
+                           assistant turns (user-perceived wait)."""
+    w = Window.partitionBy(conv_col).orderBy(turn_col, ts_col, role_col)
+    delta = (F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w))
+    flagged = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(ts_col).cast("long").alias("__epoch"),
+        delta.alias("__delta"),
+        F.when(F.col(role_col) == "assistant", delta).alias("__asst_delta"),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (F.max("__epoch") - F.min("__epoch")).cast("long").alias("span_sec"),
+        F.coalesce(F.sum("__delta"), F.lit(0)).cast("long").alias("sum_latency_sec"),
+        F.coalesce(F.max("__delta"), F.lit(0)).cast("long").alias("max_latency_sec"),
+        F.count("__asst_delta").cast("long").alias("asst_n"),
+        F.coalesce(F.sum("__asst_delta"), F.lit(0))
+        .cast("long")
+        .alias("asst_sum_latency_sec"),
+        F.coalesce(F.max("__asst_delta"), F.lit(0))
+        .cast("long")
+        .alias("asst_max_latency_sec"),
+    )

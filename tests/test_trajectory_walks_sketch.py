@@ -504,3 +504,76 @@ def test_transcript_integrity_partition_invariant(spark):
     a = sorted(map(tuple, transcript_integrity(df).collect()))
     b = sorted(map(tuple, transcript_integrity(df.repartition(17)).collect()))
     assert a == b
+
+
+# ------------------------------------------------- context / latency
+
+
+def test_context_windows_hand_values(spark):
+    from datetime import datetime
+
+    from delm_spark.kg.trajectory import context_windows
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c", 0, "user", "q1", None, t),
+        ("c", 1, "assistant", "a1", None, t),
+        ("c", 2, "user", None, None, t),   # null text renders as 'user: '
+        ("c", 3, "assistant", "a2", None, t),
+    ]
+    got = {
+        r["turn_idx"]: r
+        for r in context_windows(_tconv(spark, rows), k=2).collect()
+    }
+    assert got[0]["context"] == "" and got[0]["n_context_turns"] == 0
+    assert got[1]["context"] == "user: q1" and got[1]["n_context_turns"] == 1
+    assert got[2]["context"] == "user: q1\nassistant: a1"
+    assert got[3]["context"] == "assistant: a1\nuser: "
+    assert got[3]["n_context_turns"] == 2
+    with __import__("pytest").raises(ValueError):
+        context_windows(_tconv(spark, rows), k=0)
+
+
+def test_context_windows_partition_invariant(spark):
+    from datetime import datetime
+
+    from delm_spark.kg.trajectory import context_windows
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (f"c{i}", j, "user" if j % 2 == 0 else "assistant",
+         f"text {i} {j}", None, t0)
+        for i in range(10)
+        for j in range(6)
+    ]
+    df = _tconv(spark, rows)
+    a = sorted(map(tuple, context_windows(df).collect()))
+    b = sorted(map(tuple, context_windows(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_turn_latency_hand_values(spark):
+    from datetime import datetime
+
+    from delm_spark.kg.trajectory import turn_latency
+
+    rows = [
+        ("c", 0, "user", "q", None, datetime(2024, 1, 1, 12, 0, 0)),
+        ("c", 1, "assistant", "a", None, datetime(2024, 1, 1, 12, 0, 30)),
+        ("c", 2, "user", "q", None, datetime(2024, 1, 1, 12, 2, 30)),
+        ("c", 3, "assistant", "a", None, datetime(2024, 1, 1, 12, 3, 0)),
+        # single-turn conversation: all latencies empty -> zeros
+        ("solo", 0, "user", "hi", None, datetime(2024, 1, 1)),
+    ]
+    got = {r["conv_id"]: r for r in turn_latency(_tconv(spark, rows)).collect()}
+    c = got["c"]
+    assert c["n_turns"] == 4
+    assert c["span_sec"] == 180
+    assert c["sum_latency_sec"] == 180          # 30 + 120 + 30
+    assert c["max_latency_sec"] == 120
+    assert c["asst_n"] == 2
+    assert c["asst_sum_latency_sec"] == 60      # 30 + 30
+    assert c["asst_max_latency_sec"] == 30
+    s = got["solo"]
+    assert s["n_turns"] == 1 and s["span_sec"] == 0
+    assert s["sum_latency_sec"] == 0 and s["asst_n"] == 0
