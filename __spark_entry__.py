@@ -300,6 +300,21 @@ def exact_dedup_docs(spark, sf_dir):
     return exact_dedup(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
 
 
+def duplicate_spans_docs(spark, sf_dir):
+    """Exact duplicate-substring spans (operators/dedup.py
+    duplicate_spans, Lee-et-al-2022 ExactSubstr at token granularity):
+    maximal >=8-token spans shared by >=2 documents via shingle
+    fingerprints — per-doc lead-chain shingling, (hash, doc)-deduped
+    sharing counts, gap-and-island merge. Never all-pairs, never a
+    distributed suffix sort."""
+    from delm_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "text", "doc_id", width=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 def token_count_by_lang(spark, sf_dir):
     """F8: whitespace token counting, aggregated."""
     docs = _t(spark, sf_dir, "documents")
@@ -2107,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 late additions: first in line for the next gate rotation
         "context_window_turns": context_window_turns,
         "turn_latency_transcripts": turn_latency_transcripts,
+        "duplicate_spans_docs": duplicate_spans_docs,
         "kg_nodes_canonical": kg_nodes_canonical,
         # --- single/double-round green or complex pipelines
         "stateful_sessionize_events": stateful_sessionize_events,
@@ -2279,6 +2295,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
             ORDER BY doc_id
+        """,
+        "duplicate_spans_docs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents),
+            sh AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(ws[i : i + 7], ' ')) AS h
+                FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
+                      FROM norm)
+                WHERE ws[i] <> '' AND i + 7 <= len(ws)),
+            dup AS (
+                SELECT h, count(*) AS n_docs
+                FROM (SELECT DISTINCT h, doc_id FROM sh)
+                GROUP BY h HAVING count(*) >= 2),
+            hits AS (
+                SELECT s.doc_id, s.pos, d.n_docs
+                FROM sh s JOIN dup d USING (h)),
+            isl AS (
+                SELECT doc_id, pos, n_docs,
+                       CASE WHEN pos - lag(pos) OVER w <= 8
+                            THEN 0 ELSE 1 END AS new_isl
+                FROM hits
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            grp AS (
+                SELECT doc_id, pos, n_docs,
+                       sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+                FROM isl)
+            SELECT doc_id,
+                   min(pos)::BIGINT AS span_start,
+                   (max(pos) + 7)::BIGINT AS span_end,
+                   (max(pos) + 8 - min(pos))::BIGINT AS span_tokens,
+                   count(*)::BIGINT AS n_shingles,
+                   max(n_docs)::BIGINT AS max_docs_sharing
+            FROM grp GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
         """,
         "token_count_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -629,3 +629,108 @@ def near_dup_canonical(
         )
         .withColumn("is_kept", F.col(id_col) == F.col("canonical_id"))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    operator, re-expressed at token granularity): find every maximal span
+    of >= `width` consecutive normalized tokens that also appears in at
+    least `min_docs` documents, so a curation pass can cut the span (or
+    drop the doc) instead of near-dup-ing whole documents.
+
+    Mechanism — shingle fingerprints, never suffix arrays (a distributed
+    suffix array is a global sort of every suffix; token shingles give
+    the same >=width-duplicate-span detection with bounded rows):
+
+      1. tokenize (shared normalize_text contract) with positions,
+      2. width-token shingles per position via a lead chain over the
+         per-document window (bounded by the doc's own length),
+      3. shingle hashes appearing in >= min_docs DISTINCT docs — the
+         (hash, doc) pairs are deduped FIRST so the count aggregation
+         is bounded by distinct pairs, then
+      4. surviving positions merge per doc into maximal spans by
+         gap-and-island (consecutive shingle starts <= width apart
+         overlap or touch).
+
+    Returns (id_col, span_start, span_end, span_tokens, n_shingles,
+    max_docs_sharing); span bounds are 0-based token positions,
+    inclusive.
+
+    Scale shape: no all-pairs anywhere — rows are bounded by total
+    token count; shuffles are per-doc windows (partition = one document)
+    and hash-keyed aggregations/joins (a hyper-shared shingle lands on
+    one reducer as ONE (hash, count) row after the pair dedupe, not as
+    its full occurrence list). At 100 TB, step 3's distinct is the big
+    exchange; it is the same cardinality class as minhash_lsh_pairs'
+    band join and partial-aggregates all the way."""
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("__pos", "__tok"),
+    ).filter(F.col("__tok") != "")
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", i).over(w) for i in range(1, width)
+    ]
+    shingles = toks.select(
+        "__doc",
+        "__pos",
+        F.md5(F.concat_ws(" ", *parts)).alias("__h"),
+        parts[-1].alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    dup = (
+        shingles.select("__h", "__doc")
+        .distinct()
+        .groupBy("__h")
+        .count()
+        .filter(F.col("count") >= min_docs)
+        .select("__h", F.col("count").alias("__n_docs"))
+    )
+    hits = shingles.join(dup, "__h").select("__doc", "__pos", "__n_docs")
+    w2 = Window.partitionBy("__doc").orderBy("__pos")
+    islands = hits.select(
+        "__doc",
+        "__pos",
+        "__n_docs",
+        F.when(F.col("__pos") - F.lag("__pos").over(w2) <= width, 0)
+        .otherwise(1)
+        .alias("__new"),
+    ).select(
+        "*",
+        F.sum("__new")
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__island"),
+    )
+    return (
+        islands.groupBy("__doc", "__island")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + width - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.max("__n_docs").cast("long").alias("max_docs_sharing"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            "n_shingles",
+            "max_docs_sharing",
+        )
+    )

@@ -303,3 +303,56 @@ def test_incremental_dedup_exact_copy_scores_one(spark):
     bands_df, sh_df = minhash_index(corpus)
     r = incremental_dedup(batch, bands_df, sh_df).head()
     assert (r["is_dup"], r["dup_of"], r["jaccard"]) == (1, 5, 1.0)
+
+
+def test_duplicate_spans_hand_values(spark):
+    """Two docs sharing a 10-token run -> one span each covering exactly
+    that run; disjoint shared runs -> separate islands; sub-width runs
+    and unique text -> nothing."""
+    import pytest
+
+    from delm_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    shared2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    rows = [
+        # doc 0: shared run at tokens 0-9, unique tail
+        (0, shared + " unique zero tail one two three four five six seven"),
+        # doc 1: unique head (3 tokens), shared run at 3-12, gap, shared2 at 20-29
+        (1, "uno dos tres " + shared + " filler a b c d e f " + shared2),
+        # doc 2: shared2 only, at 0-9
+        (2, shared2 + " something else entirely here now ok yes no maybe"),
+        # doc 3: 7-token prefix of shared (sub-width) -> no span
+        (3, "alpha bravo charlie delta echo foxtrot golf DIFFERENT x y z w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["span_start"]): r
+        for r in duplicate_spans(df, "text", "doc_id", width=8).collect()
+    }
+    assert set(got) == {(0, 0), (1, 3), (1, 20), (2, 0)}
+    assert got[(0, 0)]["span_end"] == 9 and got[(0, 0)]["span_tokens"] == 10
+    assert got[(0, 0)]["n_shingles"] == 3  # starts 0,1,2
+    assert got[(0, 0)]["max_docs_sharing"] == 2
+    assert got[(1, 3)]["span_end"] == 12
+    assert got[(1, 20)]["span_end"] == 29
+    assert got[(2, 0)]["span_tokens"] == 10
+
+    with pytest.raises(ValueError):
+        duplicate_spans(df, "text", "doc_id", width=1)
+    with pytest.raises(ValueError):
+        duplicate_spans(df, "text", "doc_id", min_docs=1)
+
+
+def test_duplicate_spans_null_text_and_partition_invariance(spark):
+    from delm_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [(0, shared), (1, shared), (2, None), (3, "   "), (4, "short one")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(map(tuple, duplicate_spans(df, "text", "doc_id").collect()))
+    b = sorted(
+        map(tuple, duplicate_spans(df.repartition(7), "text", "doc_id").collect())
+    )
+    assert a == b
+    assert {t[0] for t in a} == {0, 1}
