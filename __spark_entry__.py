@@ -1922,6 +1922,20 @@ def quality_classifier_docs(spark, sf_dir):
     return hashed_linear_score(docs, w, dim=512).orderBy("doc_id")
 
 
+def dsir_importance_docs(spark, sf_dir):
+    """DSIR importance resampling weights (operators/curation.py
+    dsir_weights, Xie et al. 2023): hashed-unigram ln p_target - ln p_raw
+    in integer micronats (target = lang 'en' docs, raw = whole corpus),
+    every doc scored under the broadcast 512-bucket model via
+    hashed_linear_score — sum_weight_micro IS log importance x 1e6. The
+    oracle re-derives both distributions and the scoring in SQL."""
+    from delm_spark.operators.curation import dsir_weights, hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"), dim=512)
+    return hashed_linear_score(docs, w, dim=512).orderBy("doc_id")
+
+
 def shard_assign_docs(spark, sf_dir):
     """Training-shard export (operators/packing.py): deterministic global
     pseudo-shuffle — shard and within-shard position both derive from one
@@ -2123,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_window_turns": context_window_turns,
         "turn_latency_transcripts": turn_latency_transcripts,
         "duplicate_spans_docs": duplicate_spans_docs,
+        "dsir_importance_docs": dsir_importance_docs,
         "kg_nodes_canonical": kg_nodes_canonical,
         # --- single/double-round green or complex pipelines
         "stateful_sessionize_events": stateful_sessionize_events,
@@ -2992,6 +3007,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored GROUP BY doc_id)
             -- null-disposition contract: token-less docs (null/empty
             -- text) emit an explicit zero row, mirroring explode_outer
+            SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.sum_weight_micro, 0) AS sum_weight_micro,
+                   coalesce(a.avg_weight_micro, 0) AS avg_weight_micro
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "dsir_importance_docs": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(trim(regexp_replace(coalesce(text, ''),
+                                                     '\\s+', ' ', 'g'))),
+                           ' '), t -> t <> '')) AS w
+                FROM documents),
+            feats AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(w), 1, 15))::BIGINT % 512 AS feature
+                FROM toks),
+            tcnt AS (SELECT feature, count(*) AS tc FROM feats
+                     WHERE lang = 'en' GROUP BY feature),
+            rcnt AS (SELECT feature, count(*) AS rc FROM feats
+                     GROUP BY feature),
+            tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tcnt) AS tt,
+                           (SELECT coalesce(sum(rc), 0) FROM rcnt) AS rt),
+            wt AS (
+                SELECT r.feature,
+                       ((CAST(floor(ln(coalesce(t.tc, 0) + 1) * 1e6 + 0.5)
+                              AS BIGINT)
+                         - CAST(floor(ln(tot.tt + 512) * 1e6 + 0.5) AS BIGINT))
+                        - (CAST(floor(ln(r.rc + 1) * 1e6 + 0.5) AS BIGINT)
+                           - CAST(floor(ln(tot.rt + 512) * 1e6 + 0.5)
+                                  AS BIGINT))) AS weight_micro
+                FROM rcnt r LEFT JOIN tcnt t USING (feature), tot),
+            scored AS (
+                SELECT f.doc_id, coalesce(wt.weight_micro, 0) AS wm
+                FROM feats f LEFT JOIN wt USING (feature)),
+            agg AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                       SUM(wm)::BIGINT AS sum_weight_micro,
+                       CAST(SUM(wm)::BIGINT // COUNT(*)::BIGINT AS BIGINT)
+                           AS avg_weight_micro
+                FROM scored GROUP BY doc_id)
             SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
                    coalesce(a.sum_weight_micro, 0) AS sum_weight_micro,
                    coalesce(a.avg_weight_micro, 0) AS avg_weight_micro

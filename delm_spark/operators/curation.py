@@ -546,3 +546,65 @@ def bigram_lm_score(
             .alias("avg_surprisal_micro"),
         )
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    dim: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per hashed-unigram
+    feature, ln p_target(f) - ln p_raw(f) with add-one smoothing, in
+    integer micronats — the model a pretraining pipeline uses to
+    resample a raw crawl toward a target domain. A document's importance
+    is then the sum of its token weights; score with the existing
+    hashed_linear_score (sum_weight_micro IS log importance x 1e6).
+
+    weight(f) = [mn(cnt_t(f)+1) - mn(T_t+dim)] - [mn(cnt_r(f)+1) - mn(T_r+dim)]
+
+    where mn = micronat-quantized ln, T_* = total token counts. All dim
+    buckets are emitted (never-observed features carry the smoothing
+    constant), so the model is a complete distribution ratio, not just
+    the observed support.
+
+    Scale shape: ONE token pass per side into a dim-bounded map-side-
+    combinable count (the model is <= dim rows, broadcastable by
+    construction); totals ride two 1-row broadcast cross joins. Nothing
+    corpus-sized shuffles."""
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(_nonempty_tokens(text_col)).alias("__w"))
+            .select(hashed_features(F.col("__w"), dim).alias("feature"))
+            .groupBy("feature")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    tc = bucket_counts(target, "__tc")
+    rc = bucket_counts(raw, "__rc")
+    tt = tc.agg(F.coalesce(F.sum("__tc"), F.lit(0)).alias("__tt"))
+    rt = rc.agg(F.coalesce(F.sum("__rc"), F.lit(0)).alias("__rt"))
+    buckets = raw.sparkSession.range(dim).select(
+        F.col("id").cast("long").alias("feature")
+    )
+    return (
+        buckets.join(F.broadcast(tc), "feature", "left")
+        .join(F.broadcast(rc), "feature", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "feature",
+            (
+                (
+                    _micronats(F.coalesce(F.col("__tc"), F.lit(0)) + 1)
+                    - _micronats(F.col("__tt") + dim)
+                )
+                - (
+                    _micronats(F.coalesce(F.col("__rc"), F.lit(0)) + 1)
+                    - _micronats(F.col("__rt") + dim)
+                )
+            ).alias("weight_micro"),
+        )
+    )

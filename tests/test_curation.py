@@ -498,3 +498,46 @@ def test_rrf_fuse_rank_ties_break_by_id(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError):
         rrf_fuse([r1], k_rrf=0)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """A doc written in the target vocabulary must out-score a doc of
+    off-target tokens; weights are exact integers and the model covers
+    all dim buckets."""
+    from delm_spark.operators.curation import dsir_weights, hashed_linear_score
+
+    target_text = "the quick brown fox jumps over the lazy dog again and again"
+    offtar_text = "zzq xxv wwu yyt rrs qqp oop nnm llk jji hhg ffe"
+    raw = spark.createDataFrame(
+        [(0, target_text), (1, offtar_text), (2, target_text + " " + offtar_text)],
+        "doc_id int, text string",
+    )
+    target = raw.filter("doc_id = 0")
+    w = dsir_weights(raw, target, dim=64)
+    rows = w.collect()
+    assert len(rows) == 64  # full bucket coverage
+    assert all(isinstance(r["weight_micro"], int) for r in rows)
+
+    scored = {
+        r["doc_id"]: r["avg_weight_micro"]
+        for r in hashed_linear_score(raw, w, dim=64).collect()
+    }
+    assert scored[0] > scored[2] > scored[1]
+
+
+def test_dsir_weights_deterministic_and_partition_invariant(spark):
+    from delm_spark.operators.curation import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} common words here") for i in range(40)],
+        "doc_id int, text string",
+    )
+    target = raw.filter("doc_id % 4 = 0")
+    a = sorted(map(tuple, dsir_weights(raw, target, dim=32).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_weights(raw.repartition(9), target.repartition(3), dim=32).collect(),
+        )
+    )
+    assert a == b
