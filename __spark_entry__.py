@@ -763,6 +763,28 @@ def kg_triples_pipeline(spark, sf_dir):
     return res.triples.orderBy("conv_id", "turn_idx", "chunk_pos", "item_pos")
 
 
+def kg_snapshot_diff(spark, sf_dir):
+    """KG snapshot diff (kg/update.py graph_diff): the audit table an
+    incremental maintenance run publishes — added/removed linked triples
+    between two snapshot views of the fixture graph (conversation ranges
+    overlapping in the middle, so both change classes are non-empty).
+    Set semantics == SQL EXCEPT; two hash-keyed anti joins, never
+    all-pairs."""
+    from delm_spark.kg.update import graph_diff
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    tri = res.triples.select(
+        "conv_id", "turn_idx", "chunk_pos", "item_pos",
+        "subj", "pred", "obj", "subj_id", "obj_id",
+    )
+    old = tri.filter(F.col("conv_id") <= "conv_00000099")
+    new = tri.filter(F.col("conv_id") >= "conv_00000050")
+    return graph_diff(old, new).orderBy(
+        "change", "conv_id", "turn_idx", "chunk_pos", "item_pos"
+    )
+
+
 def _typo_transcripts(spark):
     """Fixture corpus plus one synthetic conversation per long dictionary
     surface whose OBJECT entity is the surface truncated by one character:
@@ -2138,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency_transcripts": turn_latency_transcripts,
         "duplicate_spans_docs": duplicate_spans_docs,
         "dsir_importance_docs": dsir_importance_docs,
+        "kg_snapshot_diff": kg_snapshot_diff,
         "kg_nodes_canonical": kg_nodes_canonical,
         # --- single/double-round green or complex pipelines
         "stateful_sessionize_events": stateful_sessionize_events,
@@ -2924,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         # pipeline (kg/update.py invariant) — hence the identical oracle
         "streaming_kg_merge": _kg_oracle_sql("linked"),
         "kg_triples_pipeline": _kg_oracle_sql("linked"),
+        "kg_snapshot_diff": _kg_oracle_sql("diff"),
         "kg_triples_linked_pipeline": _kg_oracle_sql("linked_embedding", typos=True),
         "context_window_turns": _context_windows_oracle_sql(k=3),
         "turn_latency_transcripts": _turn_latency_oracle_sql(),
@@ -3889,6 +3913,23 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             SELECT conv_id, turn_idx, chunk_pos, item_pos,
                    subj, pred, obj, subj_id, obj_id
             FROM linked ORDER BY conv_id, turn_idx, chunk_pos, item_pos
+        """
+    if kind == "diff":
+        # kg/update.py graph_diff over two conversation-range snapshot
+        # views: set semantics == EXCEPT (distinct + null-safe equality)
+        cols = ("conv_id, turn_idx, chunk_pos, item_pos, "
+                "subj, pred, obj, subj_id, obj_id")
+        return linked + f""",
+            old AS (SELECT DISTINCT {cols} FROM linked
+                    WHERE conv_id <= 'conv_00000099'),
+            new AS (SELECT DISTINCT {cols} FROM linked
+                    WHERE conv_id >= 'conv_00000050')
+            SELECT *, 'added' AS change
+            FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+            UNION ALL
+            SELECT *, 'removed' AS change
+            FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
+            ORDER BY change, conv_id, turn_idx, chunk_pos, item_pos
         """
     if kind == "provenance":
         # kg/analytics.py triple_provenance: one aggregation over the

@@ -91,3 +91,46 @@ def merge_graph(
         counters["fresh_conv_ids"] = n_fresh
     edges = existing_edges.unionByName(fresh)
     return nodes_from_edges(edges), edges
+
+
+def graph_diff(
+    edges_old: DataFrame,
+    edges_new: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Set-level diff between two KG snapshots: rows in `edges_new` but
+    not `edges_old` tagged 'added', rows in `edges_old` but not
+    `edges_new` tagged 'removed' — the audit table an incremental
+    maintenance run (merge_graph) publishes alongside the merged graph
+    so downstream consumers can subscribe to changes instead of
+    re-scanning the snapshot.
+
+    `key_cols` defaults to the columns the two tables share. Set
+    semantics (distinct by key, null-safe equality — two null-keyed rows
+    compare equal, like SQL EXCEPT), so support-duplicate edge rows
+    collapse and the diff is symmetric-difference exact.
+
+    Scale shape: two distincts + two anti joins, all hash-keyed on the
+    same composite key (Spark plans one exchange per side which both the
+    distinct and the join reuse). No broadcast of either snapshot, no
+    all-pairs."""
+    cols = (
+        list(key_cols)
+        if key_cols
+        else [c for c in edges_old.columns if c in edges_new.columns]
+    )
+    if not cols:
+        raise ValueError("graph_diff: no shared key columns")
+    old = edges_old.select(*cols).distinct()
+    new = edges_new.select(*cols).distinct()
+
+    def anti(left: DataFrame, right: DataFrame) -> DataFrame:
+        cond = None
+        for c in cols:
+            term = left[c].eqNullSafe(right[c])
+            cond = term if cond is None else cond & term
+        return left.join(right, cond, "left_anti")
+
+    return anti(new, old).withColumn(
+        "change", F.lit("added")
+    ).unionByName(anti(old, new).withColumn("change", F.lit("removed")))

@@ -148,3 +148,56 @@ class TestStreamingKgMerge:
                 first = _rows(edges)
         _, edges = read_streamed_graph(spark, str(tmp_path / "kg"))
         assert _rows(edges) == first
+
+
+def test_graph_diff_hand_values(spark):
+    from delm_spark.kg.update import graph_diff
+
+    old = spark.createDataFrame(
+        [("c1", "a", "knows", "b"), ("c2", "a", "knows", "c"),
+         ("c2", "a", "knows", "c"),          # support duplicate collapses
+         ("c3", None, "orphan", "x")],       # null key: null-safe equality
+        "conv_id string, subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("c1", "a", "knows", "b"), ("c3", None, "orphan", "x"),
+         ("c4", "d", "works_at", "e")],
+        "conv_id string, subj string, pred string, obj string",
+    )
+    got = {
+        (r["change"], r["conv_id"]): r for r in graph_diff(old, new).collect()
+    }
+    assert set(got) == {("added", "c4"), ("removed", "c2")}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no shared key"):
+        graph_diff(
+            old.select(F.col("conv_id").alias("x")),
+            new.select(F.col("conv_id").alias("y")),
+        )
+
+
+def test_graph_diff_is_exact_symmetric_difference(spark):
+    """diff(a, b) reversed equals diff(b, a) with labels swapped, and
+    diff(a, a) is empty."""
+    from delm_spark.kg.update import graph_diff
+
+    a = spark.range(100).select(
+        F.concat(F.lit("c"), (F.col("id") % 7).cast("string")).alias("conv_id"),
+        (F.col("id") % 13).cast("string").alias("subj"),
+        F.lit("p").alias("pred"),
+        (F.col("id") % 5).cast("string").alias("obj"),
+    )
+    b = a.filter("subj <> '3'")
+    fwd = {(r["change"],) + tuple(r[c] for c in ("conv_id", "subj", "obj"))
+           for r in graph_diff(a, b).collect()}
+    rev = {(r["change"],) + tuple(r[c] for c in ("conv_id", "subj", "obj"))
+           for r in graph_diff(b, a).collect()}
+    assert {t[1:] for t in fwd if t[0] == "removed"} == {
+        t[1:] for t in rev if t[0] == "added"
+    }
+    assert {t[1:] for t in fwd if t[0] == "added"} == {
+        t[1:] for t in rev if t[0] == "removed"
+    }
+    assert graph_diff(a, a).count() == 0
