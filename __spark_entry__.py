@@ -2149,18 +2149,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_search_docs": rrf_search_docs,
         "transcript_integrity_report": transcript_integrity_report,
         "fuzzy_surface_pairs": fuzzy_surface_pairs,
-        # --- the flagship KG chain stays inside the 50-slot driver gate
-        "explode_extracted_triples": explode_extracted_triples,
-        "embedding_entity_link": embedding_entity_link,
-        "kg_triples_stream": kg_triples_stream,
-        "kg_triples_pipeline": kg_triples_pipeline,
-        "kg_triples_linked_pipeline": kg_triples_linked_pipeline,
-        # --- round-5 late additions: first in line for the next gate rotation
+        # --- round-5 late additions, never driver-checked: inside the gate so
+        # every query gains a hard CORRECTNESS row at least once
         "context_window_turns": context_window_turns,
         "turn_latency_transcripts": turn_latency_transcripts,
         "duplicate_spans_docs": duplicate_spans_docs,
         "dsir_importance_docs": dsir_importance_docs,
         "kg_snapshot_diff": kg_snapshot_diff,
+        # --- the flagship KG chain rotates just past the gate this round: all
+        # five were driver-green in r04, entry() still smoke-runs the composed
+        # linked pipeline every round, and tests/test_oracle_parity.py pins all
+        # of them against DuckDB each pytest run.  The five slots freed go to
+        # the never-checked late additions above.
+        "explode_extracted_triples": explode_extracted_triples,
+        "embedding_entity_link": embedding_entity_link,
+        "kg_triples_stream": kg_triples_stream,
+        "kg_triples_pipeline": kg_triples_pipeline,
+        "kg_triples_linked_pipeline": kg_triples_linked_pipeline,
         "kg_nodes_canonical": kg_nodes_canonical,
         # --- single/double-round green or complex pipelines
         "stateful_sessionize_events": stateful_sessionize_events,
