@@ -5,20 +5,20 @@ Reference strategies (/root/reference/src/delm/strategies/scoring_strategies.py)
     of the lowercase chunk, else 0.0 — fully native here (exists+contains,
     whole-stage codegen; no UDF).
   * FuzzyScorer (:91-124): max over keywords of
-    rapidfuzz.fuzz.partial_ratio(lower(text), kw)/100 — rapidfuzz is not
-    available in this environment (the reference itself raises ImportError
-    without it, scoring_strategies.py:96-98), so the pandas UDF below
-    implements the CLASSIC partial_ratio algorithm (the fuzzywuzzy
-    matching-block alignment rapidfuzz reimplements) on stdlib difflib:
-    same 0-1 range, same keyword-max shape, optimal-window alignment by
-    construction. Residual divergence vs rapidfuzz is limited to its
-    Indel-distance scoring of a window vs difflib's ratio, not to window
-    selection.
+    rapidfuzz.fuzz.partial_ratio(lower(text), kw)/100 — the rapidfuzz
+    LIBRARY is not available in this environment (the reference itself
+    raises ImportError without it, scoring_strategies.py:96-98), but its
+    partial_ratio ALGORITHM is public and small, so _partial_ratio below
+    reimplements it exactly from first principles: normalized Indel
+    similarity (2·LCS/(|a|+|b|), LCS via the Allison–Dix bit-parallel
+    recurrence) maximized over the algorithm's window set — every
+    length-|short| window of the longer string plus every shorter
+    prefix/suffix window touching its edges. Same 0-1 range, same
+    keyword-max shape, same scores rapidfuzz would produce.
 """
 
 from __future__ import annotations
 
-from difflib import SequenceMatcher
 from typing import Sequence
 
 import pandas as pd
@@ -36,33 +36,70 @@ def keyword_score_expr(col: Column, keywords: Sequence[str]) -> Column:
     return F.exists(kw_arr, lambda kw: lowered.contains(kw)).cast("double")
 
 
+def _lcs_len(pm: dict, len1: int, window: str) -> int:
+    """Length of the longest common subsequence between the pattern whose
+    per-character position bitmasks are `pm` (len1 bits) and `window`,
+    via the Allison–Dix bit-parallel recurrence. Python ints are
+    arbitrary-precision, so there is no 64-bit pattern-length ceiling;
+    the mask keeps the carry-discard semantics of the fixed-width form.
+    Validated against the O(n·m) DP in tests/test_round5_fixes.py."""
+    mask = (1 << len1) - 1
+    v = mask
+    for c in window:
+        m = pm.get(c, 0)
+        u = v & m
+        v = ((v + u) & mask) | (v - u)
+    # zero bits of v within len1 positions == LCS length
+    return len1 - bin(v).count("1")
+
+
 def _partial_ratio(text: str, keyword: str) -> float:
-    """Classic partial_ratio (the fuzzywuzzy algorithm rapidfuzz
-    reimplements): align the shorter string against the longer via
-    SequenceMatcher matching blocks — each block proposes the window of
-    the longer string that lines the block up — and return the best
-    window ratio. Block-derived alignment finds the optimal window by
-    construction (no stride sampling that could skip the best offset)."""
+    """Exact rapidfuzz fuzz.partial_ratio semantics (0-1 range), rebuilt
+    from the published algorithm: let `short` be the shorter of the two
+    strings; score every candidate window of the longer string with the
+    normalized Indel similarity 2·LCS(short, w)/(len(short)+len(w)) and
+    return the max. The candidate windows are exactly rapidfuzz's — all
+    length-len(short) windows, plus the shorter prefixes and suffixes of
+    the longer string (windows hanging off its edges).
+
+    Windows whose boundary character does not occur in `short` are
+    skipped, which is lossless: dropping a character that cannot match
+    leaves the LCS unchanged while another candidate window contains the
+    same remaining characters with an equal-or-smaller denominator, so
+    the skipped window can never be the unique maximum."""
     if not keyword or not text:
         return 0.0
     short, long_ = (keyword, text) if len(keyword) <= len(text) else (text, keyword)
-    m = len(short)
-    aligner = SequenceMatcher(a=short, b=long_, autojunk=False)
+    len1, len2 = len(short), len(long_)
+    pm: dict = {}
+    for j, c in enumerate(short):
+        pm[c] = pm.get(c, 0) | (1 << j)
+    charset = pm.keys()
+
     best = 0.0
-    scorer = SequenceMatcher(a=short, autojunk=False)
-    tried: set[int] = set()
-    for a, b, _size in aligner.get_matching_blocks():
-        start = max(0, b - a)
-        if start in tried:
+    # prefix windows long_[:i], i < len1
+    for i in range(1, len1):
+        if long_[i - 1] not in charset:
             continue
-        tried.add(start)
-        # slice truncates at the end like the classic implementation
-        scorer.set_seq2(long_[start : start + m])
-        r = scorer.ratio()
-        if r > best:
-            best = r
-            if best >= 0.995:
+        sim = 2.0 * _lcs_len(pm, len1, long_[:i]) / (len1 + i)
+        if sim > best:
+            best = sim
+    # full-length windows long_[i:i+len1]
+    for i in range(0, len2 - len1 + 1):
+        if long_[i + len1 - 1] not in charset:
+            continue
+        sim = _lcs_len(pm, len1, long_[i : i + len1]) / len1
+        if sim > best:
+            best = sim
+            if best >= 1.0:
                 return best
+    # suffix windows long_[i:], shorter than len1
+    for i in range(len2 - len1 + 1, len2):
+        if long_[i] not in charset:
+            continue
+        sim = 2.0 * _lcs_len(pm, len1, long_[i:]) / (len1 + len2 - i)
+        if sim > best:
+            best = sim
     return best
 
 

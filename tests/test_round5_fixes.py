@@ -86,3 +86,73 @@ def test_near_dup_canonical_transitive_chain(spark):
     assert out[1]["canonical_id"] == out[2]["canonical_id"] == out[3]["canonical_id"] == 1
     assert out[1]["is_kept"] and not out[2]["is_kept"] and not out[3]["is_kept"]
     assert out[4]["canonical_id"] == 4 and out[4]["is_kept"]
+
+
+def _lcs_dp(a: str, b: str) -> int:
+    """O(n·m) LCS oracle for validating the bit-parallel kernel."""
+    n = len(b)
+    dp = [0] * (n + 1)
+    for ch in a:
+        prev = 0
+        for j in range(n):
+            cur = dp[j + 1]
+            dp[j + 1] = prev + 1 if ch == b[j] else max(dp[j + 1], dp[j])
+            prev = cur
+    return dp[n]
+
+
+def test_bitparallel_lcs_matches_dp():
+    """Allison–Dix bit-parallel LCS == textbook DP, including patterns
+    past 64 chars (Python-int bit vectors have no word-size ceiling)."""
+    import random
+
+    from delm_spark.operators.scoring import _lcs_len
+
+    rng = random.Random(13)
+    alpha = "abcd"
+    for _ in range(500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        pm: dict = {}
+        for j, c in enumerate(a):
+            pm[c] = pm.get(c, 0) | (1 << j)
+        if not a:
+            continue
+        assert _lcs_len(pm, len(a), b) == _lcs_dp(a, b), (a, b)
+
+
+def test_partial_ratio_exact_rapidfuzz_semantics():
+    """_partial_ratio == the brute-force statement of rapidfuzz's
+    partial_ratio (normalized Indel similarity maximized over every
+    full-length window plus the edge prefixes/suffixes of the longer
+    string), proving the boundary-character skip is lossless and the
+    scoring matches the reference's rapidfuzz contract
+    (scoring_strategies.py:106-111)."""
+    import random
+
+    from delm_spark.operators.scoring import _partial_ratio
+
+    def brute(text: str, kw: str) -> float:
+        if not kw or not text:
+            return 0.0
+        short, long_ = (kw, text) if len(kw) <= len(text) else (text, kw)
+        l1, l2 = len(short), len(long_)
+        cands = (
+            [long_[:i] for i in range(1, l1)]
+            + [long_[i : i + l1] for i in range(0, l2 - l1 + 1)]
+            + [long_[i:] for i in range(l2 - l1 + 1, l2)]
+        )
+        return max(2.0 * _lcs_dp(short, w) / (l1 + len(w)) for w in cands)
+
+    rng = random.Random(29)
+    alpha = "abcde "
+    for _ in range(800):
+        t = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 40)))
+        k = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 15)))
+        assert abs(_partial_ratio(t, k) - brute(t, k)) < 1e-12, (t, k)
+    # exact substring ==> perfect score; needle longer than haystack swaps
+    assert _partial_ratio("hello spark table world", "spark table") == 1.0
+    assert _partial_ratio("spark", "sparkling water") == _partial_ratio(
+        "sparkling water", "spark"
+    )
+    assert _partial_ratio("", "x") == 0.0
