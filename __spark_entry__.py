@@ -1475,14 +1475,15 @@ def multimodal_media_features(spark, sf_dir):
 
 def image_pixel_stats_docs(spark, sf_dir):
     """REAL pixel-decode path under the correctness gate: each document's
-    text becomes a 32x32 gray BMP (pixel i = codepoint of char i%len, mod
-    256 — pure function of the text), flows through the binary column +
-    Arrow image_pixel_stats operator (stdlib BMP decode -> luma stats),
-    and comes back as integers (luma sum, 16-bin histogram counts) the
-    oracle re-derives closed-form from the SAME text — so the
-    encode->decode->stats roundtrip must be numerically exact. (Gray
-    pixels make float32 luma exact: the Rec.601 coefficients sum to 1.0
-    in float32.)"""
+    text becomes a 32x32 gray image (pixel i = codepoint of char i%len,
+    mod 256 — pure function of the text) encoded as a GIF for even
+    doc_ids (stdlib LZW encoder) and an uncompressed BMP for odd ones,
+    flows through the binary column + Arrow image_pixel_stats operator
+    (stdlib GIF/BMP decode -> luma stats), and comes back as integers
+    (luma sum, 16-bin histogram counts) the oracle re-derives closed-form
+    from the SAME text — so BOTH encode->decode->stats roundtrips must be
+    numerically exact. (Gray pixels make float32 luma exact: the Rec.601
+    coefficients sum to 1.0 in float32.)"""
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
@@ -1490,32 +1491,32 @@ def image_pixel_stats_docs(spark, sf_dir):
 
     W = H = 32
 
-    def _to_bmp(texts):
+    def _to_img(ids, texts):
         import numpy as np
 
-        from delm_spark.operators.image_codec import encode_bmp
+        from delm_spark.operators.image_codec import encode_bmp, encode_gif
 
-        def one(t):
+        def one(doc_id, t):
             t = t or "\x00"
             vals = np.frombuffer(
                 "".join(t[i % len(t)] for i in range(W * H)).encode("latin-1"),
                 np.uint8,
             )
             img = np.repeat(vals.reshape(H, W)[:, :, None], 3, axis=2)
-            return encode_bmp(img)
+            return encode_gif(img) if doc_id % 2 == 0 else encode_bmp(img)
 
-        return texts.map(one)
+        return pd.Series([one(i, t) for i, t in zip(ids, texts)])
 
     # returnType passed explicitly: pd.Series annotations break typehint
     # resolution when pandas is imported inside the enclosing function
-    to_bmp = F.pandas_udf(_to_bmp, BinaryType())
+    to_img = F.pandas_udf(_to_img, BinaryType())
 
     docs = _t(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 200) & (F.length("text") > 0)
     )
     media = docs.select(
         F.format_string("m%08d", F.col("doc_id")).alias("media_id"),
-        to_bmp(F.col("text")).alias("content"),
+        to_img(F.col("doc_id"), F.col("text")).alias("content"),
     )
     stats = image_pixel_stats(media)
     return stats.select(
@@ -2673,7 +2674,8 @@ def oracle_sql() -> dict[str, str]:
                            ord(substr(text, (i % length(text)) + 1, 1)) % 256) AS p
                 FROM documents WHERE doc_id < 200 AND length(text) > 0)
             SELECT printf('m%08d', doc_id) AS media_id,
-                   'bmp' AS format,
+                   CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END
+                       AS format,
                    32 AS width, 32 AS height,
                    CAST(1024 AS BIGINT) AS n_pixels,
                    CAST(list_sum(p) AS BIGINT) AS luma_sum,

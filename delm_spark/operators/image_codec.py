@@ -1,21 +1,25 @@
-"""Pure-stdlib image pixel codecs (PNG + BMP) for the multimodal path.
+"""Pure-stdlib image pixel codecs (PNG + BMP + GIF) for the multimodal path.
 
 The reference treats media decode as a library call; this environment has
-no codec libraries, but PNG's container is zlib + per-scanline filters
-(both stdlib-expressible) and uncompressed BMP is plain bytes — so the
-pixel stage for those formats is REAL here, not a stub. JPEG/audio/video
-stay behind the pluggable `decoder` seam in operators/multimodal.py
-(DCT/codec work genuinely needs the libraries).
+no codec libraries, but PNG's container is zlib + per-scanline filters,
+uncompressed BMP is plain bytes, and GIF's LZW variant is ~80 lines from
+the public GIF89a spec — so the pixel stage for those formats is REAL
+here, not a stub. JPEG/audio/video stay behind the pluggable `decoder`
+seam in operators/multimodal.py (DCT/codec work genuinely needs the
+libraries).
 
 Scope (documented like io/pdf.py's):
   * PNG: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
     gray+alpha, RGBA), filters 0-4, non-interlaced. Adam7 and 16-bit
     raise ValueError.
   * BMP: uncompressed 24/32-bit bottom-up or top-down.
-  * `encode_png` writes a valid non-interlaced 8-bit PNG with a chosen
-    filter type — used by tests to round-trip every filter path and by
-    fixture generators; it is a real encoder (any PNG reader opens its
-    output).
+  * GIF: first image block (87a/89a), global or local palette,
+    interlaced or not, full variable-width LZW incl. deferred clear;
+    transparency index ignored (features read color planes).
+  * `encode_png` / `encode_gif` write valid files with chosen filter
+    type / interlace — used by tests to round-trip every decode path and
+    by fixture generators; they are real encoders (any reader opens
+    their output).
 
 Numpy is used for the vectorizable filters (Up, Sub via per-channel
 cumsum); Average/Paeth are sequential by definition and run as plain
@@ -216,13 +220,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes) -> Optional[np.ndarray]:
     """Dispatch by magic bytes; None when the format needs a real codec
-    library (JPEG/GIF pixels) or the payload is not an image."""
+    library (JPEG pixels) or the payload is not an image."""
     b = data or b""
     try:
         if b[:8] == _PNG_SIG:
             return decode_png(b)
         if b[:2] == b"BM":
             return decode_bmp(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(b)
     except (ValueError, zlib.error, struct.error, IndexError):
         return None
     return None
@@ -259,3 +265,217 @@ def pixel_stats(img: np.ndarray, hist_bins: int = 16) -> dict:
         "luma_hist": (hist / n).astype(np.float32).tolist(),
         "n_pixels": int(y.size),
     }
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a, public spec): LZW-compressed palette images. The LZW
+# codec below is implemented from the spec — variable-width codes starting at
+# min_code_size+1, clear/end codes, 12-bit dictionary ceiling — so GIF pixels
+# are REAL here like PNG/BMP, closing the former "GIF needs a library" gate.
+# Scope: first image block only (animation = later frames ignored), global or
+# local palette, interlaced or not; transparency index is ignored (pixel
+# features read color planes, not alpha).
+# ---------------------------------------------------------------------------
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytearray, int]:
+    """Concatenate length-prefixed sub-blocks starting at pos; returns
+    (payload, position after the 0 terminator)."""
+    out = bytearray()
+    while True:
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return out, pos
+        out += data[pos : pos + n]
+        pos += n
+
+
+def _lzw_decode(payload: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """GIF-variant LZW: emits exactly n_pixels palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # dictionary as list of bytes; rebuilt on clear
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in payload:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # deferred-clear: table freezes at cap
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if len(out) >= n_pixels:
+                return out
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _deinterlace(idx: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Undo GIF's 4-pass row interleave."""
+    rows = np.empty(h, np.int64)
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    rows[np.array(order, np.int64)] = np.arange(h)
+    return idx.reshape(h, w)[rows]
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> HxWx3 uint8 RGB of the FIRST image block."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed = struct.unpack("<HHB", data[6:11])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, all skippable
+            pos += 1
+            _, pos = _gif_subblocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _, _, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        min_code_size = data[pos]
+        pos += 1
+        payload, pos = _gif_subblocks(data, pos)
+        n_pixels = w * h
+        raw = _lzw_decode(bytes(payload), min_code_size, n_pixels)
+        if len(raw) < n_pixels:
+            raise ValueError("truncated GIF pixel data")
+        idx = np.frombuffer(bytes(raw[:n_pixels]), np.uint8)
+        plane = (
+            _deinterlace(idx, w, h) if ipacked & 0x40 else idx.reshape(h, w)
+        )
+        return palette[np.minimum(plane, len(palette) - 1)]
+    raise ValueError("GIF contains no image block")
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Spec LZW encoder (used by encode_gif and the round-trip tests)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    prefix = b""
+    for b in indices:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """HxWx3 uint8 (≤256 distinct colors) -> single-frame GIF89a bytes.
+    A real encoder — any GIF reader opens its output; used by tests and
+    fixture generators to round-trip the decoder without a library."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_gif expects HxWx3 uint8")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif supports at most 256 distinct colors")
+    bits = max(1, int(len(palette) - 1).bit_length())
+    n = 1 << bits
+    pal = np.zeros((n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    min_code_size = max(2, bits)
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[np.array(order, np.int64)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code_size)
+    lzw = _lzw_encode(idx.tobytes(), min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

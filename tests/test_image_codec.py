@@ -153,3 +153,56 @@ def test_image_pixel_stats_spark_operator(spark):
     assert got["m2"]["format"] == "bmp" and got["m2"]["n_pixels"] == 16
     # JPEG: header metadata only, pixel columns null, row not dropped
     assert got["m3"]["n_pixels"] is None and got["m3"]["mean_luma"] is None
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW from the public GIF89a spec)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("ncol", [1, 2, 17, 256])
+def test_gif_roundtrip(interlace, ncol):
+    from delm_spark.operators.image_codec import decode_gif, encode_gif
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, ncol, (23, 31))]
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert np.array_equal(out, img)
+
+
+def test_gif_dictionary_clear_past_4096_codes():
+    """A large noisy image forces the LZW dictionary through the 12-bit
+    ceiling and the encoder's clear/rebuild cycle."""
+    from delm_spark.operators.image_codec import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, 256, (200, 300))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_canonical_foreign_bytes():
+    """The widely published minimal 1x1 white-pixel GIF89a (not produced
+    by our encoder: has a graphic-control extension, different LZW
+    packing) must decode — cross-validates against a foreign encoder."""
+    from delm_spark.operators.image_codec import decode_gif
+
+    g = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"!\xf9\x04\x01\x00\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    out = decode_gif(g)
+    assert out.shape == (1, 1, 3) and out[0, 0].tolist() == [255, 255, 255]
+    assert np.array_equal(decode_image(g), out)
+
+
+def test_gif_encoder_rejects_wide_palettes():
+    from delm_spark.operators.image_codec import encode_gif
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)  # ~1600 colors
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(img)
