@@ -1475,15 +1475,18 @@ def multimodal_media_features(spark, sf_dir):
 
 def image_pixel_stats_docs(spark, sf_dir):
     """REAL pixel-decode path under the correctness gate: each document's
-    text becomes a 32x32 gray image (pixel i = codepoint of char i%len,
-    mod 256 — pure function of the text) encoded as a GIF for even
-    doc_ids (stdlib LZW encoder) and an uncompressed BMP for odd ones,
-    flows through the binary column + Arrow image_pixel_stats operator
-    (stdlib GIF/BMP decode -> luma stats), and comes back as integers
-    (luma sum, 16-bin histogram counts) the oracle re-derives closed-form
-    from the SAME text — so BOTH encode->decode->stats roundtrips must be
-    numerically exact. (Gray pixels make float32 luma exact: the Rec.601
-    coefficients sum to 1.0 in float32.)"""
+    text becomes a 32x32 gray image — pure function of the text — encoded
+    by doc_id % 3 as (0) a baseline JPEG whose 8x8 tiles are constant
+    (tile t = codepoint of char t%len, mod 256; tile-constant + the
+    all-8s quant table make DCT round-trip bit-exact, jpeg_codec.py), (1)
+    a GIF (stdlib LZW encoder, per-pixel pattern i%len), or (2) an
+    uncompressed BMP (same per-pixel pattern). All three flow through the
+    binary column + Arrow image_pixel_stats operator (stdlib decode ->
+    luma stats) and come back as integers (luma sum, 16-bin histogram
+    counts) the oracle re-derives closed-form from the SAME text — so all
+    three encode->decode->stats roundtrips must be numerically exact.
+    (Gray pixels make float32 luma exact: the Rec.601 coefficients sum to
+    1.0 in float32.)"""
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
@@ -1495,15 +1498,23 @@ def image_pixel_stats_docs(spark, sf_dir):
         import numpy as np
 
         from delm_spark.operators.image_codec import encode_bmp, encode_gif
+        from delm_spark.operators.jpeg_codec import encode_jpeg
 
         def one(doc_id, t):
             t = t or "\x00"
+            if doc_id % 3 == 0:
+                tiles = np.frombuffer(
+                    "".join(t[i % len(t)] for i in range(16)).encode("latin-1"),
+                    np.uint8,
+                ).reshape(4, 4)
+                gray = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+                return encode_jpeg(gray[:, :, None])
             vals = np.frombuffer(
                 "".join(t[i % len(t)] for i in range(W * H)).encode("latin-1"),
                 np.uint8,
             )
             img = np.repeat(vals.reshape(H, W)[:, :, None], 3, axis=2)
-            return encode_gif(img) if doc_id % 2 == 0 else encode_bmp(img)
+            return encode_gif(img) if doc_id % 3 == 1 else encode_bmp(img)
 
         return pd.Series([one(i, t) for i, t in zip(ids, texts)])
 
@@ -2670,12 +2681,22 @@ def oracle_sql() -> dict[str, str]:
         "image_pixel_stats_docs": """
             WITH px AS (
                 SELECT doc_id,
-                       list_transform(generate_series(0, 1023), i ->
-                           ord(substr(text, (i % length(text)) + 1, 1)) % 256) AS p
+                       CASE WHEN doc_id % 3 = 0 THEN
+                           -- jpeg lane: 8x8 tile-constant (tile index
+                           -- (y//8)*4 + x//8 over a 32x32 canvas)
+                           list_transform(generate_series(0, 1023), i ->
+                               ord(substr(text,
+                                   ((((i // 32) // 8) * 4 + ((i % 32) // 8))
+                                    % length(text)) + 1, 1)) % 256)
+                       ELSE
+                           list_transform(generate_series(0, 1023), i ->
+                               ord(substr(text, (i % length(text)) + 1, 1))
+                               % 256)
+                       END AS p
                 FROM documents WHERE doc_id < 200 AND length(text) > 0)
             SELECT printf('m%08d', doc_id) AS media_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END
-                       AS format,
+                   CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'gif'
+                        ELSE 'bmp' END AS format,
                    32 AS width, 32 AS height,
                    CAST(1024 AS BIGINT) AS n_pixels,
                    CAST(list_sum(p) AS BIGINT) AS luma_sum,

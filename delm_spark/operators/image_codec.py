@@ -219,8 +219,9 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> Optional[np.ndarray]:
-    """Dispatch by magic bytes; None when the format needs a real codec
-    library (JPEG pixels) or the payload is not an image."""
+    """Dispatch by magic bytes; None when the format is outside the
+    stdlib codecs' scope (progressive JPEG, 16-bit PNG, ...) or the
+    payload is not an image."""
     b = data or b""
     try:
         if b[:8] == _PNG_SIG:
@@ -229,6 +230,10 @@ def decode_image(data: bytes) -> Optional[np.ndarray]:
             return decode_bmp(b)
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(b)
+        if b[:2] == b"\xff\xd8":
+            from delm_spark.operators.jpeg_codec import decode_jpeg
+
+            return decode_jpeg(b)
     except (ValueError, zlib.error, struct.error, IndexError):
         return None
     return None
