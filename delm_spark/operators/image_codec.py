@@ -4,9 +4,10 @@ The reference treats media decode as a library call; this environment has
 no codec libraries, but PNG's container is zlib + per-scanline filters,
 uncompressed BMP is plain bytes, and GIF's LZW variant is ~80 lines from
 the public GIF89a spec — so the pixel stage for those formats is REAL
-here, not a stub. JPEG/audio/video stay behind the pluggable `decoder`
-seam in operators/multimodal.py (DCT/codec work genuinely needs the
-libraries).
+here, not a stub. JPEG (baseline + progressive Huffman) is decoded by the
+sibling operators/jpeg_codec.py and dispatched from decode_image below;
+compressed audio/video stay behind the pluggable `decoder` seam in
+operators/multimodal.py (those codecs genuinely need the libraries).
 
 Scope (documented like io/pdf.py's):
   * PNG: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
@@ -220,7 +221,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes) -> Optional[np.ndarray]:
     """Dispatch by magic bytes; None when the format is outside the
-    stdlib codecs' scope (progressive JPEG, 16-bit PNG, ...) or the
+    stdlib codecs' scope (arithmetic-coded JPEG, 16-bit PNG, ...) or the
     payload is not an image."""
     b = data or b""
     try:

@@ -4,7 +4,7 @@ Media are opaque `binary` columns plus typed metadata structs; all heavy
 decode/feature work runs in Arrow-batched pandas UDFs over `mapInPandas`.
 Three tiers of realness here:
   * container-header metadata (PNG/GIF/JPEG/BMP dims) — real, stdlib;
-  * PIXEL decode for PNG, GIF, baseline JPEG, and uncompressed BMP — real, stdlib/numpy
+  * PIXEL decode for PNG, GIF, JPEG (baseline + progressive), and uncompressed BMP — real, stdlib/numpy
     (operators/image_codec.py: zlib + scanline filters), feeding
     `image_pixel_stats` (luma stats + histogram) and nearest-neighbor
     resize;
@@ -157,11 +157,12 @@ def image_metadata(media: DataFrame, batch_rows: int = 256) -> DataFrame:
 
 def image_pixel_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     """media -> (media_id, format, width, height, mean_luma, std_luma,
-    luma_hist, n_pixels): REAL pixel decode for PNG / GIF / baseline JPEG
-    / uncompressed BMP payloads (operators/image_codec.py +
-    jpeg_codec.py, pure stdlib+numpy); rows whose payload is outside the
-    codecs' scope (progressive JPEG etc.) or is not an image come back
-    with null pixel columns instead of failing the scan."""
+    luma_hist, n_pixels): REAL pixel decode for PNG / GIF / JPEG
+    (baseline + progressive) / uncompressed BMP payloads
+    (operators/image_codec.py + jpeg_codec.py, pure stdlib+numpy); rows
+    whose payload is outside the codecs' scope (arithmetic-coded JPEG
+    etc.) or is not an image come back with null pixel columns instead of
+    failing the scan."""
     from delm_spark.operators.image_codec import decode_image, pixel_stats
 
     schema = StructType(
@@ -337,16 +338,17 @@ def video_frame_stats(
 
 
 def require_real_decoders() -> None:
-    """Real codec path for progressive JPEG / compressed audio/video —
-    unavailable in this environment by design (PNG/GIF/baseline-JPEG/BMP
+    """Real codec path for compressed audio/video — unavailable in this
+    environment by design (PNG/GIF/JPEG-baseline-and-progressive/BMP
     pixels, PCM WAV audio, and uncompressed-AVI frames ARE decoded
     natively: see image_pixel_stats, audio_features, video_frame_stats)."""
     raise NotImplementedError(
-        "progressive-JPEG/MP3/H.264 decoding needs Pillow/torchaudio/"
-        "ffmpeg; pass a `decoder` callable to extract_media_features "
-        "instead (PNG, GIF, baseline JPEG, uncompressed BMP, PCM WAV, and "
-        "DIB-frame AVI decode natively via operators/image_codec.py, "
-        "jpeg_codec.py, and av_codec.py)"
+        "MP3/H.264 (and arithmetic-coded JPEG) decoding needs "
+        "torchaudio/ffmpeg; pass a `decoder` callable to "
+        "extract_media_features instead (PNG, GIF, baseline+progressive "
+        "JPEG, uncompressed BMP, PCM WAV, and DIB-frame AVI decode "
+        "natively via operators/image_codec.py, jpeg_codec.py, and "
+        "av_codec.py)"
     )
 
 
