@@ -33,7 +33,7 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_LC_CONVS", "1600000"))
 RUNS = int(os.environ.get("SPARK_GRAFT_LC_RUNS", "2"))
 MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_LC_ATTEMPTS", "5"))
 STEAL_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "6"))
-EXEC_CORES = 8
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_LC_EXEC_CORES", "8"))
 EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_LC_EXEC_MB", "12288"))
 LEVELS = (1, 4)  # N and 4N executors
 N_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "256"))
