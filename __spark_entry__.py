@@ -4078,23 +4078,33 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
         # rounds — undirected simple graph, most-frequent neighbor label,
         # ties to the smallest label — then community sizes by window
         iters = 4
+        # node set from the ORIGINAL edge list (self-loop-only nodes keep
+        # their own label as singleton communities — they have no
+        # neighbors to vote, so each round's LEFT join preserves them)
         lpa = """,
             und AS (
                 SELECT DISTINCT least(subj_id, obj_id) AS a,
                        greatest(subj_id, obj_id) AS b
                 FROM linked WHERE subj_id <> obj_id),
             sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
-            lab0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym)"""
+            lab0 AS (
+                SELECT node, node AS lbl FROM (
+                    SELECT DISTINCT subj_id AS node FROM linked
+                    UNION
+                    SELECT DISTINCT obj_id FROM linked))"""
         for r in range(1, iters + 1):
             lpa += f""",
             lab{r} AS (
-                SELECT node, lbl FROM (
-                    SELECT node, lbl, row_number() OVER (PARTITION BY node
-                               ORDER BY c DESC, lbl ASC) AS rn
-                    FROM (SELECT s.a AS node, l.lbl, count(*) AS c
-                          FROM sym s JOIN lab{r - 1} l ON s.b = l.node
-                          GROUP BY s.a, l.lbl))
-                WHERE rn = 1)"""
+                SELECT p.node, coalesce(v.lbl, p.lbl) AS lbl
+                FROM lab{r - 1} p LEFT JOIN (
+                    SELECT node, lbl FROM (
+                        SELECT node, lbl, row_number() OVER (
+                                   PARTITION BY node
+                                   ORDER BY c DESC, lbl ASC) AS rn
+                        FROM (SELECT s.a AS node, l.lbl, count(*) AS c
+                              FROM sym s JOIN lab{r - 1} l ON s.b = l.node
+                              GROUP BY s.a, l.lbl))
+                    WHERE rn = 1) v ON p.node = v.node)"""
         return linked + lpa + f"""
             SELECT node, lbl AS community,
                    count(*) OVER (PARTITION BY lbl) AS n_members

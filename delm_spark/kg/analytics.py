@@ -48,13 +48,16 @@ def triple_provenance(
     obj_col: str = "obj_id",
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
+    subj_surface_col: str = "subj",
+    obj_surface_col: str = "obj",
 ) -> DataFrame:
     """Support statistics per canonical triple.
 
     Returns one row per (subj_id, pred, obj_id) with
       n_support  — total supporting extractions,
       n_convs    — distinct conversations asserting it,
-      n_surfaces — distinct (subj, obj) surface-form pairs,
+      n_surfaces — distinct (subj_surface_col, obj_surface_col)
+                   surface-form pairs,
       first_seen — lexicographically smallest `conv_id#turn_idx` pointer
                    (zero-padded turn index so string order == numeric
                    order), a deterministic provenance anchor.
@@ -75,9 +78,11 @@ def triple_provenance(
     ).agg(
         F.count(F.lit(1)).alias("n_support"),
         F.countDistinct(F.col(conv_col)).alias("n_convs"),
-        F.countDistinct(F.concat_ws("|", F.col("subj"), F.col("obj"))).alias(
-            "n_surfaces"
-        ),
+        F.countDistinct(
+            F.concat_ws(
+                "|", F.col(subj_surface_col), F.col(obj_surface_col)
+            )
+        ).alias("n_surfaces"),
         first_ptr.alias("first_seen"),
     )
 

@@ -46,9 +46,17 @@ def label_propagation(
 
     Self-loops are dropped and parallel edges collapse to one (simple
     undirected graph — vote counts are neighbor counts, not mention
-    counts). Returns one row per node: (node, community, n_members),
-    ordered by nothing (caller sorts).
+    counts). Returns one row per node of the ORIGINAL edge list —
+    including nodes whose every edge is a self-loop: they have no
+    neighbors to vote, so they keep their own label and come back as
+    singleton communities rather than silently disappearing. Output is
+    (node, community, n_members), ordered by nothing (caller sorts).
     """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -60,22 +68,32 @@ def label_propagation(
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(
+        eager=True
     )
     for _ in range(iters):
         votes = (
             sym.join(labels, sym["b"] == labels["node"])
-            .groupBy(F.col("a").alias("__n"), F.col("lbl"))
+            .groupBy(F.col("a").alias("node"), F.col("lbl").alias("__vl"))
             .agg(F.count(F.lit(1)).alias("__c"))
         )
+        best = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__c")).alias("__nc"), F.col("__vl"))
+                ).alias("__b")
+            )
+            .select("node", F.col("__b.__vl").alias("__vlbl"))
+        )
+        # neighbor-less nodes have no vote row: left join keeps them on
+        # their previous (= own) label every round
         labels = (
-            votes.groupBy(F.col("__n").alias("node"))
-            .agg(F.min(F.struct((-F.col("__c")).alias("__nc"), F.col("lbl"))).alias("__b"))
-            .select("node", F.col("__b.lbl").alias("lbl"))
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__vlbl"), F.col("lbl")).alias("lbl"),
+            )
             .localCheckpoint(eager=True)
         )
     return labels.select(

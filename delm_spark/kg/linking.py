@@ -103,6 +103,12 @@ def surface_embeddings_fast(
         for pdf in batches:
             vecs = []
             for s in pdf[surface_col]:
+                if s is None:
+                    # null-propagate like the native HOF expression this
+                    # replaced: a null surface gets a null embedding and
+                    # posexplode drops the row downstream.
+                    vecs.append(None)
+                    continue
                 norm = ws.sub(" ", s).strip(" ").lower()
                 v = np.zeros(dim)
                 for b in _trigram_buckets(norm, dim, cache):

@@ -286,7 +286,7 @@ def unigram_lm_score(
     (map-side combinable counts), vocabulary + the 1-row total both
     broadcast, one final groupBy(id).
     """
-    micronats = lambda c: F.floor(F.log(c) * 1e6 + 0.5).cast("long")  # noqa: E731
+    micronats = _micronats
     tokens = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
     )
@@ -469,7 +469,7 @@ def bigram_lm_score(
     Returns (id_col, n_bigrams, sum_surprisal_micro, avg_surprisal_micro)
     with single-token/empty docs keeping an n_bigrams=0 zero row.
     """
-    micronats = lambda c: F.floor(F.log(c) * 1e6 + 0.5).cast("long")  # noqa: E731
+    micronats = _micronats
     words = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
     docs = df.select(
         F.col(id_col),

@@ -235,7 +235,20 @@ def decode_image(data: bytes) -> Optional[np.ndarray]:
             from delm_spark.operators.jpeg_codec import decode_jpeg
 
             return decode_jpeg(b)
-    except (ValueError, zlib.error, struct.error, IndexError):
+    except (
+        ValueError,
+        zlib.error,
+        struct.error,
+        IndexError,
+        # a nonconforming JPEG can reference a DQT/DHT id that was never
+        # declared: the table-dict lookup raises KeyError (direct index)
+        # or AttributeError (htables.get(...) -> None.decode). Those are
+        # malformed-payload signals, not engine bugs — return None so the
+        # Arrow scan keeps its rows-with-null-pixels contract instead of
+        # failing the whole job on one bad file.
+        KeyError,
+        AttributeError,
+    ):
         return None
     return None
 

@@ -227,13 +227,9 @@ def pq_topk(
             ).alias("__e"),
         )
         .groupBy("query_id")
-        .agg(
-            F.array_sort(F.collect_list("__e")).alias("__ents"),
-            F.first("__qv").alias("__qv"),
-        )
+        .agg(F.array_sort(F.collect_list("__e")).alias("__ents"))
         .select(
             "query_id",
-            "__qv",
             F.transform("__ents", lambda e: e["__d"]).alias("__dtab"),
         )
     )

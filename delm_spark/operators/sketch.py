@@ -240,7 +240,16 @@ def cms_estimate_counts(
         ),
     )
     return (
-        probes.join(F.broadcast(sketch), ["depth_row", "bucket"])
+        # LEFT join: a probe cell absent from the sparse sketch table is an
+        # EMPTY cell (count 0) — an inner join would drop it, inflating the
+        # min for never-seen keys (or losing the key's output row entirely
+        # when all its cells are empty) and breaking the one-row-per-key
+        # contract for external `keys`.
+        probes.join(F.broadcast(sketch), ["depth_row", "bucket"], "left")
         .groupBy("key")
-        .agg(F.min("cell_count").cast("long").alias("est_count"))
+        .agg(
+            F.min(F.coalesce(F.col("cell_count"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
     )

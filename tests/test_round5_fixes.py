@@ -156,3 +156,106 @@ def test_partial_ratio_exact_rapidfuzz_semantics():
         "sparkling water", "spark"
     )
     assert _partial_ratio("", "x") == 0.0
+
+
+def test_cms_estimate_counts_absent_keys_are_zero(spark):
+    """Review r5: a probe key absent from the corpus must come back with
+    est_count 0 (CMS min over cells INCLUDES empty cells), and must not
+    vanish from the output — the sparse cell table only stores non-empty
+    cells, so the probe join has to be a left join."""
+    from delm_spark.operators.cluster import kmeans_init  # noqa: F401 (import sanity)
+    from delm_spark.operators.sketch import cms_estimate_counts
+
+    corpus = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(100)], "v string"
+    )
+    keys = spark.createDataFrame(
+        [("k0",), ("k3",), ("absent-a",), ("absent-b",)], "key string"
+    )
+    # wide sketch: absent keys' cells are overwhelmingly empty
+    got = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate_counts(
+            corpus, "v", keys=keys, depth=4, width=4096
+        ).collect()
+    }
+    assert set(got) == {"k0", "k3", "absent-a", "absent-b"}
+    assert got["k0"] >= 15 and got["k3"] >= 14  # one-sided guarantee
+    assert got["absent-a"] == 0 and got["absent-b"] == 0
+
+
+def test_decode_image_malformed_jpeg_returns_none():
+    """Review r5: a JPEG whose scan references an undeclared DQT/DHT id
+    must decode to None (rows-with-null-pixels contract), not raise
+    KeyError/AttributeError out of the Arrow scan."""
+    import numpy as np
+
+    from delm_spark.operators.image_codec import decode_image
+    from delm_spark.operators.jpeg_codec import encode_jpeg
+
+    good = bytearray(encode_jpeg(np.full((8, 8, 1), 128, np.uint8)))
+    # corrupt the SOF0 component's quant-table id (tq 0 -> 1: undeclared)
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    tq_off = sof + 2 + 8 + 2  # marker+len, P/Y/X/Nf, comp id + sampling
+    assert good[tq_off] == 0
+    good[tq_off] = 1
+    assert decode_image(bytes(good)) is None
+
+
+def test_surface_embeddings_fast_null_surface(spark):
+    """Review r5: a null surface must null-propagate (row dropped at
+    posexplode) like the native expression, not TypeError the task."""
+    from delm_spark.kg.linking import surface_embeddings_fast
+
+    df = spark.createDataFrame(
+        [("alice",), (None,), ("bob",)], "surface string"
+    )
+    rows = surface_embeddings_fast(df, "surface", "e", 64).collect()
+    by_s = {r["surface"]: r["e"] for r in rows}
+    assert by_s[None] is None
+    assert by_s["alice"] is not None and by_s["bob"] is not None
+
+
+def test_label_propagation_keeps_self_loop_only_nodes(spark):
+    """Review r5: a node whose every edge is a self-loop must come back
+    as its own singleton community, not disappear from the output."""
+    from delm_spark.kg.communities import label_propagation
+
+    edges = spark.createDataFrame(
+        # triangle (converges under synchronous LPA) + self-loop-only x
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "x")],
+        "src string, dst string",
+    )
+    rows = {r["node"]: r for r in label_propagation(edges, iters=4).collect()}
+    assert set(rows) == {"a", "b", "c", "x"}
+    assert rows["x"]["community"] == "x" and rows["x"]["n_members"] == 1
+    assert rows["a"]["community"] == rows["b"]["community"] == rows["c"]["community"]
+
+
+def test_triple_provenance_custom_surface_columns(spark):
+    """Review r5: n_surfaces must honor the surface-column parameters
+    instead of hardcoding 'subj'/'obj'."""
+    from delm_spark.kg.analytics import triple_provenance
+
+    triples = spark.createDataFrame(
+        [
+            ("e1", "works_at", "e2", "Alice", "Acme", "c1", 1),
+            ("e1", "works_at", "e2", "alice smith", "Acme", "c2", 3),
+        ],
+        "head_id string, p string, tail_id string, head string, "
+        "tail string, conv string, ti int",
+    )
+    row = triple_provenance(
+        triples,
+        subj_col="head_id",
+        pred_col="p",
+        obj_col="tail_id",
+        conv_col="conv",
+        turn_col="ti",
+        subj_surface_col="head",
+        obj_surface_col="tail",
+    ).collect()[0]
+    assert row["n_support"] == 2
+    assert row["n_surfaces"] == 2
+    assert row["first_seen"] == "c1#000001"
