@@ -1069,6 +1069,57 @@ def kg_communities(spark, sf_dir):
     return label_propagation(edges, iters=4).orderBy("node")
 
 
+def kg_pattern_colleagues(spark, sf_dir):
+    """BGP triple-pattern query (kg/query.py match_pattern) over the
+    materialized KG: the SPARQL-core conjunctive pattern
+    (?a works_at ?org), (?b works_at ?org) with ?a < ?b — colleague
+    pairs through a shared employer. Constants push into the triple
+    scan before the single shared-variable equi-join; the oracle
+    re-derives the linked triples and runs the equivalent self-join."""
+    from delm_spark.kg.query import match_pattern
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    bindings = match_pattern(
+        res.triples,
+        [("?a", "works_at", "?org"), ("?b", "works_at", "?org")],
+    )
+    return (
+        bindings.filter(F.col("a") < F.col("b"))
+        .select("a", "b", "org")
+        .orderBy("a", "b", "org")
+    )
+
+
+def kg_predicate_canonical(spark, sf_dir):
+    """Ontology induction (kg/ontology.py canonicalize_predicates):
+    predicates whose distinct (subj_id, obj_id) pair sets overlap at
+    Jaccard >= 0.5 (exact integer micro-units) collapse to the
+    lexicographically-smallest member via connected components.
+    Relation-surface variation is synthesized deterministically — a
+    conversation whose md5(conv_id) leads with an odd hex digit asserts
+    pred || '_alt' — so each predicate splits into two extensionally
+    overlapping surface forms that must re-merge, while extensionally
+    disjoint predicates stay singletons. The oracle replays the alias,
+    the integer Jaccard, and min-label propagation in SQL."""
+    from delm_spark.kg.ontology import canonicalize_predicates
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    aliased = res.triples.withColumn(
+        "pred",
+        F.when(
+            F.conv(F.substring(F.md5("conv_id"), 1, 1), 16, 10).cast("int")
+            % 2
+            == 1,
+            F.concat(F.col("pred"), F.lit("_alt")),
+        ).otherwise(F.col("pred")),
+    )
+    return canonicalize_predicates(aliased, min_jaccard_micro=500_000).orderBy(
+        "pred"
+    )
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2114,9 +2165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-round-green veterans (driver-green in r02+r03+r04, still pinned
     # by tests/test_oracle_parity.py every round) are rotated to the tail.
     return {
-        # --- never driver-checked (round-4 additions + 2 pushed past the cap)
-        "fuzzy_score_docs": fuzzy_score_docs,
-        "fixed_window_chunks": fixed_window_chunks,
+        # --- never driver-checked (round-4/5 additions; fuzzy_score_docs and
+        # fixed_window_chunks, green in r03, rotate to the tail to free two
+        # gate slots for the round-5 BGP/ontology queries)
+        "kg_pattern_colleagues": kg_pattern_colleagues,
+        "kg_predicate_canonical": kg_predicate_canonical,
         "decontam_ngram_docs": decontam_ngram_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "pii_redact_docs": pii_redact_docs,
@@ -2225,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "dedup_events_first": dedup_events_first,
         "lang_id_docs": lang_id_docs,
+        "fuzzy_score_docs": fuzzy_score_docs,
+        "fixed_window_chunks": fixed_window_chunks,
     }
 
 
@@ -2817,6 +2872,8 @@ def oracle_sql() -> dict[str, str]:
         "containment_dedup_docs": _minhash_lsh_oracle_sql(
             k=16, bands=4, containment_micro=600_000
         ),
+        "kg_pattern_colleagues": _kg_oracle_sql("pattern"),
+        "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
         "kg_communities": _kg_oracle_sql("communities"),
@@ -3958,6 +4015,65 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             SELECT *, 'removed' AS change
             FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
             ORDER BY change, conv_id, turn_idx, chunk_pos, item_pos
+        """
+    if kind == "pattern":
+        # kg/query.py match_pattern on (?a works_at ?org),
+        # (?b works_at ?org): SELECT DISTINCT bindings == self-join of
+        # the distinct triple set on the shared variable
+        return linked + """,
+            t AS (SELECT DISTINCT subj_id, pred, obj_id FROM linked)
+            SELECT a.subj_id AS a, b.subj_id AS b, a.obj_id AS org
+            FROM t a JOIN t b ON a.obj_id = b.obj_id
+            WHERE a.pred = 'works_at' AND b.pred = 'works_at'
+              AND a.subj_id < b.subj_id
+            ORDER BY a, b, org
+        """
+    if kind == "pred_canon":
+        # kg/ontology.py canonicalize_predicates over the md5-parity
+        # aliased predicates: distinct (pred, subj, obj) pair sets,
+        # exact-integer Jaccard, edges at >= 0.5, then min-label
+        # propagation unrolled 4 rounds (component diameter here is 1;
+        # 4 rounds cover diameter 4) — component min == the Spark side's
+        # connected-components canonical label
+        prop = ""
+        for r in range(1, 5):
+            prop += f""",
+            lab{r} AS (
+                SELECT l.node,
+                       least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+                FROM lab{r - 1} l
+                LEFT JOIN psym s ON l.node = s.x
+                LEFT JOIN lab{r - 1} n ON s.y = n.node
+                GROUP BY l.node, l.lbl)"""
+        return linked + f""",
+            aliased AS (
+                SELECT CASE WHEN ('0x' || substr(md5(conv_id), 1, 1))::INT
+                                 % 2 = 1
+                            THEN pred || '_alt' ELSE pred END AS pred,
+                       subj_id, obj_id
+                FROM linked),
+            ppairs AS (SELECT DISTINCT pred, subj_id, obj_id FROM aliased),
+            psizes AS (SELECT pred, count(*) AS n FROM ppairs GROUP BY pred),
+            pco AS (
+                SELECT a.pred AS pa, b.pred AS pb, count(*) AS c
+                FROM ppairs a JOIN ppairs b
+                  ON a.subj_id = b.subj_id AND a.obj_id = b.obj_id
+                 AND a.pred < b.pred
+                GROUP BY 1, 2),
+            pedges AS (
+                SELECT pa, pb
+                FROM pco
+                JOIN psizes sa ON sa.pred = pa
+                JOIN psizes sb ON sb.pred = pb
+                WHERE (1000000 * c) // (sa.n + sb.n - c) >= 500000),
+            psym AS (SELECT pa AS x, pb AS y FROM pedges
+                     UNION ALL SELECT pb, pa FROM pedges),
+            lab0 AS (SELECT pred AS node, pred AS lbl FROM psizes){prop}
+            SELECT l.node AS pred, l.lbl AS canonical_pred,
+                   count(*) OVER (PARTITION BY l.lbl) AS n_members,
+                   s.n AS n_pairs
+            FROM lab4 l JOIN psizes s ON s.pred = l.node
+            ORDER BY pred
         """
     if kind == "provenance":
         # kg/analytics.py triple_provenance: one aggregation over the

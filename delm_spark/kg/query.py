@@ -1,0 +1,121 @@
+"""Basic-graph-pattern (BGP) matching over the materialized triple table.
+
+Once the pipeline materializes (subj_id, pred, obj_id) edges, the first
+thing a KG consumer does is ASK it things — conjunctive triple-pattern
+queries, the SELECT core of SPARQL: ``(?a, works_at, ?org),
+(?b, works_at, ?org)`` finds colleague pairs, ``(?x, works_at, ?o),
+(?o, located_in, ?c)`` resolves employers to cities. The reference
+(Center-for-Applied-AI/delm) stops at emitting per-record extractions
+(``src/delm/delm.py``) and has no query layer; this module is the
+north-star extension that makes the constructed graph queryable, as a
+compiler from patterns to a declarative DataFrame plan (Catalyst picks
+the physical joins; AQE re-plans at runtime sizes).
+
+Scale notes (100 TB / 1000-executor framing):
+
+- Every constant in a pattern becomes a ``filter`` on the triple scan
+  BEFORE any join, so predicate/constant selectivity is pushed into the
+  parquet scan (column-pruned to the 3 triple columns) rather than
+  carried through a shuffle.
+- Pattern join ORDER is chosen by bound-ness: the most-constant pattern
+  seeds the plan, and each step greedily attaches the pattern sharing
+  the most already-bound variables (ties to more constants). This keeps
+  the plan a chain of equi-joins on shared variables; a genuinely
+  disconnected pattern group (no shared variable anywhere) is a true
+  cartesian product by SEMANTICS and is refused unless explicitly
+  allowed — at web scale an accidental cross join is a job killer, so
+  it must be opt-in.
+- Joins are plain equi-joins on variable bindings: Spark shuffles on
+  the shared-variable key and AQE broadcast-converts whichever side a
+  constant-heavy pattern has made small. Nothing here collects, loops,
+  or leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?") and len(term) > 1
+
+
+def match_pattern(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Match a conjunctive triple pattern; return variable bindings.
+
+    Each pattern is a (subject, predicate, object) 3-tuple of strings;
+    a term starting with ``?`` is a variable, anything else is matched
+    as a constant. The result has one column per distinct variable
+    (named without the ``?``), one row per satisfying binding —
+    ``distinct=True`` (the default) gives SPARQL SELECT DISTINCT set
+    semantics, ``distinct=False`` keeps duplicate-support bag
+    semantics.
+
+    A variable repeated WITHIN one pattern (e.g. ``(?x, likes, ?x)``)
+    becomes an equality filter on that pattern's scan. Patterns that
+    share no variable with the rest of the query multiply bindings
+    (cartesian product); that is refused with ``ValueError`` unless
+    ``allow_cartesian=True``.
+    """
+    if not patterns:
+        raise ValueError("match_pattern needs at least one pattern")
+    cols = (subj_col, pred_col, obj_col)
+    frames: list[tuple[DataFrame, frozenset[str], int]] = []
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be a 3-tuple, got {pat!r}")
+        df = triples
+        sel: dict[str, str] = {}
+        n_const = 0
+        for term, col in zip(pat, cols):
+            if _is_var(term):
+                v = term[1:]
+                if v in sel:
+                    # repeated variable inside one pattern: equality
+                    df = df.filter(F.col(col) == F.col(sel[v]))
+                else:
+                    sel[v] = col
+            else:
+                df = df.filter(F.col(col) == F.lit(term))
+                n_const += 1
+        if not sel:
+            raise ValueError(
+                f"pattern {pat!r} binds no variable; a fully-constant "
+                "pattern is an existence test — express it as a filter"
+            )
+        proj = df.select(*(F.col(c).alias(v) for v, c in sel.items()))
+        frames.append((proj, frozenset(sel), n_const))
+
+    # seed with the most-constant (most selective) pattern, then greedily
+    # attach the pattern sharing the most bound variables
+    order = sorted(range(len(frames)), key=lambda i: -frames[i][2])
+    seed = order[0]
+    out, bound = frames[seed][0], set(frames[seed][1])
+    remaining = [i for i in order if i != seed]
+    while remaining:
+        best = max(
+            remaining,
+            key=lambda i: (len(frames[i][1] & bound), frames[i][2]),
+        )
+        shared = sorted(frames[best][1] & bound)
+        nxt = frames[best][0]
+        if shared:
+            out = out.join(nxt, on=shared)
+        elif allow_cartesian:
+            out = out.crossJoin(nxt)
+        else:
+            raise ValueError(
+                "pattern group is disconnected (no shared variable); "
+                "pass allow_cartesian=True to take the cross product"
+            )
+        bound |= frames[best][1]
+        remaining.remove(best)
+    return out.distinct() if distinct else out

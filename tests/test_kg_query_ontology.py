@@ -1,0 +1,156 @@
+"""BGP pattern matching (kg/query.py) and predicate canonicalization
+(kg/ontology.py) — north-star extensions round 5."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delm_spark.kg.ontology import (
+    apply_predicate_mapping,
+    canonicalize_predicates,
+    predicate_similarity,
+)
+from delm_spark.kg.query import match_pattern
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("alice", "works_at", "acme"),
+        ("bob", "works_at", "acme"),
+        ("carol", "works_at", "globex"),
+        ("acme", "located_in", "berlin"),
+        ("globex", "located_in", "paris"),
+        ("alice", "likes", "alice"),
+        ("alice", "likes", "bob"),
+        # duplicate support row for bag-semantics check
+        ("bob", "works_at", "acme"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+
+
+def test_two_hop_chain_pattern(triples):
+    got = sorted(
+        tuple(r)
+        for r in match_pattern(
+            triples,
+            [("?x", "works_at", "?o"), ("?o", "located_in", "?c")],
+        )
+        .select("x", "o", "c")
+        .collect()
+    )
+    assert got == [
+        ("alice", "acme", "berlin"),
+        ("bob", "acme", "berlin"),
+        ("carol", "globex", "paris"),
+    ]
+
+
+def test_colleague_pattern_and_constants(triples):
+    out = match_pattern(
+        triples, [("?a", "works_at", "?org"), ("?b", "works_at", "?org")]
+    ).filter(F.col("a") < F.col("b"))
+    assert [tuple(r) for r in out.select("a", "b", "org").collect()] == [
+        ("alice", "bob", "acme")
+    ]
+    # constant subject narrows to one binding
+    got = match_pattern(triples, [("alice", "works_at", "?o")]).collect()
+    assert [r["o"] for r in got] == ["acme"]
+
+
+def test_repeated_variable_within_pattern(triples):
+    got = match_pattern(triples, [("?x", "likes", "?x")]).collect()
+    assert [r["x"] for r in got] == ["alice"]
+
+
+def test_distinct_vs_bag_semantics(triples):
+    pat = [("?a", "works_at", "acme")]
+    assert match_pattern(triples, pat).count() == 2
+    assert match_pattern(triples, pat, distinct=False).count() == 3
+
+
+def test_disconnected_pattern_refused(triples):
+    with pytest.raises(ValueError, match="disconnected"):
+        match_pattern(
+            triples,
+            [("?x", "works_at", "?o"), ("?c", "located_in", "paris")],
+        )
+    # opt-in cross product works and has the product cardinality
+    out = match_pattern(
+        triples,
+        [("?x", "works_at", "?o"), ("?c", "located_in", "paris")],
+        allow_cartesian=True,
+    )
+    assert out.count() == 3  # 3 distinct (x, o) x 1 (c)
+
+
+def test_invalid_patterns(triples):
+    with pytest.raises(ValueError, match="at least one"):
+        match_pattern(triples, [])
+    with pytest.raises(ValueError, match="binds no variable"):
+        match_pattern(triples, [("alice", "works_at", "acme")])
+
+
+def test_no_cartesian_in_connected_plan(triples):
+    out = match_pattern(
+        triples,
+        [("?x", "works_at", "?o"), ("?o", "located_in", "?c")],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+@pytest.fixture(scope="module")
+def aliased(spark):
+    # works_at / works_at_alt assert overlapping pair sets (variants of
+    # one relation); mentors is extensionally disjoint and must survive
+    # as a singleton
+    rows = [
+        ("a1", "works_at", "o1"),
+        ("a2", "works_at", "o1"),
+        ("a3", "works_at", "o2"),
+        ("a1", "works_at_alt", "o1"),
+        ("a2", "works_at_alt", "o1"),
+        ("a4", "works_at_alt", "o2"),
+        ("a1", "mentors", "a2"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+
+
+def test_predicate_similarity_exact_integers(aliased):
+    rows = predicate_similarity(aliased, min_jaccard_micro=0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pred_a"], r["pred_b"]) == ("works_at", "works_at_alt")
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["jaccard_micro"] == 500_000  # floor(1e6 * 2 / 4)
+
+
+def test_canonicalize_predicates_clusters_and_singletons(aliased):
+    got = {
+        r["pred"]: r
+        for r in canonicalize_predicates(
+            aliased, min_jaccard_micro=500_000
+        ).collect()
+    }
+    assert got["works_at"]["canonical_pred"] == "works_at"
+    assert got["works_at_alt"]["canonical_pred"] == "works_at"
+    assert got["works_at"]["n_members"] == 2
+    assert got["mentors"]["canonical_pred"] == "mentors"
+    assert got["mentors"]["n_members"] == 1
+    assert got["works_at"]["n_pairs"] == 3
+    # tighter threshold: no cluster survives
+    loose = canonicalize_predicates(aliased, min_jaccard_micro=600_000)
+    assert all(r["n_members"] == 1 for r in loose.collect())
+
+
+def test_apply_predicate_mapping(aliased):
+    mapping = canonicalize_predicates(aliased, min_jaccard_micro=500_000)
+    out = apply_predicate_mapping(aliased, mapping)
+    assert out.columns == aliased.columns
+    preds = {r["pred"] for r in out.select("pred").distinct().collect()}
+    assert preds == {"works_at", "mentors"}
+    assert out.count() == aliased.count()
