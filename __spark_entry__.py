@@ -1120,6 +1120,21 @@ def kg_predicate_canonical(spark, sf_dir):
     )
 
 
+def kg_functional_resolution(spark, sf_dir):
+    """Contradiction resolution for functional predicates
+    (kg/quality.py resolve_functional): each (subj, pred) group of a
+    functional predicate ranks its asserted objects by support count
+    desc, last-seen pointer desc, obj asc — rank 1 is the 'current'
+    fact, the rest 'superseded' audit history. One map-side-combinable
+    aggregation + one window over the aggregated rows; the oracle
+    replays both in SQL."""
+    from delm_spark.kg.quality import resolve_functional
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return resolve_functional(res.triples).orderBy("subj", "pred", "rank")
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2221,6 +2236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_docs": duplicate_spans_docs,
         "dsir_importance_docs": dsir_importance_docs,
         "kg_snapshot_diff": kg_snapshot_diff,
+        # --- slot 51+: below the driver's 50-query gate; first in line for
+        # rotation into it next round
+        "kg_functional_resolution": kg_functional_resolution,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -2873,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
             k=16, bands=4, containment_micro=600_000
         ),
         "kg_pattern_colleagues": _kg_oracle_sql("pattern"),
+        "kg_functional_resolution": _kg_oracle_sql("functional_resolution"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4074,6 +4093,30 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                    s.n AS n_pairs
             FROM lab4 l JOIN psizes s ON s.pred = l.node
             ORDER BY pred
+        """
+    if kind == "functional_resolution":
+        # kg/quality.py resolve_functional: support + last-seen per
+        # asserted object, evidential-strength ranking within each
+        # (subj, pred) group of a functional predicate
+        return linked + """,
+            per_obj AS (
+                SELECT subj_id AS subj, pred, obj_id AS obj,
+                       count(*) AS n_support,
+                       max(conv_id || '#'
+                           || lpad(turn_idx::VARCHAR, 6, '0')) AS last_seen
+                FROM linked
+                WHERE pred IN ('works_at', 'reports_to', 'located_in')
+                GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, n_support, last_seen, "rank",
+                   CASE WHEN "rank" = 1 THEN 'current'
+                        ELSE 'superseded' END AS status
+            FROM (SELECT *,
+                         row_number() OVER (
+                             PARTITION BY subj, pred
+                             ORDER BY n_support DESC, last_seen DESC,
+                                      obj ASC) AS "rank"
+                  FROM per_obj)
+            ORDER BY subj, pred, "rank"
         """
     if kind == "provenance":
         # kg/analytics.py triple_provenance: one aggregation over the

@@ -132,3 +132,78 @@ def functional_violations(
         .agg(F.count_distinct(F.col(obj_col)).alias("n_objects"))
         .filter(F.col("n_objects") > 1)
     )
+
+
+def resolve_functional(
+    triples: DataFrame,
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    functional_preds: list[str] | None = None,
+) -> DataFrame:
+    """Contradiction RESOLUTION for functional predicates — the repair
+    step after ``functional_violations`` has quantified the damage.
+
+    For each (subj, pred) group of a functional predicate, every
+    asserted object becomes one row ranked by evidential strength:
+    support count (more independent extractions win) desc, then
+    last-seen pointer (more recent assertions win — people change
+    employers) desc, then object id asc as the total-order tiebreak.
+    Rank 1 is the ``current`` fact; the rest are ``superseded`` — kept,
+    not dropped, because the losing assertions are the audit trail a
+    steward reviews and a temporal KG keeps as history.
+
+    Returns (subj, pred, obj, n_support, last_seen, rank, status), one
+    row per distinct asserted object. ``last_seen`` is the
+    lexicographically greatest ``conv_id#turn_idx`` pointer with a
+    zero-padded turn index, so string max == chronological max under
+    the fixture's sortable conv ids — the same deterministic-pointer
+    convention as ``triple_provenance``'s first_seen.
+
+    Scale shape: one hash aggregation on (subj, pred, obj) whose FIRST
+    exchange carries map-side-combined partials (a hot fact restated in
+    millions of turns shuffles as one count row per mapper, not a
+    million payload rows), then a row_number window on (subj, pred)
+    whose second exchange moves only the AGGREGATED rows — one row per
+    distinct asserted object, corpus-size-independent. Collapsing to a
+    single exchange by pre-partitioning on (subj, pred) would force the
+    RAW rows through the shuffle un-combined; two exchanges is strictly
+    fewer bytes whenever facts repeat, which is the regime this
+    operator exists for. Window width = distinct objects per
+    (subj, pred): bounded by assertion diversity, not corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    if functional_preds is None:
+        functional_preds = DEFAULT_FUNCTIONAL_PREDS
+    per_obj = (
+        triples.filter(F.col(pred_col).isin(functional_preds))
+        .groupBy(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_support"),
+            F.max(
+                F.concat_ws(
+                    "#",
+                    F.col(conv_col),
+                    F.lpad(F.col(turn_col).cast("string"), 6, "0"),
+                )
+            ).alias("last_seen"),
+        )
+    )
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.col("n_support").desc(), F.col("last_seen").desc(), F.col("obj").asc()
+    )
+    return per_obj.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "status",
+        F.when(F.col("rank") == 1, F.lit("current")).otherwise(
+            F.lit("superseded")
+        ),
+    )

@@ -154,3 +154,42 @@ def test_apply_predicate_mapping(aliased):
     preds = {r["pred"] for r in out.select("pred").distinct().collect()}
     assert preds == {"works_at", "mentors"}
     assert out.count() == aliased.count()
+
+
+def test_resolve_functional_ranking_and_statuses(spark):
+    """Rank 1 = most support, then most recent, then smallest obj;
+    losers kept as superseded; non-functional predicates excluded."""
+    from delm_spark.kg.quality import resolve_functional
+
+    rows = [
+        # e1 works_at: o_new asserted twice (wins on support)
+        ("e1", "works_at", "o_new", "c1", 1),
+        ("e1", "works_at", "o_new", "c2", 5),
+        ("e1", "works_at", "o_old", "c1", 9),
+        # e2 works_at: support tie -> recency decides
+        ("e2", "works_at", "later", "c3", 7),
+        ("e2", "works_at", "earlier", "c3", 2),
+        # e3: support+recency tie -> smallest obj
+        ("e3", "works_at", "bbb", "c4", 1),
+        ("e3", "works_at", "aaa", "c4", 1),
+        ("e1", "likes", "x", "c1", 1),  # not functional: excluded
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj_id string, pred string, obj_id string, "
+        "conv_id string, turn_idx int",
+    )
+    got = {
+        (r["subj"], r["obj"]): r
+        for r in resolve_functional(t).collect()
+    }
+    assert len(got) == 6  # 'likes' row excluded
+    assert got[("e1", "o_new")]["status"] == "current"
+    assert got[("e1", "o_new")]["n_support"] == 2
+    assert got[("e1", "o_old")]["status"] == "superseded"
+    assert got[("e1", "o_old")]["rank"] == 2
+    assert got[("e2", "later")]["status"] == "current"
+    assert got[("e2", "later")]["last_seen"] == "c3#000007"
+    assert got[("e2", "earlier")]["status"] == "superseded"
+    assert got[("e3", "aaa")]["status"] == "current"
+    assert got[("e3", "bbb")]["status"] == "superseded"
