@@ -1,0 +1,323 @@
+#!/usr/bin/env python
+"""Round-5 KG-query-family scale bench: BGP triple-pattern matching,
+predicate canonicalization, and functional-fact resolution — each at a
+scale where every stage shuffles for real, each with a CLOSED-FORM
+assertion (no compare-to-self):
+
+- BGP chain (?x works_at ?o), (?o located_in ?c) over a ~4M-triple
+  table where every one of the 1M persons has exactly one employer and
+  every org exactly one city: bindings == 1,000,000 exactly, with 3M
+  noise-predicate triples that the constant pushdown must exclude at
+  the parquet scan (PushedFilters plan-asserted).
+- BGP colleagues (?a works_at ?org), (?b works_at ?org), a < b: with
+  orgs of exactly n = P/O members the distinct-binding count is the
+  closed form O * C(n, 2).
+- predicate canonicalization over 10M triples / 2,000-predicate
+  vocabulary (1,000 base predicates split into two surface forms with
+  IDENTICAL 5,000-pair extensions): exactly 1,000 clusters of 2, every
+  canonical the lexicographically-smaller base form, all Jaccards
+  exactly 1e6.
+- functional resolution over 5M assertions (1M subjects x 3 candidate
+  objects, the first asserted 3x): exactly 1M 'current' rows, every one
+  the support-3 object.
+
+Steal-gated like bench_cc/bench_analytics; per-phase wall + event-log
+shuffle volume. Writes BENCH/KGQUERY_SCALE.md, prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import date
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+N_PERSONS = int(os.environ.get("SPARK_GRAFT_KQ_PERSONS", "1000000"))
+N_ORGS = int(os.environ.get("SPARK_GRAFT_KQ_ORGS", "20000"))
+N_CITIES = 200
+N_NOISE = int(os.environ.get("SPARK_GRAFT_KQ_NOISE", "3000000"))
+N_PREDS = int(os.environ.get("SPARK_GRAFT_KQ_PREDS", "1000"))
+PAIRS_PER_PRED = int(os.environ.get("SPARK_GRAFT_KQ_PAIRS", "5000"))
+N_SUBJECTS = int(os.environ.get("SPARK_GRAFT_KQ_SUBJECTS", "1000000"))
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+STEAL_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "10"))
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_KQ_ATTEMPTS", "3"))
+TRIPLES = f"/tmp/delm_kq_triples_{N_PERSONS}"
+ALIASED = f"/tmp/delm_kq_aliased_{N_PREDS}x{PAIRS_PER_PRED}"
+FACTS = f"/tmp/delm_kq_facts_{N_SUBJECTS}"
+EVDIR = "/tmp/delm_kq_eventlog"
+
+from bench_util import parse_task_windows, steal_counters  # noqa: E402
+
+ORG_N = N_PERSONS // N_ORGS  # members per org
+EXPECT_COLLEAGUES = N_ORGS * (ORG_N * (ORG_N - 1) // 2)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from delm_spark.kg.ontology import canonicalize_predicates
+    from delm_spark.kg.query import match_pattern
+    from delm_spark.kg.quality import resolve_functional
+    from delm_spark.session import get_spark
+
+    evdir = Path(EVDIR)
+    evdir.mkdir(parents=True, exist_ok=True)
+    spark = get_spark(
+        app_name="delm-kgquery-bench",
+        cores=CORES,
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": str(evdir),
+            "spark.eventLog.compress": "false",
+        },
+    )
+    spark.range(100_000).count()  # JIT warmup
+
+    # ---- inputs, materialized once (untimed) -----------------------------
+    if not Path(TRIPLES, "_SUCCESS").exists():
+        person = F.format_string("person%08d", F.col("id"))
+        works = spark.range(0, N_PERSONS, 1, 64).select(
+            person.alias("subj_id"),
+            F.lit("works_at").alias("pred"),
+            F.format_string("org%06d", F.col("id") % N_ORGS).alias("obj_id"),
+        )
+        located = spark.range(0, N_ORGS, 1, 8).select(
+            F.format_string("org%06d", F.col("id")).alias("subj_id"),
+            F.lit("located_in").alias("pred"),
+            F.format_string("city%04d", F.col("id") % N_CITIES).alias(
+                "obj_id"
+            ),
+        )
+        noise = spark.range(0, N_NOISE, 1, 64).select(
+            F.format_string("person%08d", F.col("id") % N_PERSONS).alias(
+                "subj_id"
+            ),
+            F.lit("mentions").alias("pred"),
+            F.format_string(
+                "person%08d", (F.col("id") * 7 + 13) % N_PERSONS
+            ).alias("obj_id"),
+        )
+        works.unionByName(located).unionByName(noise).write.mode(
+            "overwrite"
+        ).parquet(TRIPLES)
+    triples = spark.read.parquet(TRIPLES)
+    n_triples = triples.count()
+    assert n_triples == N_PERSONS + N_ORGS + N_NOISE
+
+    if not Path(ALIASED, "_SUCCESS").exists():
+        # base predicate b asserts PAIRS_PER_PRED distinct (subj, obj)
+        # pairs, EACH under both surface forms p<b> and p<b>_alt
+        (
+            spark.range(0, N_PREDS * PAIRS_PER_PRED, 1, 64)
+            .select(
+                (F.col("id") % N_PREDS).alias("b"),
+                F.format_string("s%08d", F.col("id")).alias("subj_id"),
+                F.format_string("o%08d", F.col("id")).alias("obj_id"),
+            )
+            .select(
+                "subj_id",
+                "obj_id",
+                F.explode(
+                    F.array(
+                        F.format_string("p%04d", F.col("b")),
+                        F.format_string("p%04d_alt", F.col("b")),
+                    )
+                ).alias("pred"),
+            )
+            .write.mode("overwrite")
+            .parquet(ALIASED)
+        )
+    aliased = spark.read.parquet(ALIASED)
+    assert aliased.count() == 2 * N_PREDS * PAIRS_PER_PRED
+
+    if not Path(FACTS, "_SUCCESS").exists():
+        # subject i: obj 0 asserted at turns 0,1,2; objs 1 and 2 once
+        (
+            spark.range(0, N_SUBJECTS, 1, 64)
+            .select(
+                F.format_string("e%08d", F.col("id")).alias("subj_id"),
+                F.explode(
+                    F.array(*[F.lit(int(t)) for t in (0, 1, 2, 3, 4)])
+                ).alias("turn_idx"),
+            )
+            .select(
+                "subj_id",
+                F.lit("works_at").alias("pred"),
+                F.concat(
+                    F.col("subj_id"),
+                    F.lit("-obj"),
+                    F.when(F.col("turn_idx") < 3, F.lit(0)).otherwise(
+                        F.col("turn_idx") - 2
+                    ),
+                ).alias("obj_id"),
+                F.concat(F.lit("c-"), F.col("subj_id")).alias("conv_id"),
+                "turn_idx",
+            )
+            .write.mode("overwrite")
+            .parquet(FACTS)
+        )
+    facts = spark.read.parquet(FACTS)
+    assert facts.count() == 5 * N_SUBJECTS
+
+    # ---- phases -----------------------------------------------------------
+    def phase_chain():
+        out = match_pattern(
+            triples,
+            [("?x", "works_at", "?o"), ("?o", "located_in", "?c")],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "PushedFilters: [IsNotNull(pred), EqualTo(pred," in plan
+        n = out.count()
+        assert n == N_PERSONS, n
+        return {"bindings": n, "pushdown_asserted": True}
+
+    def phase_colleagues():
+        out = match_pattern(
+            triples,
+            [("?a", "works_at", "?org"), ("?b", "works_at", "?org")],
+        ).filter(F.col("a") < F.col("b"))
+        n = out.count()
+        assert n == EXPECT_COLLEAGUES, n
+        return {"pairs": n}
+
+    def phase_pred_canon():
+        got = canonicalize_predicates(aliased, min_jaccard_micro=900_000)
+        bad = got.filter(
+            (F.col("n_members") != 2)
+            | (F.col("canonical_pred") != F.regexp_replace("pred", "_alt$", ""))
+            | (F.col("n_pairs") != PAIRS_PER_PRED)
+        ).count()
+        n = got.count()
+        assert bad == 0 and n == 2 * N_PREDS, (bad, n)
+        return {"vocab": n, "clusters": N_PREDS}
+
+    def phase_resolution():
+        got = resolve_functional(facts)
+        cur = got.filter(F.col("status") == "current")
+        n_cur = cur.count()
+        bad = cur.filter(
+            ~F.col("obj").endswith("-obj0") | (F.col("n_support") != 3)
+        ).count()
+        n_all = got.count()
+        assert n_cur == N_SUBJECTS and bad == 0 and n_all == 3 * N_SUBJECTS, (
+            n_cur,
+            bad,
+            n_all,
+        )
+        return {"current": n_cur, "asserted_objects": n_all}
+
+    phases = [
+        ("bgp_chain_4m", phase_chain),
+        ("bgp_colleagues_24m", phase_colleagues),
+        ("pred_canon_10m", phase_pred_canon),
+        ("functional_resolution_5m", phase_resolution),
+    ]
+
+    run = None
+    for _ in range(MAX_ATTEMPTS):
+        s0, c0 = steal_counters()
+        results, windows = [], []
+        for name, fn in phases:
+            t0_ms = int(time.time() * 1000)
+            t0 = time.perf_counter()
+            extra = fn()
+            wall = round(time.perf_counter() - t0, 2)
+            windows.append((t0_ms, int(time.time() * 1000)))
+            results.append({"phase": name, "wall_sec": wall, **extra})
+        s1, c1 = steal_counters()
+        st = round((s1 - s0) / max(c1 - c0, 1) * 100, 1)
+        attempt = {"steal_pct": st, "phases": results, "windows": windows}
+        if run is None or st < run["steal_pct"]:
+            run = attempt
+        if st <= STEAL_MAX:
+            break
+
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    time.sleep(2)
+    shuffles = parse_task_windows(evdir, run.pop("windows"))
+    for r, sh in zip(run["phases"], shuffles):
+        r["shuffle_write_mb"] = sh["shuffle_write_mb"]
+        r["n_jobs"] = sh["n_jobs"]
+
+    summary = {
+        "cores": CORES,
+        "steal_pct": run["steal_pct"],
+        "steal_gate_met": run["steal_pct"] <= STEAL_MAX,
+        "phases": run["phases"],
+    }
+    print(json.dumps(summary))
+
+    p = {r["phase"]: r for r in run["phases"]}
+    rows = "\n".join(
+        f"| {r['phase']} | {r['wall_sec']} | {r['shuffle_write_mb']} | {r['n_jobs']} |"
+        for r in run["phases"]
+    )
+    thr = {
+        "chain_triples_per_sec": int(n_triples / p["bgp_chain_4m"]["wall_sec"]),
+        "colleague_pairs_per_sec": int(
+            EXPECT_COLLEAGUES / p["bgp_colleagues_24m"]["wall_sec"]
+        ),
+        "canon_triples_per_sec": int(
+            2 * N_PREDS * PAIRS_PER_PRED / p["pred_canon_10m"]["wall_sec"]
+        ),
+        "resolution_rows_per_sec": int(
+            5 * N_SUBJECTS / p["functional_resolution_5m"]["wall_sec"]
+        ),
+    }
+    md = f"""# BENCH — round-5 KG query family at scale
+
+Generated {date.today().isoformat()} by bench_kgquery.py on local[{CORES}]
+(steal gate <= {STEAL_MAX}%: {"MET" if run["steal_pct"] <= STEAL_MAX else "NOT met — walls are upper bounds"}; best-attempt steal {run["steal_pct"]}%).
+
+Inputs: {n_triples:,}-triple table ({N_PERSONS:,} works_at +
+{N_ORGS:,} located_in + {N_NOISE:,} noise-predicate triples the
+pattern constants must exclude at the scan), a
+{2 * N_PREDS * PAIRS_PER_PRED:,}-triple / {2 * N_PREDS:,}-predicate
+aliased corpus, and {5 * N_SUBJECTS:,} functional assertions over
+{N_SUBJECTS:,} subjects. Every phase asserts a closed form in-run:
+
+- **BGP chain**: (?x works_at ?o), (?o located_in ?c) ==
+  {N_PERSONS:,} bindings exactly (each person one employer, each org
+  one city); the works_at/located_in constants are plan-asserted as
+  parquet PushedFilters, so the 3M noise triples never leave the scan.
+- **BGP colleagues**: orgs have exactly n = {ORG_N} members, so
+  (?a works_at ?org), (?b works_at ?org), a < b ==
+  O * C(n, 2) = {EXPECT_COLLEAGUES:,} distinct bindings.
+- **predicate canonicalization**: 1,000 base predicates split into two
+  surface forms with IDENTICAL {PAIRS_PER_PRED:,}-pair extensions —
+  exactly {N_PREDS:,} clusters of 2, canonical = the base form,
+  asserted for the whole {2 * N_PREDS:,}-predicate vocabulary.
+- **functional resolution**: subject i asserts obj0 at three turns and
+  two rivals once each — exactly {N_SUBJECTS:,} 'current' rows, every
+  one the support-3 object, {3 * N_SUBJECTS:,} ranked rows total.
+
+| phase | wall (s) | shuffle write (MB) | jobs |
+|---|---|---|---|
+{rows}
+
+Throughput: {json.dumps(thr)}
+
+100-TB read: BGP constants cut the scan to the matching predicates
+BEFORE any exchange (pushdown is what makes a pattern query over a
+10^12-triple table feasible at all); the join chain shuffles only the
+filtered pattern legs on their shared variables, and AQE
+broadcast-converts constant-heavy legs (the 20k-row located_in side).
+Predicate canonicalization's only corpus-sized work is the distinct +
+per-(subj, obj) set collection; everything after lives in the
+vocabulary-sized predicate space (the CC step resolves 2,000 nodes on
+the driver fast path). Functional resolution shuffles map-side-combined
+partials first and windows only the aggregated one-row-per-asserted-
+object frame.
+"""
+    Path("BENCH/KGQUERY_SCALE.md").write_text(md)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

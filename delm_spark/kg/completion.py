@@ -176,10 +176,19 @@ def link_prediction_scores(
     deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
     if max_hub_degree is not None:
         deg = deg.filter(F.col("degree") <= max_hub_degree)
-    # per-w integer terms, fixed before any aggregation
+    # per-w integer terms, fixed before any aggregation. The division is
+    # when()-guarded to keep the expression TOTAL: degree-1 nodes can
+    # never be wedge centers (they lack two distinct neighbors) so their
+    # term value is irrelevant, but ln(1) = 0 and under ANSI mode the
+    # projection throws DIVIDE_BY_ZERO whenever the optimizer evaluates
+    # it before the wedge join filters those rows out — which is
+    # plan-dependent, i.e. a latent job killer on any graph with a leaf.
     wdeg = deg.select(
         "node",
-        F.floor(F.lit(1e6) / F.log(F.col("degree")) + F.lit(0.5))
+        F.when(
+            F.col("degree") > 1,
+            F.floor(F.lit(1e6) / F.log(F.col("degree")) + F.lit(0.5)),
+        )
         .cast("long")
         .alias("__aa_term"),
         F.expr("1000000 div degree").cast("long").alias("__ra_term"),

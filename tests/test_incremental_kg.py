@@ -11,6 +11,9 @@ from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
 from delm_spark.kg.update import merge_graph, nodes_from_edges
 
 
+import pytest
+
+
 def _rows(df):
     return sorted(map(tuple, df.collect()))
 
@@ -23,21 +26,32 @@ def _split_corpus(spark):
     return full, b1, b2
 
 
-def test_incremental_merge_equals_from_scratch(spark):
+@pytest.fixture(scope="module")
+def built(spark):
+    """Corpus split plus the three default-config pipeline builds the
+    module's tests share — computed ONCE (the builds are read-only
+    inputs to every merge assertion; rebuilding them per test tripled
+    the module's wall for no added coverage)."""
     full, b1, b2 = _split_corpus(spark)
     d = entity_dictionary(spark)
     cfg = PipelineConfig()
-    scratch = run_pipeline(spark, full, d, cfg)
-    r1 = run_pipeline(spark, b1, d, cfg)
-    r2 = run_pipeline(spark, b2, d, cfg)
-    nodes, edges = merge_graph(r1.edges, r2.edges)
-    assert _rows(edges) == _rows(scratch.edges)
-    assert _rows(nodes) == _rows(scratch.nodes)
+    return {
+        "full": full, "b1": b1, "b2": b2, "d": d, "cfg": cfg,
+        "scratch": run_pipeline(spark, full, d, cfg),
+        "r1": run_pipeline(spark, b1, d, cfg),
+        "r2": run_pipeline(spark, b2, d, cfg),
+    }
 
 
-def test_incremental_merge_equals_from_scratch_with_embedding_link(spark):
-    full, b1, b2 = _split_corpus(spark)
-    d = entity_dictionary(spark)
+def test_incremental_merge_equals_from_scratch(built):
+    nodes, edges = merge_graph(built["r1"].edges, built["r2"].edges)
+    assert _rows(edges) == _rows(built["scratch"].edges)
+    assert _rows(nodes) == _rows(built["scratch"].nodes)
+
+
+def test_incremental_merge_equals_from_scratch_with_embedding_link(spark, built):
+    full, b1, b2 = built["full"], built["b1"], built["b2"]
+    d = built["d"]
     cfg = PipelineConfig(embedding_link=True)
     scratch = run_pipeline(spark, full, d, cfg)
     r1 = run_pipeline(spark, b1, d, cfg)
@@ -47,34 +61,24 @@ def test_incremental_merge_equals_from_scratch_with_embedding_link(spark):
     assert _rows(nodes) == _rows(scratch.nodes)
 
 
-def test_redelivered_batch_is_noop(spark):
-    _, b1, b2 = _split_corpus(spark)
-    d = entity_dictionary(spark)
-    cfg = PipelineConfig()
-    r1 = run_pipeline(spark, b1, d, cfg)
-    r2 = run_pipeline(spark, b2, d, cfg)
-    _, merged = merge_graph(r1.edges, r2.edges)
+def test_redelivered_batch_is_noop(built):
+    _, merged = merge_graph(built["r1"].edges, built["r2"].edges)
     # deliver batch 2 again: nothing changes
-    nodes2, merged2 = merge_graph(merged, r2.edges)
+    nodes2, merged2 = merge_graph(merged, built["r2"].edges)
     assert _rows(merged2) == _rows(merged)
     assert _rows(nodes2) == _rows(nodes_from_edges(merged))
 
 
-def test_nodes_from_edges_matches_pipeline_nodes(spark):
-    full, _, _ = _split_corpus(spark)
-    res = run_pipeline(spark, full, entity_dictionary(spark), PipelineConfig())
+def test_nodes_from_edges_matches_pipeline_nodes(built):
+    res = built["scratch"]
     assert _rows(nodes_from_edges(res.edges)) == _rows(res.nodes)
 
 
-def test_merge_counters_surface_partial_overlap(spark):
+def test_merge_counters_surface_partial_overlap(built):
     """ADVICE r4: partial-overlap batches must be detectable, not silent —
     counters report how many incoming conversations the exactly-once
     guard suppressed."""
-    _, b1, b2 = _split_corpus(spark)
-    d = entity_dictionary(spark)
-    cfg = PipelineConfig()
-    r1 = run_pipeline(spark, b1, d, cfg)
-    r2 = run_pipeline(spark, b2, d, cfg)
+    r1, r2 = built["r1"], built["r2"]
     n1 = r1.edges.select("conv_id").distinct().count()
     n2 = r2.edges.select("conv_id").distinct().count()
     # disjoint merge: nothing dropped
@@ -99,17 +103,17 @@ class TestStreamingKgMerge:
             b.coalesce(1).write.mode("append").parquet(feed)
         return feed
 
-    def test_two_microbatch_stream_equals_from_scratch(self, spark, tmp_path):
+    def test_two_microbatch_stream_equals_from_scratch(
+        self, spark, tmp_path, built
+    ):
         from delm_spark.streaming.kg_stream import (
             read_streamed_graph,
             run_streaming_kg_merge,
         )
         from delm_spark.streaming.stream import read_transcript_stream
 
-        full, b1, b2 = _split_corpus(spark)
-        d = entity_dictionary(spark)
-        cfg = PipelineConfig()
-        feed = self._feed(spark, tmp_path, [b1, b2])
+        d, cfg = built["d"], built["cfg"]
+        feed = self._feed(spark, tmp_path, [built["b1"], built["b2"]])
         stream = read_transcript_stream(spark, feed, max_files_per_trigger=1)
         q = run_streaming_kg_merge(
             stream, d, str(tmp_path / "kg"), str(tmp_path / "ckpt"), cfg
@@ -118,12 +122,12 @@ class TestStreamingKgMerge:
         # >=2 micro-batches actually ran (one file per trigger)
         assert q.lastProgress["batchId"] >= 1
         nodes, edges = read_streamed_graph(spark, str(tmp_path / "kg"))
-        scratch = run_pipeline(spark, full, d, cfg)
+        scratch = built["scratch"]
         cols = [f.name for f in edges.schema.fields]
         assert _rows(edges.select(*cols)) == _rows(scratch.edges.select(*cols))
         assert _rows(nodes) == _rows(scratch.nodes)
 
-    def test_redelivered_stream_appends_nothing(self, spark, tmp_path):
+    def test_redelivered_stream_appends_nothing(self, spark, tmp_path, built):
         """Restarting the stream with a FRESH checkpoint over the same feed
         (worst-case redelivery: every micro-batch replayed) appends zero
         rows — exactly-once emerges from conv-granular idempotence."""
@@ -133,10 +137,8 @@ class TestStreamingKgMerge:
         )
         from delm_spark.streaming.stream import read_transcript_stream
 
-        _, b1, b2 = _split_corpus(spark)
-        d = entity_dictionary(spark)
-        cfg = PipelineConfig()
-        feed = self._feed(spark, tmp_path, [b1, b2])
+        d, cfg = built["d"], built["cfg"]
+        feed = self._feed(spark, tmp_path, [built["b1"], built["b2"]])
         for ckpt in ("ckpt_a", "ckpt_b"):
             stream = read_transcript_stream(spark, feed, max_files_per_trigger=1)
             q = run_streaming_kg_merge(
@@ -168,8 +170,6 @@ def test_graph_diff_hand_values(spark):
         (r["change"], r["conv_id"]): r for r in graph_diff(old, new).collect()
     }
     assert set(got) == {("added", "c4"), ("removed", "c2")}
-
-    import pytest
 
     with pytest.raises(ValueError, match="no shared key"):
         graph_diff(

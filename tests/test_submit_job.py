@@ -16,14 +16,12 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 SPARK_SUBMIT = Path("/opt/spark/bin/spark-submit")
 
+pytestmark = pytest.mark.skipif(
+    not SPARK_SUBMIT.exists(), reason="spark-submit not on host"
+)
 
-@pytest.mark.skipif(not SPARK_SUBMIT.exists(), reason="spark-submit not on host")
-def test_spark_submit_py_files_end_to_end(tmp_path):
-    zpath = tmp_path / "delm_spark.zip"
-    with zipfile.ZipFile(zpath, "w") as z:
-        for p in (REPO / "delm_spark").rglob("*.py"):
-            z.write(p, p.relative_to(REPO))
-    out = tmp_path / "kg_out"
+
+def _submit(zpath, out, extra):
     env = dict(os.environ, PYTHONPATH="")  # the zip must be self-sufficient
     proc = subprocess.run(
         [
@@ -36,14 +34,35 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             "--transcripts", str(REPO / "tests/fixtures/transcripts.parquet"),
             "--dictionary", str(REPO / "tests/fixtures/dictionary.parquet"),
             "--output", str(out),
-            "--analytics", "--pagerank-iters", "3",
-            "--walks-length", "4",
-        ],
+        ] + extra,
         capture_output=True, text=True, timeout=420, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    stats = json.loads(line)
+    return json.loads(line)
+
+
+@pytest.fixture(scope="module")
+def base_kg(tmp_path_factory):
+    """ONE real spark-submit run (zip built once), shared by the e2e
+    assertions and as the merge base — a second identical full run would
+    only re-pay the JVM cold start."""
+    root = tmp_path_factory.mktemp("submit_job")
+    zpath = root / "delm_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in (REPO / "delm_spark").rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+    out = root / "kg_out"
+    stats = _submit(
+        zpath,
+        out,
+        ["--analytics", "--pagerank-iters", "3", "--walks-length", "4"],
+    )
+    return {"zip": zpath, "out": out, "stats": stats, "root": root}
+
+
+def test_spark_submit_py_files_end_to_end(base_kg):
+    out, stats = base_kg["out"], base_kg["stats"]
     assert stats["nodes"] > 0 and stats["edges"] > 0
     assert (out / "edges" / "_SUCCESS").exists()
     # the edge table is value-partitioned by predicate (north-star
@@ -82,36 +101,14 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert 0 < wk[0] <= pr[0] and wk[1] == 5 and wk[2] == 5
 
 
-@pytest.mark.skipif(not SPARK_SUBMIT.exists(), reason="spark-submit not on host")
-def test_spark_submit_merge_into_is_idempotent(tmp_path):
+def test_spark_submit_merge_into_is_idempotent(base_kg):
     """--merge-into with the SAME batch must be a no-op merge: the
     exactly-once-per-conversation guard drops every re-delivered edge."""
-    zpath = tmp_path / "delm_spark.zip"
-    with zipfile.ZipFile(zpath, "w") as z:
-        for p in (REPO / "delm_spark").rglob("*.py"):
-            z.write(p, p.relative_to(REPO))
-    env = dict(os.environ, PYTHONPATH="")
-
-    def run(out, extra):
-        proc = subprocess.run(
-            [
-                str(SPARK_SUBMIT),
-                "--master", "local[4]",
-                "--conf", "spark.sql.shuffle.partitions=4",
-                "--conf", "spark.ui.enabled=false",
-                "--py-files", str(zpath),
-                str(REPO / "submit_job.py"),
-                "--transcripts", str(REPO / "tests/fixtures/transcripts.parquet"),
-                "--dictionary", str(REPO / "tests/fixtures/dictionary.parquet"),
-                "--output", str(out),
-            ] + extra,
-            capture_output=True, text=True, timeout=420, env=env,
-        )
-        assert proc.returncode == 0, proc.stderr[-3000:]
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
-
-    first = run(tmp_path / "kg1", [])
-    merged = run(tmp_path / "kg2", ["--merge-into", str(tmp_path / "kg1")])
+    first = base_kg["stats"]
+    merged = _submit(
+        base_kg["zip"],
+        base_kg["root"] / "kg2",
+        ["--merge-into", str(base_kg["out"])],
+    )
     assert merged["edges"] == first["edges"]  # re-delivery is a no-op
     assert merged["nodes"] == first["nodes"]
