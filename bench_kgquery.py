@@ -46,13 +46,15 @@ N_SUBJECTS = int(os.environ.get("SPARK_GRAFT_KQ_SUBJECTS", "1000000"))
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 STEAL_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "10"))
 MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_KQ_ATTEMPTS", "3"))
-TRIPLES = f"/tmp/delm_kq_triples_{N_PERSONS}"
+TRIPLES = f"/tmp/delm_kq_triples_{N_PERSONS}x{N_ORGS}x{N_NOISE}"
 ALIASED = f"/tmp/delm_kq_aliased_{N_PREDS}x{PAIRS_PER_PRED}"
 FACTS = f"/tmp/delm_kq_facts_{N_SUBJECTS}"
 EVDIR = "/tmp/delm_kq_eventlog"
 
 from bench_util import parse_task_windows, steal_counters  # noqa: E402
 
+# the colleague closed form needs equal-size orgs
+assert N_PERSONS % N_ORGS == 0, "N_PERSONS must be a multiple of N_ORGS"
 ORG_N = N_PERSONS // N_ORGS  # members per org
 EXPECT_COLLEAGUES = N_ORGS * (ORG_N * (ORG_N - 1) // 2)
 

@@ -55,6 +55,12 @@ def label_propagation(
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
+        # null endpoints are malformed rows, not nodes: without this
+        # filter a (x, null) edge would seed a (node=null, lbl=null)
+        # label row that no vote join ever touches and surface as a
+        # garbage null community (connected_components filters the
+        # same way)
+        .filter(F.col("node").isNotNull())
         .distinct()
     )
     und = (

@@ -44,6 +44,51 @@ from delm_spark.kg.analytics import _sorted_pairs
 from delm_spark.kg.canonicalize import connected_components
 
 
+def _pair_table(
+    triples: DataFrame, subj_col: str, pred_col: str, obj_col: str
+) -> DataFrame:
+    """Distinct (pred, subj, obj) — the ONE corpus-sized shuffle of this
+    module. Both public entry points derive everything from this single
+    subplan so Spark's ReuseExchange dedupes the scan+distinct when they
+    compose into one query."""
+    return triples.select(
+        F.col(pred_col).alias("__p"),
+        F.col(subj_col).alias("__s"),
+        F.col(obj_col).alias("__o"),
+    ).distinct()
+
+
+def _similarity_from_pairs(
+    pairs: DataFrame, sizes: DataFrame, min_jaccard_micro: int
+) -> DataFrame:
+    per_so = pairs.groupBy("__s", "__o").agg(
+        F.sort_array(F.collect_set("__p")).alias("__ps")
+    )
+    co = (
+        per_so.select(F.explode(_sorted_pairs(F.col("__ps"))).alias("__pp"))
+        .groupBy(
+            F.col("__pp.a").alias("pred_a"), F.col("__pp.b").alias("pred_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = F.broadcast(sizes)
+    return (
+        co.join(sizes.select(F.col("__p").alias("pred_a"), F.col("__n").alias("n_a")), "pred_a")
+        .join(sizes.select(F.col("__p").alias("pred_b"), F.col("__n").alias("n_b")), "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * n_shared) div (n_a + n_b - n_shared)")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+        .filter(F.col("jaccard_micro") >= F.lit(min_jaccard_micro))
+    )
+
+
 def predicate_similarity(
     triples: DataFrame,
     subj_col: str = "subj_id",
@@ -67,39 +112,9 @@ def predicate_similarity(
     vocabulary-sized aggregation -> two broadcast joins against the
     per-predicate size table.
     """
-    pairs = triples.select(
-        F.col(pred_col).alias("__p"),
-        F.col(subj_col).alias("__s"),
-        F.col(obj_col).alias("__o"),
-    ).distinct()
-    per_so = pairs.groupBy("__s", "__o").agg(
-        F.sort_array(F.collect_set("__p")).alias("__ps")
-    )
-    co = (
-        per_so.select(F.explode(_sorted_pairs(F.col("__ps"))).alias("__pp"))
-        .groupBy(
-            F.col("__pp.a").alias("pred_a"), F.col("__pp.b").alias("pred_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sizes = F.broadcast(
-        pairs.groupBy(F.col("__p")).agg(F.count(F.lit(1)).alias("__n"))
-    )
-    return (
-        co.join(sizes.select(F.col("__p").alias("pred_a"), F.col("__n").alias("n_a")), "pred_a")
-        .join(sizes.select(F.col("__p").alias("pred_b"), F.col("__n").alias("n_b")), "pred_b")
-        .select(
-            "pred_a",
-            "pred_b",
-            "n_shared",
-            "n_a",
-            "n_b",
-            F.expr("(1000000 * n_shared) div (n_a + n_b - n_shared)")
-            .cast("long")
-            .alias("jaccard_micro"),
-        )
-        .filter(F.col("jaccard_micro") >= F.lit(min_jaccard_micro))
-    )
+    pairs = _pair_table(triples, subj_col, pred_col, obj_col)
+    sizes = pairs.groupBy(F.col("__p")).agg(F.count(F.lit(1)).alias("__n"))
+    return _similarity_from_pairs(pairs, sizes, min_jaccard_micro)
 
 
 def canonicalize_predicates(
@@ -126,22 +141,23 @@ def canonicalize_predicates(
     The similarity graph is vocabulary-sized, so ``connected_components``
     resolves it on the driver union-find fast path; the final join of
     the vocabulary against the component map broadcasts both sides.
+    The vocabulary (and its n_pairs, which IS the similarity stage's
+    per-predicate size) derives from the SAME pair-table subplan the
+    similarity graph uses — one corpus-sized distinct, not two.
     """
-    sim = predicate_similarity(
-        triples, subj_col, pred_col, obj_col, min_jaccard_micro
+    # the CC step is its own action (driver union-find collects the
+    # vocabulary-sized edge list), so without a checkpoint the corpus
+    # scan+distinct would re-run for the final labeled query
+    pairs = _pair_table(triples, subj_col, pred_col, obj_col).localCheckpoint(
+        eager=False
     )
+    sizes = pairs.groupBy(F.col("__p")).agg(F.count(F.lit(1)).alias("__n"))
+    sim = _similarity_from_pairs(pairs, sizes, min_jaccard_micro)
     comp = connected_components(
         sim.select(F.col("pred_a").alias("src"), F.col("pred_b").alias("dst"))
     )
-    vocab = (
-        triples.select(
-            F.col(pred_col).alias("pred"),
-            F.col(subj_col).alias("__s"),
-            F.col(obj_col).alias("__o"),
-        )
-        .distinct()
-        .groupBy("pred")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    vocab = sizes.select(
+        F.col("__p").alias("pred"), F.col("__n").alias("n_pairs")
     )
     labeled = vocab.join(
         F.broadcast(comp.withColumnRenamed("node", "pred")), "pred", "left"

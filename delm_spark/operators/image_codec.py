@@ -235,20 +235,14 @@ def decode_image(data: bytes) -> Optional[np.ndarray]:
             from delm_spark.operators.jpeg_codec import decode_jpeg
 
             return decode_jpeg(b)
-    except (
-        ValueError,
-        zlib.error,
-        struct.error,
-        IndexError,
-        # a nonconforming JPEG can reference a DQT/DHT id that was never
-        # declared: the table-dict lookup raises KeyError (direct index)
-        # or AttributeError (htables.get(...) -> None.decode). Those are
-        # malformed-payload signals, not engine bugs — return None so the
-        # Arrow scan keeps its rows-with-null-pixels contract instead of
-        # failing the whole job on one bad file.
-        KeyError,
-        AttributeError,
-    ):
+    except (ValueError, zlib.error, struct.error, IndexError):
+        # malformed-payload signals only: the codecs raise ValueError for
+        # every structural violation they detect (incl. undeclared
+        # DQT/DHT/component ids — validated explicitly in jpeg_codec, so
+        # no raw KeyError/AttributeError needs swallowing here, and a
+        # genuine programming error in a codec still fails loudly).
+        # Returning None keeps the Arrow scan's rows-with-null-pixels
+        # contract instead of failing the whole job on one bad file.
         return None
     return None
 

@@ -155,6 +155,25 @@ class _HuffTable:
         raise ValueError("invalid Huffman code in JPEG stream")
 
 
+def _req_q(qtables, tq):
+    """Quantization table by id, or ValueError — a scan referencing an
+    undeclared DQT id is a malformed payload and must surface as the
+    decoder's documented error type, not a raw KeyError."""
+    if tq not in qtables:
+        raise ValueError(f"JPEG references undeclared DQT id {tq}")
+    return qtables[tq]
+
+
+def _req_h(htables, tc, th):
+    """Huffman table by (class, id), or ValueError — same contract as
+    _req_q (the old htables.get(...) path deferred the failure to an
+    AttributeError on None.decode mid-scan)."""
+    if (tc, th) not in htables:
+        kind = "DC" if tc == 0 else "AC"
+        raise ValueError(f"JPEG references undeclared {kind} DHT id {th}")
+    return htables[(tc, th)]
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline/extended-sequential JPEG bytes -> HxWx3 uint8 RGB (color)
     or HxWx1 uint8 (grayscale)."""
@@ -231,7 +250,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i : 3 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cid)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cid), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG scan references unknown component {cid}"
+                    )
                 scan.append((comp, tabs >> 4, tabs & 0x0F))
             if not frame.get("progressive"):
                 return _decode_scan(
@@ -275,9 +300,9 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart):
             dc_pred = {k: 0 for k in dc_pred}
         my, mx = divmod(m, mcux)
         for comp, tdc, tac in scan:
-            q = qtables[comp["tq"]]
-            dct = htables[(0, tdc)]
-            act = htables[(1, tac)]
+            q = _req_q(qtables, comp["tq"])
+            dct = _req_h(htables, 0, tdc)
+            act = _req_h(htables, 1, tac)
             for by in range(comp["v"]):
                 for bx in range(comp["h"]):
                     coef = np.zeros(64, np.int64)
@@ -476,7 +501,7 @@ def _decode_progressive_scan(
             for comp, tdc, by, bx in mcu:
                 blk = coefs[comp["id"]][by, bx]
                 if ah == 0:
-                    s = htables[(0, tdc)].decode(br)
+                    s = _req_h(htables, 0, tdc).decode(br)
                     diff = _extend(br.read(s), s) if s else 0
                     dc_pred[comp["id"]] += diff
                     blk[0] = dc_pred[comp["id"]] << al
@@ -487,7 +512,7 @@ def _decode_progressive_scan(
         if len(scan) != 1:
             raise ValueError("progressive AC scans are never interleaved")
         comp, _, tac = scan[0]
-        ac = htables.get((1, tac))
+        ac = _req_h(htables, 1, tac)
         cbh, cbw = _comp_blocks(frame, comp)
         eobrun = 0
         for m in range(cbh * cbw):
@@ -517,7 +542,7 @@ def _reconstruct_progressive(frame, coefs, qtables):
     for comp in frame["comps"]:
         # qtables store zigzag order; natural position n needs q_zig[k]
         # where ZIGZAG[k] == n, i.e. q_zig[_DEZIG] (same as _decode_scan)
-        q_nat = qtables[comp["tq"]][_DEZIG]
+        q_nat = _req_q(qtables, comp["tq"])[_DEZIG]
         c = coefs[comp["id"]].astype(np.float64) * q_nat
         nby, nbx = c.shape[:2]
         s = c.reshape(nby, nbx, 8, 8)

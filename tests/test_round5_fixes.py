@@ -259,3 +259,42 @@ def test_triple_provenance_custom_surface_columns(spark):
     assert row["n_support"] == 2
     assert row["n_surfaces"] == 2
     assert row["first_seen"] == "c1#000001"
+
+
+def test_label_propagation_drops_null_endpoints(spark):
+    """Review r5b: a null edge endpoint is a malformed row, not a node —
+    it must not surface as a (node=null, community=null) output row."""
+    from delm_spark.kg.communities import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", None), (None, "b")],
+        "src string, dst string",
+    )
+    rows = {r["node"] for r in label_propagation(edges, iters=2).collect()}
+    assert rows == {"a", "b"}
+
+
+def test_jpeg_undeclared_table_raises_value_error():
+    """Review r5b: undeclared DQT/DHT/component references must surface
+    as the codec's documented ValueError (decode_image turns it into a
+    null row), never a raw KeyError/AttributeError."""
+    import numpy as np
+    import pytest
+
+    from delm_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(np.full((8, 8, 1), 128, np.uint8)))
+    sof = good.find(b"\xff\xc0")
+    bad_q = bytearray(good)
+    bad_q[sof + 2 + 8 + 2] = 1  # tq 0 -> undeclared 1
+    with pytest.raises(ValueError, match="undeclared DQT"):
+        decode_jpeg(bytes(bad_q))
+    sos = good.find(b"\xff\xda")
+    bad_h = bytearray(good)
+    bad_h[sos + 2 + 2 + 2] = 0x33  # dc/ac table ids -> undeclared 3/3
+    with pytest.raises(ValueError, match="undeclared DC DHT"):
+        decode_jpeg(bytes(bad_h))
+    bad_c = bytearray(good)
+    bad_c[sos + 2 + 2 + 1] = 9  # scan component id -> unknown 9
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg(bytes(bad_c))
