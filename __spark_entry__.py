@@ -1135,6 +1135,22 @@ def kg_functional_resolution(spark, sf_dir):
     return resolve_functional(res.triples).orderBy("subj", "pred", "rank")
 
 
+def kg_entity_types(spark, sf_dir):
+    """Entity-type induction (kg/typing.py infer_entity_types): every
+    triple votes its predicate's domain type for the subject and range
+    type for the object (signature table broadcast); per-entity majority
+    with ties to the smallest type name, plus n_types as the
+    role-conflict flag. One combinable vote count + one entity
+    aggregation; the oracle replays both in SQL."""
+    from delm_spark.kg.typing import infer_entity_types, signature_table
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return infer_entity_types(res.triples, signature_table(spark)).orderBy(
+        "entity"
+    )
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2239,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slot 51+: below the driver's 50-query gate; first in line for
         # rotation into it next round
         "kg_functional_resolution": kg_functional_resolution,
+        "kg_entity_types": kg_entity_types,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -2892,6 +2909,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_pattern_colleagues": _kg_oracle_sql("pattern"),
         "kg_functional_resolution": _kg_oracle_sql("functional_resolution"),
+        "kg_entity_types": _kg_oracle_sql("entity_types"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4093,6 +4111,45 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                    s.n AS n_pairs
             FROM lab4 l JOIN psizes s ON s.pred = l.node
             ORDER BY pred
+        """
+    if kind == "entity_types":
+        # kg/typing.py infer_entity_types: domain/range votes from the
+        # signature map, majority per entity, ties to smallest type
+        sig = " UNION ALL ".join(
+            f"SELECT '{p}' AS pred, '{d}' AS domain_type, "
+            f"'{r}' AS range_type"
+            for p, d, r in [
+                ("works_at", "person", "org"),
+                ("reports_to", "person", "person"),
+                ("located_in", "org", "place"),
+                ("uses_tool", "person", "tool"),
+                ("created", "person", "artifact"),
+            ]
+        )
+        return linked + f""",
+            sig AS ({sig}),
+            votes AS (
+                SELECT entity, etype, count(*) AS c
+                FROM (
+                    SELECT l.subj_id AS entity, s.domain_type AS etype
+                    FROM linked l JOIN sig s ON l.pred = s.pred
+                    UNION ALL
+                    SELECT l.obj_id, s.range_type
+                    FROM linked l JOIN sig s ON l.pred = s.pred)
+                WHERE entity IS NOT NULL
+                GROUP BY entity, etype),
+            ranked AS (
+                SELECT entity, etype, c,
+                       row_number() OVER (PARTITION BY entity
+                           ORDER BY c DESC, etype ASC) AS rn,
+                       (sum(c) OVER (PARTITION BY entity))::BIGINT
+                           AS n_total,
+                       count(*) OVER (PARTITION BY entity) AS n_types
+                FROM votes)
+            SELECT entity, etype AS entity_type, c AS n_votes,
+                   n_total, n_types
+            FROM ranked WHERE rn = 1
+            ORDER BY entity
         """
     if kind == "functional_resolution":
         # kg/quality.py resolve_functional: support + last-seen per

@@ -193,3 +193,48 @@ def test_resolve_functional_ranking_and_statuses(spark):
     assert got[("e2", "earlier")]["status"] == "superseded"
     assert got[("e3", "aaa")]["status"] == "current"
     assert got[("e3", "bbb")]["status"] == "superseded"
+
+
+def test_infer_entity_types_majority_and_conflicts(spark):
+    """Domain/range votes, majority win, smallest-type tie-break,
+    unsigned predicates ignored, null endpoints dropped."""
+    from delm_spark.kg.typing import infer_entity_types, signature_table
+
+    rows = [
+        ("alice", "works_at", "acme"),     # alice: person, acme: org
+        ("alice", "works_at", "acme"),     # repeat vote
+        ("alice", "located_in", "berlin"), # conflict: alice as org
+        ("acme", "located_in", "berlin"),  # acme: org; berlin: place
+        ("bob", "reports_to", "alice"),    # bob+alice person votes
+        ("bob", "unsigned_pred", "x"),     # no signature: no votes
+        (None, "works_at", "acme"),        # null endpoint dropped
+    ]
+    t = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+    got = {
+        r["entity"]: r
+        for r in infer_entity_types(t, signature_table(spark)).collect()
+    }
+    assert "x" not in got and None not in got
+    # alice: person x3 (2 works_at subj + 1 reports_to obj), org x1
+    a = got["alice"]
+    assert (a["entity_type"], a["n_votes"], a["n_total"], a["n_types"]) == (
+        "person", 3, 4, 2
+    )
+    # acme: org x3 (2 works_at range + 1 located_in domain)
+    assert got["acme"]["entity_type"] == "org"
+    assert got["acme"]["n_types"] == 1
+    assert got["berlin"]["entity_type"] == "place"
+    assert got["bob"]["entity_type"] == "person"
+    # tie-break: entity with equal person/org votes -> lexicographic
+    tie = spark.createDataFrame(
+        [("e", "works_at", "o"), ("z", "located_in", "e")],
+        "subj_id string, pred string, obj_id string",
+    )
+    r = {
+        x["entity"]: x
+        for x in infer_entity_types(tie, signature_table(spark)).collect()
+    }["e"]
+    assert r["n_types"] == 2 and r["n_votes"] == 1
+    assert r["entity_type"] == "person"  # 'person' < 'place'
