@@ -1151,6 +1151,32 @@ def kg_entity_types(spark, sf_dir):
     )
 
 
+def kg_type_violations(spark, sf_dir):
+    """SHACL-style shape gate (kg/typing.py type_violations): triples
+    whose endpoints' induced types contradict the predicate signature.
+    Violations are synthesized deterministically — conversations whose
+    md5 leads with hex '0' re-assert every triple endpoint-SWAPPED, so
+    orgs/places land in person slots while the majority vote still
+    types them correctly (swaps are a 1/16 minority). The oracle
+    replays the corruption, the vote, and the per-triple check."""
+    from delm_spark.kg.typing import signature_table, type_violations
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    base = res.triples.select("subj_id", "pred", "obj_id")
+    swapped = (
+        res.triples.filter(F.substring(F.md5("conv_id"), 1, 1) == "0")
+        .select(
+            F.col("obj_id").alias("subj_id"),
+            "pred",
+            F.col("subj_id").alias("obj_id"),
+        )
+    )
+    return type_violations(
+        base.unionByName(swapped), signature_table(spark)
+    ).orderBy("subj", "pred", "obj", "violation")
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2256,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation into it next round
         "kg_functional_resolution": kg_functional_resolution,
         "kg_entity_types": kg_entity_types,
+        "kg_type_violations": kg_type_violations,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -2910,6 +2937,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pattern_colleagues": _kg_oracle_sql("pattern"),
         "kg_functional_resolution": _kg_oracle_sql("functional_resolution"),
         "kg_entity_types": _kg_oracle_sql("entity_types"),
+        "kg_type_violations": _kg_oracle_sql("type_violations"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4150,6 +4178,66 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                    n_total, n_types
             FROM ranked WHERE rn = 1
             ORDER BY entity
+        """
+    if kind == "type_violations":
+        # kg/typing.py type_violations over the hash-swapped corpus:
+        # same signature map, induced types from the corrupted corpus,
+        # per-distinct-triple domain/range re-check
+        sig = " UNION ALL ".join(
+            f"SELECT '{p}' AS pred, '{d}' AS domain_type, "
+            f"'{r}' AS range_type"
+            for p, d, r in [
+                ("works_at", "person", "org"),
+                ("reports_to", "person", "person"),
+                ("located_in", "org", "place"),
+                ("uses_tool", "person", "tool"),
+                ("created", "person", "artifact"),
+            ]
+        )
+        return linked + f""",
+            sigt AS ({sig}),
+            corrupted AS (
+                SELECT subj_id, pred, obj_id FROM linked
+                UNION ALL
+                SELECT obj_id, pred, subj_id FROM linked
+                WHERE substr(md5(conv_id), 1, 1) = '0'),
+            votes AS (
+                SELECT entity, etype, count(*) AS c
+                FROM (
+                    SELECT l.subj_id AS entity, s.domain_type AS etype
+                    FROM corrupted l JOIN sigt s ON l.pred = s.pred
+                    UNION ALL
+                    SELECT l.obj_id, s.range_type
+                    FROM corrupted l JOIN sigt s ON l.pred = s.pred)
+                WHERE entity IS NOT NULL
+                GROUP BY entity, etype),
+            etypes AS (
+                SELECT entity, etype AS entity_type FROM (
+                    SELECT entity, etype,
+                           row_number() OVER (PARTITION BY entity
+                               ORDER BY c DESC, etype ASC) AS rn
+                    FROM votes)
+                WHERE rn = 1),
+            t AS (SELECT DISTINCT subj_id AS subj, pred, obj_id AS obj
+                  FROM corrupted),
+            j AS (
+                SELECT t.subj, t.pred, t.obj,
+                       st.entity_type AS subj_type,
+                       ot.entity_type AS obj_type,
+                       (st.entity_type IS NOT NULL
+                        AND st.entity_type <> s.domain_type) AS dom_bad,
+                       (ot.entity_type IS NOT NULL
+                        AND ot.entity_type <> s.range_type) AS rng_bad
+                FROM t
+                JOIN sigt s ON t.pred = s.pred
+                LEFT JOIN etypes st ON t.subj = st.entity
+                LEFT JOIN etypes ot ON t.obj = ot.entity)
+            SELECT subj, pred, obj, subj_type, obj_type,
+                   CASE WHEN dom_bad AND rng_bad THEN 'both'
+                        WHEN dom_bad THEN 'domain'
+                        ELSE 'range' END AS violation
+            FROM j WHERE dom_bad OR rng_bad
+            ORDER BY subj, pred, obj, violation
         """
     if kind == "functional_resolution":
         # kg/quality.py resolve_functional: support + last-seen per

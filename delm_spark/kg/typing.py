@@ -120,3 +120,73 @@ def infer_entity_types(
             "n_types",
         )
     )
+
+
+def type_violations(
+    triples: DataFrame,
+    signatures: DataFrame,
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+) -> DataFrame:
+    """SHACL-style shape check: triples whose endpoints' INDUCED types
+    contradict the predicate's declared signature.
+
+    Composes ``infer_entity_types`` with a per-triple re-check: a triple
+    violates when its subject's majority type differs from the
+    predicate's domain type, or its object's from the range type. That
+    catches the classic extraction confusion ("Berlin works_at Acme" —
+    an entity the corpus overwhelmingly types as a place sitting in a
+    person slot). One distinct over the triple key, two equi-joins
+    against the induced-type table (entity-keyed — NOT broadcast: the
+    entity vocabulary scales with the corpus), signature table
+    broadcast. Returns one row per violating distinct triple:
+
+      (subj, pred, obj, subj_type, obj_type, violation) where violation
+      in ('domain', 'range', 'both').
+
+    Entities whose induced type table has no row (they only appear
+    under unsigned predicates) are not judged — absence of evidence is
+    not a violation, mirroring the left-join + coalesce convention of
+    the linking stage.
+    """
+    types = infer_entity_types(
+        triples, signatures, subj_col, pred_col, obj_col
+    ).select("entity", "entity_type")
+    sig = F.broadcast(signatures.select("pred", "domain_type", "range_type"))
+    t = (
+        triples.select(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+        )
+        .distinct()
+        .join(sig, "pred")
+    )
+    st = types.select(
+        F.col("entity").alias("subj"), F.col("entity_type").alias("subj_type")
+    )
+    ot = types.select(
+        F.col("entity").alias("obj"), F.col("entity_type").alias("obj_type")
+    )
+    joined = t.join(st, "subj", "left").join(ot, "obj", "left")
+    dom_bad = F.col("subj_type").isNotNull() & (
+        F.col("subj_type") != F.col("domain_type")
+    )
+    rng_bad = F.col("obj_type").isNotNull() & (
+        F.col("obj_type") != F.col("range_type")
+    )
+    return (
+        joined.filter(dom_bad | rng_bad)
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "subj_type",
+            "obj_type",
+            F.when(dom_bad & rng_bad, F.lit("both"))
+            .when(dom_bad, F.lit("domain"))
+            .otherwise(F.lit("range"))
+            .alias("violation"),
+        )
+    )

@@ -238,3 +238,41 @@ def test_infer_entity_types_majority_and_conflicts(spark):
     }["e"]
     assert r["n_types"] == 2 and r["n_votes"] == 1
     assert r["entity_type"] == "person"  # 'person' < 'place'
+
+
+def test_type_violations_domain_range_both(spark):
+    """A place in a person slot is a domain violation, a person in an
+    org slot a range violation, both at once 'both'; un-judged entities
+    (no induced type) never flag; consistent triples pass."""
+    from delm_spark.kg.typing import signature_table, type_violations
+
+    rows = [
+        # establish majority types
+        ("alice", "works_at", "acme"),
+        ("alice", "works_at", "acme"),
+        # berlin needs 3 place votes: the two violation rows below cast
+        # 2 person votes for it and a 2-2 tie would break to 'person'
+        ("acme", "located_in", "berlin"),
+        ("acme", "located_in", "berlin"),
+        ("acme", "located_in", "berlin"),
+        # violations
+        ("berlin", "works_at", "acme"),    # domain: place in person slot
+        ("alice", "works_at", "alice"),    # range: person in org slot
+        ("berlin", "works_at", "alice"),   # both
+        # unsigned predicate never judged
+        ("berlin", "unsigned", "alice"),
+        # endpoint with no induced type: not judged
+        ("alice", "works_at", "mystery"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["violation"]
+        for r in type_violations(t, signature_table(spark)).collect()
+    }
+    assert got == {
+        ("berlin", "works_at", "acme"): "domain",
+        ("alice", "works_at", "alice"): "range",
+        ("berlin", "works_at", "alice"): "both",
+    }
