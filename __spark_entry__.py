@@ -1177,6 +1177,22 @@ def kg_type_violations(spark, sf_dir):
     ).orderBy("subj", "pred", "obj", "violation")
 
 
+def kg_reports_chain(spark, sf_dir):
+    """SPARQL property path reports_to{1,3} (kg/query.py property_path):
+    every management-chain pair up to 3 levels with MINIMAL hop count —
+    per-level frontier equi-join + anti-join against reached pairs
+    (pairs, never paths; cycle-safe by construction). The oracle
+    enumerates all <=3-hop paths and takes min(hops), tractable at
+    fixture scale and independent of the BFS logic."""
+    from delm_spark.kg.query import property_path
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return property_path(res.triples, "reports_to", max_hops=3).orderBy(
+        "src", "dst"
+    )
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2283,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functional_resolution": kg_functional_resolution,
         "kg_entity_types": kg_entity_types,
         "kg_type_violations": kg_type_violations,
+        "kg_reports_chain": kg_reports_chain,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -2938,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_functional_resolution": _kg_oracle_sql("functional_resolution"),
         "kg_entity_types": _kg_oracle_sql("entity_types"),
         "kg_type_violations": _kg_oracle_sql("type_violations"),
+        "kg_reports_chain": _kg_oracle_sql("reports_chain"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4238,6 +4256,24 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                         ELSE 'range' END AS violation
             FROM j WHERE dom_bad OR rng_bad
             ORDER BY subj, pred, obj, violation
+        """
+    if kind == "reports_chain":
+        # kg/query.py property_path('reports_to', max_hops=3): enumerate
+        # all 1/2/3-hop chains, min(hops) per (src, dst) pair
+        return linked + """,
+            e AS (SELECT DISTINCT subj_id AS s, obj_id AS d FROM linked
+                  WHERE pred = 'reports_to'
+                    AND subj_id IS NOT NULL AND obj_id IS NOT NULL),
+            p1 AS (SELECT s, d, 1 AS hops FROM e),
+            p2 AS (SELECT a.s, b.d, 2 AS hops
+                   FROM e a JOIN e b ON a.d = b.s),
+            p3 AS (SELECT a.s, c.d, 3 AS hops
+                   FROM e a JOIN e b ON a.d = b.s JOIN e c ON b.d = c.s)
+            SELECT s AS src, d AS dst, min(hops)::BIGINT AS hops
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                  UNION ALL SELECT * FROM p3)
+            GROUP BY s, d
+            ORDER BY src, dst
         """
     if kind == "functional_resolution":
         # kg/quality.py resolve_functional: support + last-seen per

@@ -119,3 +119,68 @@ def match_pattern(
         bound |= frames[best][1]
         remaining.remove(best)
     return out.distinct() if distinct else out
+
+
+def property_path(
+    triples: DataFrame,
+    pred: str,
+    max_hops: int = 3,
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+) -> DataFrame:
+    """SPARQL property-path core ``pred{1,max_hops}``: all (src, dst)
+    pairs connected by a directed chain of 1..max_hops edges labeled
+    ``pred``, with ``hops`` = the MINIMAL chain length.
+
+    The canonical consumer is a hierarchy walk — ``reports_to{1,3}``
+    is "everyone in x's management chain up to three levels" — which a
+    single self-join per level cannot answer without also computing
+    minimality. Frontier expansion with a per-level anti-join against
+    everything already reached does both at once:
+
+    - each level is ONE equi-join (frontier.dst = edges.src) plus a
+      distinct — the frontier holds REACHED PAIRS, never paths, so a
+      diamond-shaped graph with exponentially many routes still costs
+      one row per (src, dst);
+    - the anti-join against the accumulated result IS the minimality
+      (and cycle) guard: a pair reached at level k is never re-emitted
+      at k+1, and a cycle cannot re-enqueue a pair, so termination
+      needs no driver-side convergence check;
+    - every level is eagerly localCheckpoint-ed (the repo's iterative
+      convention: stops lineage growth and re-extraction).
+
+    The DuckDB oracle instead enumerates ALL paths level by level and
+    takes min(hops) per pair — same answer by construction, tractable
+    only at fixture scale, which is exactly what makes it an
+    independent cross-check rather than a re-implementation.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    edges = (
+        triples.filter(F.col(pred_col) == F.lit(pred))
+        .select(F.col(subj_col).alias("src"), F.col(obj_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    result = edges.withColumn("hops", F.lit(1).cast("long"))
+    frontier = result
+    for h in range(2, max_hops + 1):
+        nxt = (
+            frontier.select("src", F.col("dst").alias("__mid"))
+            .join(
+                edges.select(
+                    F.col("src").alias("__mid"), F.col("dst").alias("dst")
+                ),
+                "__mid",
+            )
+            .select("src", "dst")
+            .distinct()
+            .join(result.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        result = result.unionByName(nxt)
+        frontier = nxt
+    return result

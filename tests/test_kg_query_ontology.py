@@ -276,3 +276,42 @@ def test_type_violations_domain_range_both(spark):
         ("alice", "works_at", "alice"): "range",
         ("berlin", "works_at", "alice"): "both",
     }
+
+
+def test_property_path_minimal_hops_diamond_and_cycle(spark):
+    """Diamond: two routes to the same pair stay ONE row with minimal
+    hops; cycle: bounded, self-reachability reported at its cycle
+    length; shortcut edge wins over the longer chain."""
+    import pytest
+
+    from delm_spark.kg.query import property_path
+
+    rows = [
+        # diamond a->b->d, a->c->d
+        ("a", "p", "b"), ("a", "p", "c"), ("b", "p", "d"), ("c", "p", "d"),
+        # shortcut: a->d directly (hops must be 1, not 2)
+        ("a", "p", "d"),
+        # 3-cycle x->y->z->x
+        ("x", "p", "y"), ("y", "p", "z"), ("z", "p", "x"),
+        # other predicate never traversed
+        ("a", "q", "zzz"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["hops"]
+        for r in property_path(t, "p", max_hops=3).collect()
+    }
+    assert got[("a", "d")] == 1  # shortcut beats the 2-hop routes
+    assert got[("a", "b")] == 1 and got[("b", "d")] == 1
+    assert ("a", "zzz") not in got
+    # cycle: each node reaches the other two and itself at hop 3
+    assert got[("x", "y")] == 1 and got[("x", "z")] == 2
+    assert got[("x", "x")] == 3 and got[("y", "y")] == 3
+    # one row per pair
+    assert len(got) == sum(
+        1 for _ in property_path(t, "p", max_hops=3).collect()
+    )
+    with pytest.raises(ValueError, match="max_hops"):
+        property_path(t, "p", max_hops=0)
