@@ -55,6 +55,9 @@ from bench_util import parse_task_windows, steal_counters  # noqa: E402
 
 # the colleague closed form needs equal-size orgs
 assert N_PERSONS % N_ORGS == 0, "N_PERSONS must be a multiple of N_ORGS"
+# the property-path closed form needs the noise replicas of subject s
+# to all hit the same dst (7*(s + k*N_PERSONS) + 13 ≡ 7s + 13 mod P)
+assert N_NOISE % N_PERSONS == 0, "N_NOISE must be a multiple of N_PERSONS"
 ORG_N = N_PERSONS // N_ORGS  # members per org
 EXPECT_COLLEAGUES = N_ORGS * (ORG_N * (ORG_N - 1) // 2)
 
@@ -214,11 +217,55 @@ def main() -> None:
         )
         return {"current": n_cur, "asserted_objects": n_all}
 
+    def phase_typing():
+        from delm_spark.kg.typing import infer_entity_types, signature_table
+
+        sig = signature_table(
+            spark,
+            [
+                ("works_at", "person", "org"),
+                ("located_in", "org", "place"),
+            ],
+        )
+        got = infer_entity_types(triples, sig)
+        n = got.count()
+        # closed form: every person 1 vote -> person; every org
+        # ORG_N range votes + 1 domain vote -> org; every city
+        # N_ORGS/N_CITIES place votes; 'mentions' unsigned -> ignored
+        assert n == N_PERSONS + N_ORGS + N_CITIES, n
+        bad = got.filter(
+            (F.col("entity").startswith("person") & (F.col("entity_type") != "person"))
+            | (F.col("entity").startswith("org") & ((F.col("entity_type") != "org") | (F.col("n_votes") != ORG_N + 1)))
+            | (F.col("entity").startswith("city") & (F.col("entity_type") != "place"))
+            | (F.col("n_types") != 1)
+        ).count()
+        assert bad == 0, bad
+        return {"typed_entities": n}
+
+    def phase_path():
+        from delm_spark.kg.query import property_path
+
+        # 'mentions' is the functional graph s -> 7s+13 (mod P); 7 and
+        # P are coprime and 6s=-13, 48s=-104 have no solutions mod P,
+        # so f(s), f2(s), f3(s) are pairwise distinct from s's view:
+        # exactly P pairs at each hop level
+        got = property_path(triples, "mentions", max_hops=3)
+        census = {
+            r["hops"]: r["n"]
+            for r in got.groupBy("hops")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert census == {1: N_PERSONS, 2: N_PERSONS, 3: N_PERSONS}, census
+        return {"reached_pairs": 3 * N_PERSONS}
+
     phases = [
         ("bgp_chain_4m", phase_chain),
         ("bgp_colleagues_24m", phase_colleagues),
         ("pred_canon_10m", phase_pred_canon),
         ("functional_resolution_5m", phase_resolution),
+        ("entity_typing_4m", phase_typing),
+        ("property_path_3hop_3m", phase_path),
     ]
 
     run = None
@@ -271,6 +318,12 @@ def main() -> None:
         "resolution_rows_per_sec": int(
             5 * N_SUBJECTS / p["functional_resolution_5m"]["wall_sec"]
         ),
+        "typing_triples_per_sec": int(
+            n_triples / p["entity_typing_4m"]["wall_sec"]
+        ),
+        "path_pairs_per_sec": int(
+            3 * N_PERSONS / p["property_path_3hop_3m"]["wall_sec"]
+        ),
     }
     md = f"""# BENCH — round-5 KG query family at scale
 
@@ -298,6 +351,15 @@ aliased corpus, and {5 * N_SUBJECTS:,} functional assertions over
 - **functional resolution**: subject i asserts obj0 at three turns and
   two rivals once each — exactly {N_SUBJECTS:,} 'current' rows, every
   one the support-3 object, {3 * N_SUBJECTS:,} ranked rows total.
+- **entity typing**: the signature map votes every person/org/city to
+  its construction type with zero role conflicts — all
+  {N_PERSONS + N_ORGS + N_CITIES:,} entities asserted, orgs at exactly
+  {ORG_N + 1} votes (range x{ORG_N} + domain x1), the 3M unsigned
+  'mentions' triples contributing nothing.
+- **property path**: 'mentions' is the functional graph s -> 7s+13
+  (mod {N_PERSONS:,}); 6s=-13 and 48s=-104 have no solutions mod 1e6,
+  so hop levels never collide — the {{1, 2, 3}}-hop census is exactly
+  {N_PERSONS:,} pairs per level.
 
 | phase | wall (s) | shuffle write (MB) | jobs |
 |---|---|---|---|
