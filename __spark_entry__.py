@@ -1193,6 +1193,34 @@ def kg_reports_chain(spark, sf_dir):
     )
 
 
+def kg_pattern_optional(spark, sf_dir):
+    """SPARQL OPTIONAL + FILTER NOT EXISTS (kg/query.py match_pattern):
+    employees and employers, the manager LEFT-joined where known,
+    excluding anyone with a surviving creation record. The corpus is
+    dense (every employee has both), so the inner predicates are
+    deterministically THINNED by the md5 parity of the asserting
+    subject — reports_to survives odd parity, created even — giving a
+    real null/bound and kept/dropped mix. The oracle replays thinning,
+    left join, and anti join in SQL."""
+    from delm_spark.kg.query import match_pattern
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    h = (
+        F.conv(F.substring(F.md5("subj_id"), 1, 1), 16, 10).cast("int") % 2
+    )
+    thinned = res.triples.filter(
+        ~((F.col("pred") == "reports_to") & (h == 0))
+        & ~((F.col("pred") == "created") & (h == 1))
+    )
+    return match_pattern(
+        thinned,
+        [("?x", "works_at", "?org")],
+        optional=[[("?x", "reports_to", "?mgr")]],
+        not_exists=[[("?x", "created", "?artifact")]],
+    ).orderBy("x", "org", "mgr")
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2300,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": kg_entity_types,
         "kg_type_violations": kg_type_violations,
         "kg_reports_chain": kg_reports_chain,
+        "kg_pattern_optional": kg_pattern_optional,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -2956,6 +2985,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_types": _kg_oracle_sql("entity_types"),
         "kg_type_violations": _kg_oracle_sql("type_violations"),
         "kg_reports_chain": _kg_oracle_sql("reports_chain"),
+        "kg_pattern_optional": _kg_oracle_sql("pattern_optional"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4274,6 +4304,29 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                   UNION ALL SELECT * FROM p3)
             GROUP BY s, d
             ORDER BY src, dst
+        """
+    if kind == "pattern_optional":
+        # kg/query.py match_pattern with OPTIONAL + NOT EXISTS over the
+        # md5-parity-thinned corpus
+        return linked + """,
+            thin AS (
+                SELECT * FROM linked
+                WHERE NOT (pred = 'reports_to'
+                           AND ('0x' || substr(md5(subj_id), 1, 1))::INT
+                               % 2 = 0)
+                  AND NOT (pred = 'created'
+                           AND ('0x' || substr(md5(subj_id), 1, 1))::INT
+                               % 2 = 1)),
+            w AS (SELECT DISTINCT subj_id AS x, obj_id AS org FROM thin
+                  WHERE pred = 'works_at'),
+            r AS (SELECT DISTINCT subj_id AS x, obj_id AS mgr FROM thin
+                  WHERE pred = 'reports_to'),
+            c AS (SELECT DISTINCT subj_id AS x FROM thin
+                  WHERE pred = 'created')
+            SELECT DISTINCT w.x AS x, w.org AS org, r.mgr AS mgr
+            FROM w LEFT JOIN r ON w.x = r.x
+            WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.x = w.x)
+            ORDER BY w.x, w.org, r.mgr
         """
     if kind == "functional_resolution":
         # kg/quality.py resolve_functional: support + last-seen per

@@ -40,34 +40,17 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?") and len(term) > 1
 
 
-def match_pattern(
+def _compile_group(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
-    subj_col: str = "subj_id",
-    pred_col: str = "pred",
-    obj_col: str = "obj_id",
-    distinct: bool = True,
-    allow_cartesian: bool = False,
-) -> DataFrame:
-    """Match a conjunctive triple pattern; return variable bindings.
-
-    Each pattern is a (subject, predicate, object) 3-tuple of strings;
-    a term starting with ``?`` is a variable, anything else is matched
-    as a constant. The result has one column per distinct variable
-    (named without the ``?``), one row per satisfying binding —
-    ``distinct=True`` (the default) gives SPARQL SELECT DISTINCT set
-    semantics, ``distinct=False`` keeps duplicate-support bag
-    semantics.
-
-    A variable repeated WITHIN one pattern (e.g. ``(?x, likes, ?x)``)
-    becomes an equality filter on that pattern's scan. Patterns that
-    share no variable with the rest of the query multiply bindings
-    (cartesian product); that is refused with ``ValueError`` unless
-    ``allow_cartesian=True``.
-    """
+    cols: tuple[str, str, str],
+    allow_cartesian: bool,
+) -> tuple[DataFrame, set[str]]:
+    """Compile one conjunctive pattern group to (bindings frame,
+    bound-variable set) — the shared engine of the required, OPTIONAL,
+    and NOT-EXISTS clauses."""
     if not patterns:
         raise ValueError("match_pattern needs at least one pattern")
-    cols = (subj_col, pred_col, obj_col)
     frames: list[tuple[DataFrame, frozenset[str], int]] = []
     for pat in patterns:
         if len(pat) != 3:
@@ -118,6 +101,69 @@ def match_pattern(
             )
         bound |= frames[best][1]
         remaining.remove(best)
+    return out, bound
+
+
+def match_pattern(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    not_exists: list[list[tuple[str, str, str]]] | None = None,
+) -> DataFrame:
+    """Match a conjunctive triple pattern; return variable bindings.
+
+    Each pattern is a (subject, predicate, object) 3-tuple of strings;
+    a term starting with ``?`` is a variable, anything else is matched
+    as a constant. The result has one column per distinct variable
+    (named without the ``?``), one row per satisfying binding —
+    ``distinct=True`` (the default) gives SPARQL SELECT DISTINCT set
+    semantics, ``distinct=False`` keeps duplicate-support bag
+    semantics.
+
+    A variable repeated WITHIN one pattern (e.g. ``(?x, likes, ?x)``)
+    becomes an equality filter on that pattern's scan. Patterns that
+    share no variable with the rest of the query multiply bindings
+    (cartesian product); that is refused with ``ValueError`` unless
+    ``allow_cartesian=True``.
+
+    ``optional`` is a list of pattern GROUPS with SPARQL OPTIONAL
+    semantics: each group compiles like a mini-BGP and LEFT-joins the
+    required bindings on its shared variables — bindings without a
+    match keep the row with the group's new variables null. ``not_exists``
+    groups are FILTER NOT EXISTS: an anti-join on the shared variables
+    removes every binding the group can satisfy (the group's own free
+    variables are existential). Both require at least one shared
+    variable — an uncorrelated clause is a query bug, not a join.
+    """
+    cols = (subj_col, pred_col, obj_col)
+    out, bound = _compile_group(triples, patterns, cols, allow_cartesian)
+    for group in optional or []:
+        g, gvars = _compile_group(triples, group, cols, allow_cartesian)
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                "optional group shares no variable with the required "
+                "patterns — an uncorrelated OPTIONAL is a cross join"
+            )
+        # SPARQL OPTIONAL is a left join of SET-semantics operands: the
+        # group is deduped first so a multiply-supported inner match
+        # cannot multiply required bindings
+        out = out.join(g.distinct(), on=shared, how="left")
+        bound |= gvars
+    for group in not_exists or []:
+        g, gvars = _compile_group(triples, group, cols, allow_cartesian)
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                "not_exists group shares no variable with the required "
+                "patterns — an uncorrelated NOT EXISTS is all-or-nothing"
+            )
+        out = out.join(g.select(*shared), on=shared, how="left_anti")
     return out.distinct() if distinct else out
 
 

@@ -315,3 +315,60 @@ def test_property_path_minimal_hops_diamond_and_cycle(spark):
     )
     with pytest.raises(ValueError, match="max_hops"):
         property_path(t, "p", max_hops=0)
+
+
+def test_match_pattern_optional_and_not_exists(triples, spark):
+    from delm_spark.kg.query import match_pattern
+
+    # OPTIONAL: employer city where known — globex/acme both have one,
+    # so extend the corpus with an org that has none
+    t2 = triples.unionByName(
+        spark.createDataFrame(
+            [("dave", "works_at", "initech")],
+            "subj_id string, pred string, obj_id string",
+        )
+    )
+    got = {
+        (r["x"], r["org"]): r["c"]
+        for r in match_pattern(
+            t2,
+            [("?x", "works_at", "?org")],
+            optional=[[("?org", "located_in", "?c")]],
+        ).collect()
+    }
+    assert got[("alice", "acme")] == "berlin"
+    assert got[("carol", "globex")] == "paris"
+    assert got[("dave", "initech")] is None
+    assert len(got) == 4
+
+    # NOT EXISTS: employees whose org has NO known city
+    kept = match_pattern(
+        t2,
+        [("?x", "works_at", "?org")],
+        not_exists=[[("?org", "located_in", "?c")]],
+    ).collect()
+    assert [(r["x"], r["org"]) for r in kept] == [("dave", "initech")]
+
+    # uncorrelated clauses are refused
+    for kw in ("optional", "not_exists"):
+        with pytest.raises(ValueError, match="shares no variable"):
+            match_pattern(
+                t2,
+                [("?x", "works_at", "?org")],
+                **{kw: [[("?a", "located_in", "?b")]]},
+            )
+
+    # OPTIONAL must not multiply bindings on multi-support inner rows
+    t3 = t2.unionByName(
+        spark.createDataFrame(
+            [("acme", "located_in", "berlin")],
+            "subj_id string, pred string, obj_id string",
+        )
+    )
+    dup = match_pattern(
+        t3,
+        [("?x", "works_at", "?org")],
+        optional=[[("?org", "located_in", "?c")]],
+        distinct=False,
+    )
+    assert dup.filter("x = 'alice'").count() == 1
