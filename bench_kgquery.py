@@ -58,6 +58,15 @@ assert N_PERSONS % N_ORGS == 0, "N_PERSONS must be a multiple of N_ORGS"
 # the property-path closed form needs the noise replicas of subject s
 # to all hit the same dst (7*(s + k*N_PERSONS) + 13 ≡ 7s + 13 mod P)
 assert N_NOISE % N_PERSONS == 0, "N_NOISE must be a multiple of N_PERSONS"
+# ... and hop levels must never collide: a*s ≡ b (mod P) is solvable iff
+# gcd(a, P) | b, so f=f^2 (6s ≡ -13) and f=f^3 / f^2=f^3 (48s ≡ -104)
+# must be UNsolvable for the per-level census to be exactly P each
+import math  # noqa: E402
+
+assert 13 % math.gcd(6, N_PERSONS) != 0, "hop collision: 6s=-13 solvable"
+assert 104 % math.gcd(48, N_PERSONS) != 0, "hop collision: 48s=-104 solvable"
+# the typing census counts min(N_ORGS, N_CITIES) distinct cities
+assert N_ORGS >= N_CITIES, "need every city id realized"
 ORG_N = N_PERSONS // N_ORGS  # members per org
 EXPECT_COLLEAGUES = N_ORGS * (ORG_N * (ORG_N - 1) // 2)
 

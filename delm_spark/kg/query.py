@@ -139,9 +139,17 @@ def match_pattern(
     removes every binding the group can satisfy (the group's own free
     variables are existential). Both require at least one shared
     variable — an uncorrelated clause is a query bug, not a join.
+
+    Clauses must correlate through REQUIRED-bound variables only: a
+    variable introduced by an earlier OPTIONAL can be null, and a null
+    join key never matches in Spark while SPARQL treats an unbound
+    variable as compatible (OPTIONAL) or free (NOT EXISTS) — the two
+    semantics silently diverge exactly there, so that correlation shape
+    is refused rather than mis-answered.
     """
     cols = (subj_col, pred_col, obj_col)
     out, bound = _compile_group(triples, patterns, cols, allow_cartesian)
+    certain = set(bound)  # required-bound = never null
     for group in optional or []:
         g, gvars = _compile_group(triples, group, cols, allow_cartesian)
         shared = sorted(gvars & bound)
@@ -149,6 +157,14 @@ def match_pattern(
             raise ValueError(
                 "optional group shares no variable with the required "
                 "patterns — an uncorrelated OPTIONAL is a cross join"
+            )
+        maybe_null = [v for v in shared if v not in certain]
+        if maybe_null:
+            raise ValueError(
+                f"optional group correlates through {maybe_null}, bound "
+                "only by an earlier OPTIONAL (nullable) — Spark null-key "
+                "joins and SPARQL unbound-compatibility diverge here; "
+                "correlate through required-bound variables"
             )
         # SPARQL OPTIONAL is a left join of SET-semantics operands: the
         # group is deduped first so a multiply-supported inner match
@@ -162,6 +178,14 @@ def match_pattern(
             raise ValueError(
                 "not_exists group shares no variable with the required "
                 "patterns — an uncorrelated NOT EXISTS is all-or-nothing"
+            )
+        maybe_null = [v for v in shared if v not in certain]
+        if maybe_null:
+            raise ValueError(
+                f"not_exists group correlates through {maybe_null}, bound "
+                "only by an earlier OPTIONAL (nullable) — Spark null-key "
+                "anti-joins and SPARQL free-variable existentials diverge "
+                "here; correlate through required-bound variables"
             )
         out = out.join(g.select(*shared), on=shared, how="left_anti")
     return out.distinct() if distinct else out

@@ -45,7 +45,7 @@ DEFAULT_SIGNATURES = [
 def signature_table(spark, signatures=None) -> DataFrame:
     """(pred, domain_type, range_type) frame from a list of 3-tuples."""
     return spark.createDataFrame(
-        signatures or DEFAULT_SIGNATURES,
+        DEFAULT_SIGNATURES if signatures is None else signatures,
         "pred string, domain_type string, range_type string",
     )
 

@@ -372,3 +372,40 @@ def test_match_pattern_optional_and_not_exists(triples, spark):
         distinct=False,
     )
     assert dup.filter("x = 'alice'").count() == 1
+
+
+def test_optional_var_correlation_refused(triples, spark):
+    """Review r5c: clauses correlated only through an OPTIONAL-bound
+    (nullable) variable diverge between Spark null-key joins and SPARQL
+    unbound semantics — refused, not mis-answered."""
+    from delm_spark.kg.query import match_pattern
+
+    with pytest.raises(ValueError, match="bound only by an earlier"):
+        match_pattern(
+            triples,
+            [("?x", "works_at", "?org")],
+            optional=[
+                [("?org", "located_in", "?c")],
+                [("?c", "located_in", "?d")],
+            ],
+        )
+    with pytest.raises(ValueError, match="bound only by an earlier"):
+        match_pattern(
+            triples,
+            [("?x", "works_at", "?org")],
+            optional=[[("?org", "located_in", "?c")]],
+            not_exists=[[("?c", "located_in", "?d")]],
+        )
+
+
+def test_signature_table_empty_list_is_empty(spark):
+    """Review r5c: an explicit empty signature list must yield an empty
+    table (and hence no votes), not fall back to the defaults."""
+    from delm_spark.kg.typing import infer_entity_types, signature_table
+
+    sig = signature_table(spark, [])
+    assert sig.count() == 0
+    t = spark.createDataFrame(
+        [("a", "works_at", "b")], "subj_id string, pred string, obj_id string"
+    )
+    assert infer_entity_types(t, sig).count() == 0
