@@ -77,6 +77,11 @@ def main() -> None:
                          "--output (kg/graph.py, kg/communities.py)")
     ap.add_argument("--pagerank-iters", type=int, default=10,
                     help="power iterations for --analytics PageRank")
+    ap.add_argument("--quality", action="store_true",
+                    help="also materialize the publish-gate family over "
+                         "the written edges: consistency report, "
+                         "functional-fact resolution, induced entity "
+                         "types, and type-signature violations")
     ap.add_argument("--walks-length", type=int, default=0,
                     help="when > 0, also materialize walks/ — one "
                          "deterministic hash-seeded random walk of this "
@@ -158,6 +163,43 @@ def main() -> None:
             f"{args.output}/communities"
         )
         out["analytics"] = ["degree_distribution", "pagerank", "communities"]
+
+    if args.quality:
+        # the publish gate + typing family over the *written* edges —
+        # same one-scan discipline as --analytics (kg/quality.py and
+        # kg/typing.py scale notes apply: combinable aggs, broadcast
+        # signature table, entity-keyed joins)
+        from delm_spark.kg.quality import (
+            consistency_report,
+            resolve_functional,
+        )
+        from delm_spark.kg.typing import (
+            infer_entity_types,
+            signature_table,
+            type_violations,
+        )
+
+        edges = spark.read.parquet(f"{args.output}/edges")
+        kw = dict(subj_col="subj_canonical", obj_col="obj_canonical")
+        consistency_report(edges, **kw).write.mode("overwrite").parquet(
+            f"{args.output}/quality_report"
+        )
+        resolve_functional(edges, **kw).write.mode("overwrite").parquet(
+            f"{args.output}/functional_resolution"
+        )
+        sig = signature_table(spark)
+        infer_entity_types(edges, sig, **kw).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/entity_types")
+        type_violations(edges, sig, **kw).write.mode("overwrite").parquet(
+            f"{args.output}/type_violations"
+        )
+        out["quality"] = [
+            "quality_report",
+            "functional_resolution",
+            "entity_types",
+            "type_violations",
+        ]
 
     if args.walks_length > 0:
         from delm_spark.kg.walks import random_walks

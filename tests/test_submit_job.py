@@ -56,7 +56,10 @@ def base_kg(tmp_path_factory):
     stats = _submit(
         zpath,
         out,
-        ["--analytics", "--pagerank-iters", "3", "--walks-length", "4"],
+        [
+            "--analytics", "--pagerank-iters", "3",
+            "--walks-length", "4", "--quality",
+        ],
     )
     return {"zip": zpath, "out": out, "stats": stats, "root": root}
 
@@ -99,6 +102,31 @@ def test_spark_submit_py_files_end_to_end(base_kg):
         f"max(len(string_split(path, '>'))) FROM '{out}/walks/*.parquet'"
     ).fetchone()
     assert 0 < wk[0] <= pr[0] and wk[1] == 5 and wk[2] == 5
+    # --quality materializes the publish-gate family over the same edges
+    assert stats["quality"] == [
+        "quality_report", "functional_resolution", "entity_types",
+        "type_violations",
+    ]
+    qr = dict(
+        con.execute(
+            f"SELECT check_name, n_violations FROM '{out}/quality_report/*.parquet'"
+        ).fetchall()
+    )
+    assert set(qr) == {
+        "self_loop", "duplicate_triple", "unresolved_subj",
+        "unresolved_obj", "functional_violation", "null_endpoint",
+    }
+    fr = con.execute(
+        f"SELECT count(*), sum(CASE WHEN status = 'current' THEN 1 ELSE 0 END), "
+        f"count(DISTINCT subj || '|' || pred) FROM '{out}/functional_resolution/*.parquet'"
+    ).fetchone()
+    assert fr[0] > 0 and fr[1] == fr[2]  # exactly one current per group
+    et = con.execute(
+        f"SELECT count(*), min(n_votes), min(n_total - n_votes) "
+        f"FROM '{out}/entity_types/*.parquet'"
+    ).fetchone()
+    assert et[0] > 0 and et[1] >= 1 and et[2] >= 0
+    assert (out / "type_violations" / "_SUCCESS").exists()
 
 
 def test_spark_submit_merge_into_is_idempotent(base_kg):
