@@ -295,3 +295,66 @@ def test_rollup_is_single_expand_native(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Union" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_match_pattern_pushes_constants_to_scan(spark, tmp_path):
+    """BGP constants must reach the parquet scan as PushedFilters and the
+    connected join plan must have no cartesian product."""
+    from delm_spark.kg.query import match_pattern
+
+    p = str(tmp_path / "triples")
+    spark.createDataFrame(
+        [("a", "works_at", "o"), ("o", "located_in", "c"),
+         ("a", "mentions", "b")],
+        "subj_id string, pred string, obj_id string",
+    ).write.parquet(p)
+    df = match_pattern(
+        spark.read.parquet(p),
+        [("?x", "works_at", "?o"), ("?o", "located_in", "?c")],
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "EqualTo(pred,works_at)" in pushed or "EqualTo(pred,located_in)" in pushed
+
+
+def test_typing_broadcasts_signatures(spark):
+    """The signature join must be a broadcast hash join; the vote count
+    and winner pick stay native (no Python stages)."""
+    from delm_spark.kg.typing import infer_entity_types, signature_table
+
+    t = spark.createDataFrame(
+        [("a", "works_at", "o")], "subj_id string, pred string, obj_id string"
+    )
+    df = infer_entity_types(t, signature_table(spark))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_property_path_no_cartesian_no_python(spark):
+    from delm_spark.kg.query import property_path
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj_id string, pred string, obj_id string",
+    )
+    df = property_path(t, "p", max_hops=3)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_predicate_similarity_broadcasts_sizes_no_pair_self_join(spark):
+    """Predicate co-counts come from the native HOF pair expansion —
+    the plan must contain NO join before the vocabulary-sized size
+    joins (which broadcast)."""
+    from delm_spark.kg.ontology import predicate_similarity
+
+    t = spark.createDataFrame(
+        [("a", "p1", "b"), ("a", "p2", "b")],
+        "subj_id string, pred string, obj_id string",
+    )
+    plan = _plan(predicate_similarity(t, min_jaccard_micro=0))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
