@@ -51,10 +51,22 @@ def consistency_report(
     pred_col: str = "pred",
     obj_col: str = "obj_id",
     functional_preds: list[str] | None = None,
+    occurrence_cols: list[str] | None = None,
 ) -> DataFrame:
     """One (check_name, n_violations) row per check, always all checks (a
     clean build reports explicit zeros — absence of a row is not
-    evidence of absence of a check)."""
+    evidence of absence of a check).
+
+    ``occurrence_cols`` selects the duplicate_triple granularity. The
+    default (None) keeps the one-row-per-FACT contract: extra copies of
+    an identical (subj, pred, obj) are violations. Over an
+    OCCURRENCE-grained table (the pipeline's written edges keep one row
+    per extraction, and a fact legitimately restated in a million turns
+    is SUPPORT, not a defect), pass the provenance columns that make a
+    row unique — e.g. ["conv_id", "turn_idx", "chunk_pos", "item_pos"]
+    — and duplicate_triple counts extra copies of the full
+    (triple + occurrence) key instead: genuine upstream idempotency
+    regressions, zero on a healthy build."""
     if functional_preds is None:
         functional_preds = DEFAULT_FUNCTIONAL_PREDS
     s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
@@ -71,8 +83,11 @@ def consistency_report(
         ),
     )
 
+    dup_key = [s.alias("s"), p.alias("p"), o.alias("o")] + [
+        F.col(c) for c in (occurrence_cols or [])
+    ]
     dup = (
-        triples.groupBy(s.alias("s"), p.alias("p"), o.alias("o"))
+        triples.groupBy(*dup_key)
         .agg((F.count(F.lit(1)) - 1).alias("extra"))
         .agg(F.sum("extra").alias("duplicate_triple"))
     )

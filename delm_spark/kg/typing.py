@@ -128,6 +128,7 @@ def type_violations(
     subj_col: str = "subj_id",
     pred_col: str = "pred",
     obj_col: str = "obj_id",
+    types: DataFrame | None = None,
 ) -> DataFrame:
     """SHACL-style shape check: triples whose endpoints' INDUCED types
     contradict the predicate's declared signature.
@@ -149,10 +150,18 @@ def type_violations(
     under unsigned predicates) are not judged — absence of evidence is
     not a violation, mirroring the left-join + coalesce convention of
     the linking stage.
+
+    ``types`` short-circuits the internal ``infer_entity_types`` call
+    with a precomputed (entity, entity_type, ...) frame — a caller that
+    also materializes the type table (e.g. ``submit_job --quality``)
+    should pass it rather than pay the corpus-wide vote aggregation
+    twice.
     """
-    types = infer_entity_types(
-        triples, signatures, subj_col, pred_col, obj_col
-    ).select("entity", "entity_type")
+    if types is None:
+        types = infer_entity_types(
+            triples, signatures, subj_col, pred_col, obj_col
+        )
+    types = types.select("entity", "entity_type")
     sig = F.broadcast(signatures.select("pred", "domain_type", "range_type"))
     t = (
         triples.select(

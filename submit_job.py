@@ -181,19 +181,27 @@ def main() -> None:
 
         edges = spark.read.parquet(f"{args.output}/edges")
         kw = dict(subj_col="subj_canonical", obj_col="obj_canonical")
-        consistency_report(edges, **kw).write.mode("overwrite").parquet(
-            f"{args.output}/quality_report"
-        )
+        # edges are OCCURRENCE-grained (one row per extraction; repeats
+        # are support) — duplicate_triple must count extra copies of the
+        # full occurrence key, not of the fact
+        consistency_report(
+            edges,
+            occurrence_cols=["conv_id", "turn_idx", "chunk_pos", "item_pos"],
+            **kw,
+        ).write.mode("overwrite").parquet(f"{args.output}/quality_report")
         resolve_functional(edges, **kw).write.mode("overwrite").parquet(
             f"{args.output}/functional_resolution"
         )
         sig = signature_table(spark)
-        infer_entity_types(edges, sig, **kw).write.mode(
-            "overwrite"
-        ).parquet(f"{args.output}/entity_types")
-        type_violations(edges, sig, **kw).write.mode("overwrite").parquet(
-            f"{args.output}/type_violations"
-        )
+        etypes = infer_entity_types(edges, sig, **kw)
+        etypes.write.mode("overwrite").parquet(f"{args.output}/entity_types")
+        # reuse the just-written type table instead of re-voting the corpus
+        type_violations(
+            edges,
+            sig,
+            types=spark.read.parquet(f"{args.output}/entity_types"),
+            **kw,
+        ).write.mode("overwrite").parquet(f"{args.output}/type_violations")
         out["quality"] = [
             "quality_report",
             "functional_resolution",

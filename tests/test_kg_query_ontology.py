@@ -409,3 +409,33 @@ def test_signature_table_empty_list_is_empty(spark):
         [("a", "works_at", "b")], "subj_id string, pred string, obj_id string"
     )
     assert infer_entity_types(t, sig).count() == 0
+
+
+def test_consistency_report_occurrence_grained_duplicates(spark):
+    """Review r5d: over an occurrence-grained edge table, restatements
+    of a fact in different turns are SUPPORT, not duplicates; only a
+    repeated occurrence key (upstream idempotency bug) counts."""
+    from delm_spark.kg.quality import consistency_report
+
+    rows = [
+        ("a", "works_at", "b", "c1", 1),
+        ("a", "works_at", "b", "c2", 5),   # legit restatement
+        ("a", "works_at", "b", "c2", 5),   # SAME occurrence: a real dup
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj_id string, pred string, obj_id string, "
+        "conv_id string, turn_idx int",
+    )
+    fact = {
+        r["check_name"]: r["n_violations"]
+        for r in consistency_report(t).collect()
+    }
+    occ = {
+        r["check_name"]: r["n_violations"]
+        for r in consistency_report(
+            t, occurrence_cols=["conv_id", "turn_idx"]
+        ).collect()
+    }
+    assert fact["duplicate_triple"] == 2  # fact contract: 3 copies - 1
+    assert occ["duplicate_triple"] == 1   # only the repeated occurrence

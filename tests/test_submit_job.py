@@ -112,9 +112,16 @@ def test_spark_submit_py_files_end_to_end(base_kg):
             f"SELECT check_name, n_violations FROM '{out}/quality_report/*.parquet'"
         ).fetchall()
     )
-    assert set(qr) == {
-        "self_loop", "duplicate_triple", "unresolved_subj",
-        "unresolved_obj", "functional_violation", "null_endpoint",
+    # deterministic fixture values, not just the key set: a healthy
+    # occurrence-keyed build has zero duplicates/nulls/unresolved, and
+    # the fixture's planted contradictions and echo artifacts are real
+    assert qr == {
+        "self_loop": 62,
+        "duplicate_triple": 0,
+        "unresolved_subj": 0,
+        "unresolved_obj": 0,
+        "functional_violation": 120,
+        "null_endpoint": 0,
     }
     fr = con.execute(
         f"SELECT count(*), sum(CASE WHEN status = 'current' THEN 1 ELSE 0 END), "
