@@ -1221,6 +1221,85 @@ def kg_pattern_optional(spark, sf_dir):
     ).orderBy("x", "org", "mgr")
 
 
+def kg_pattern_union(spark, sf_dir):
+    """SPARQL UNION (kg/query.py match_union): { ?x works_at ?org }
+    UNION { ?x uses_tool ?tool } — the two affiliation shapes as one
+    bindings table with SPARQL unbound-variable semantics (each branch
+    leaves the other's variable null). Each branch plans independently
+    with its own pushed constant filter; the union is a zero-shuffle
+    concatenation and the trailing DISTINCT is the only cross-branch
+    exchange. The oracle is the literal SQL UNION of the two scans."""
+    from delm_spark.kg.query import match_union
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return match_union(
+        res.triples,
+        [[("?x", "works_at", "?org")], [("?x", "uses_tool", "?tool")]],
+    ).orderBy(
+        F.asc_nulls_first("org"), F.asc_nulls_first("tool"), F.asc("x")
+    )
+
+
+def kg_pattern_values(spark, sf_dir):
+    """SPARQL VALUES inline data (kg/query.py match_pattern values=):
+    the colleague-pair pattern restricted to two named employers. The
+    constraint is pushed into BOTH pattern scans as an isin filter
+    before the shared-variable join — at 100 TB this is the difference
+    between joining two org-filtered slivers and joining the whole
+    works_at relation. The oracle appends the same IN list to the
+    pattern self-join."""
+    from delm_spark.kg.query import match_pattern
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    bindings = match_pattern(
+        res.triples,
+        [("?a", "works_at", "?org"), ("?b", "works_at", "?org")],
+        values={"org": ["org:acme", "org:initech"]},
+    )
+    return (
+        bindings.filter(F.col("a") < F.col("b"))
+        .select("a", "b", "org")
+        .orderBy("a", "b", "org")
+    )
+
+
+def kg_core_entities(spark, sf_dir):
+    """k-core density gate (kg/graph.py k_core): entities of the 2-core
+    of the canonical entity graph with their in-core degree — the
+    standard pre-filter that scopes expensive disambiguation to densely
+    embedded entities. Iterative peeling: two node-keyed aggregations +
+    two semi-joins per round, edges only shrink, fixed point detected
+    by a monotone node count. The oracle unrolls the same peeling a
+    fixed number of rounds (fixture convergence is pinned by a pytest
+    asserting the unroll depth suffices)."""
+    from delm_spark.kg.graph import k_core
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    edges = res.triples.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return k_core(edges, k=2).orderBy("node")
+
+
+def kg_affiliation_chain(spark, sf_dir):
+    """SPARQL property-path alternation (kg/query.py property_path with
+    a predicate LIST): (works_at|located_in){1,2} — person-to-employer
+    and on to the employer's city in one closure, with minimal hop
+    counts. Same frontier/anti-join shape as the single-predicate path;
+    alternation only widens the edge scan's isin. The oracle enumerates
+    1- and 2-hop chains over the union edge set and takes min(hops)."""
+    from delm_spark.kg.query import property_path
+
+    t = _fixture_transcripts(spark)
+    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    return property_path(
+        res.triples, ["works_at", "located_in"], max_hops=2
+    ).orderBy("src", "dst")
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2329,6 +2408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_violations": kg_type_violations,
         "kg_reports_chain": kg_reports_chain,
         "kg_pattern_optional": kg_pattern_optional,
+        "kg_pattern_union": kg_pattern_union,
+        "kg_pattern_values": kg_pattern_values,
+        "kg_core_entities": kg_core_entities,
+        "kg_affiliation_chain": kg_affiliation_chain,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -2986,6 +3069,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_violations": _kg_oracle_sql("type_violations"),
         "kg_reports_chain": _kg_oracle_sql("reports_chain"),
         "kg_pattern_optional": _kg_oracle_sql("pattern_optional"),
+        "kg_pattern_union": _kg_oracle_sql("pattern_union"),
+        "kg_pattern_values": _kg_oracle_sql("pattern_values"),
+        "kg_core_entities": _kg_oracle_sql("kcore"),
+        "kg_affiliation_chain": _kg_oracle_sql("chain_alt"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4140,6 +4227,85 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             WHERE a.pred = 'works_at' AND b.pred = 'works_at'
               AND a.subj_id < b.subj_id
             ORDER BY a, b, org
+        """
+    if kind == "pattern_union":
+        # kg/query.py match_union: literal SQL UNION of the two branch
+        # scans, each branch padding the other's variable with NULL —
+        # UNION (not ALL) is the cross-branch DISTINCT
+        return linked + """,
+            t AS (SELECT DISTINCT subj_id, pred, obj_id FROM linked)
+            SELECT * FROM (
+                SELECT obj_id AS org, NULL::VARCHAR AS tool, subj_id AS x
+                FROM t WHERE pred = 'works_at'
+                UNION
+                SELECT NULL::VARCHAR, obj_id, subj_id
+                FROM t WHERE pred = 'uses_tool')
+            ORDER BY org NULLS FIRST, tool NULLS FIRST, x
+        """
+    if kind == "pattern_values":
+        # kg/query.py match_pattern with VALUES inline data: the
+        # colleague self-join restricted to the two named employers
+        return linked + """,
+            t AS (SELECT DISTINCT subj_id, pred, obj_id FROM linked)
+            SELECT a.subj_id AS a, b.subj_id AS b, a.obj_id AS org
+            FROM t a JOIN t b ON a.obj_id = b.obj_id
+            WHERE a.pred = 'works_at' AND b.pred = 'works_at'
+              AND a.obj_id IN ('org:acme', 'org:initech')
+              AND a.subj_id < b.subj_id
+            ORDER BY a, b, org
+        """
+    if kind == "kcore":
+        # kg/graph.py k_core(k=2): the same peeling unrolled a fixed
+        # number of rounds (fixture convergence within the unroll depth
+        # is pinned by test_kg_core_oracle_unroll_depth_suffices) —
+        # round r recomputes degrees over the surviving simple
+        # undirected edge set and keeps nodes of degree >= 2
+        # every CTE is MATERIALIZED: round r references round r-1 three
+        # times (degree count + both IN subqueries), so DuckDB's default
+        # CTE inlining would copy the whole upstream pipeline 3^r times —
+        # the unrolled peel only binds/runs as a chain of materializations
+        rounds = []
+        prev = "e0"
+        for r in range(1, 7):
+            rounds.append(f"""
+            k{r} AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM {prev}
+                    UNION ALL SELECT v FROM {prev})
+                GROUP BY node HAVING count(*) >= 2),
+            e{r} AS MATERIALIZED (
+                SELECT u, v FROM {prev}
+                WHERE u IN (SELECT node FROM k{r})
+                  AND v IN (SELECT node FROM k{r}))""")
+            prev = f"e{r}"
+        return linked + f""",
+            e0 AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS u,
+                                greatest(subj_id, obj_id) AS v
+                FROM linked
+                WHERE subj_id <> obj_id
+                  AND subj_id IS NOT NULL AND obj_id IS NOT NULL),
+            {",".join(rounds)}
+            SELECT node, count(*)::BIGINT AS core_degree FROM (
+                SELECT u AS node FROM {prev}
+                UNION ALL SELECT v FROM {prev})
+            GROUP BY node HAVING count(*) >= 2
+            ORDER BY node
+        """
+    if kind == "chain_alt":
+        # kg/query.py property_path(['works_at','located_in'], 2):
+        # 1/2-hop chains over the union edge set, min(hops) per pair
+        return linked + """,
+            e AS (SELECT DISTINCT subj_id AS s, obj_id AS d FROM linked
+                  WHERE pred IN ('works_at', 'located_in')
+                    AND subj_id IS NOT NULL AND obj_id IS NOT NULL),
+            p1 AS (SELECT s, d, 1 AS hops FROM e),
+            p2 AS (SELECT a.s, b.d, 2 AS hops
+                   FROM e a JOIN e b ON a.d = b.s)
+            SELECT s AS src, d AS dst, min(hops)::BIGINT AS hops
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+            GROUP BY s, d
+            ORDER BY src, dst
         """
     if kind == "pred_canon":
         # kg/ontology.py canonicalize_predicates over the md5-parity

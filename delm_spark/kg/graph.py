@@ -264,3 +264,72 @@ def clustering_coefficient(
         .cast("long")
         .alias("cc_micro"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+    counters: dict | None = None,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree >= k (undirected simple graph — loops and parallel edges
+    dropped first). Returns (node, core_degree) with the node's degree
+    INSIDE the converged core.
+
+    The standard corpus-graph density gate (Seidman 1983; e.g. keeping
+    only entities embedded in a dense mention neighborhood before
+    expensive disambiguation): peeling is iterative deletion — drop
+    every node of degree < k, recompute degrees on the surviving
+    subgraph, repeat until nothing drops. The reference
+    (Center-for-Applied-AI/delm) has no graph stage; public precedent
+    for the distributed shape is the degree-threshold peel in
+    GraphX/GraphFrames examples.
+
+    Scale shape: each round is two node-keyed hash aggregations (degree
+    count over the surviving edge list) plus two semi-joins filtering
+    the edge list to surviving endpoints — no all-pairs structure, edges
+    only ever shrink. The surviving edge set is localCheckpoint-ed per
+    round (the repo's iterative convention: linear plan, no
+    re-extraction). Convergence is detected with one count per round
+    (node count is monotone decreasing, so equal counts = fixed point);
+    rounds are bounded by `max_iters` — peeling removes >= 1 node per
+    non-final round, and real corpus graphs converge in a handful.
+
+    ``counters`` (optional dict) receives {"rounds": r, "nodes": n} on
+    return — the observability hook the SQL oracle's fixed unroll depth
+    is pinned against.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_prev = -1
+    for i in range(max_iters):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionByName(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("core_degree"))
+        )
+        keep = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+        n = keep.count()
+        if n == n_prev or n == 0:
+            if counters is not None:
+                counters["rounds"] = i + 1
+                counters["nodes"] = n
+            return keep.select("node", "core_degree")
+        n_prev = n
+        und = (
+            und.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    if counters is not None:
+        counters["rounds"] = max_iters
+        counters["nodes"] = n
+    return keep.select("node", "core_degree")

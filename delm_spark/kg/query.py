@@ -45,12 +45,17 @@ def _compile_group(
     patterns: list[tuple[str, str, str]],
     cols: tuple[str, str, str],
     allow_cartesian: bool,
+    values: dict[str, list] | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """Compile one conjunctive pattern group to (bindings frame,
     bound-variable set) — the shared engine of the required, OPTIONAL,
-    and NOT-EXISTS clauses."""
+    NOT-EXISTS, and UNION clauses. ``values`` (SPARQL VALUES inline
+    data) is pushed into EVERY pattern scan where the constrained
+    variable occurs — an ``isin`` filter before any join, so the
+    constraint prunes at the parquet scan instead of riding a shuffle."""
     if not patterns:
         raise ValueError("match_pattern needs at least one pattern")
+    values = values or {}
     frames: list[tuple[DataFrame, frozenset[str], int]] = []
     for pat in patterns:
         if len(pat) != 3:
@@ -61,6 +66,8 @@ def _compile_group(
         for term, col in zip(pat, cols):
             if _is_var(term):
                 v = term[1:]
+                if v in values:
+                    df = df.filter(F.col(col).isin(*values[v]))
                 if v in sel:
                     # repeated variable inside one pattern: equality
                     df = df.filter(F.col(col) == F.col(sel[v]))
@@ -114,6 +121,7 @@ def match_pattern(
     allow_cartesian: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list] | None = None,
 ) -> DataFrame:
     """Match a conjunctive triple pattern; return variable bindings.
 
@@ -146,12 +154,42 @@ def match_pattern(
     variable as compatible (OPTIONAL) or free (NOT EXISTS) — the two
     semantics silently diverge exactly there, so that correlation shape
     is refused rather than mis-answered.
+
+    ``values`` is SPARQL VALUES inline data — ``{"org": ["acme_corp",
+    "initech"]}`` restricts ``?org`` to the listed constants. The
+    constraint is pushed into every pattern scan (required, OPTIONAL,
+    and NOT EXISTS alike — VALUES scopes the whole WHERE clause) as an
+    ``isin`` filter, so it prunes before any join. A variable that
+    appears in no pattern, or an empty constant list, is a query bug
+    and refused.
     """
     cols = (subj_col, pred_col, obj_col)
-    out, bound = _compile_group(triples, patterns, cols, allow_cartesian)
+    if values:
+        all_vars = {
+            t[1:]
+            for group in [patterns, *(optional or []), *(not_exists or [])]
+            for pat in group
+            for t in pat
+            if _is_var(t)
+        }
+        for v, consts in values.items():
+            if v not in all_vars:
+                raise ValueError(
+                    f"values constrains ?{v}, which appears in no pattern"
+                )
+            if not consts:
+                raise ValueError(
+                    f"values for ?{v} is empty — the query can match "
+                    "nothing; drop the clause or list constants"
+                )
+    out, bound = _compile_group(
+        triples, patterns, cols, allow_cartesian, values
+    )
     certain = set(bound)  # required-bound = never null
     for group in optional or []:
-        g, gvars = _compile_group(triples, group, cols, allow_cartesian)
+        g, gvars = _compile_group(
+            triples, group, cols, allow_cartesian, values
+        )
         shared = sorted(gvars & bound)
         if not shared:
             raise ValueError(
@@ -172,7 +210,9 @@ def match_pattern(
         out = out.join(g.distinct(), on=shared, how="left")
         bound |= gvars
     for group in not_exists or []:
-        g, gvars = _compile_group(triples, group, cols, allow_cartesian)
+        g, gvars = _compile_group(
+            triples, group, cols, allow_cartesian, values
+        )
         shared = sorted(gvars & bound)
         if not shared:
             raise ValueError(
@@ -191,9 +231,61 @@ def match_pattern(
     return out.distinct() if distinct else out
 
 
+def match_union(
+    triples: DataFrame,
+    groups: list[list[tuple[str, str, str]]],
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+    values: dict[str, list] | None = None,
+) -> DataFrame:
+    """SPARQL UNION of basic graph patterns: ``{ BGP_1 } UNION { BGP_2 }
+    UNION ...`` — the alternative-shapes query ("x is affiliated via
+    works_at OR via member_of") that a single conjunctive group cannot
+    express.
+
+    Each group compiles independently through the shared BGP engine
+    (same constant pushdown, join ordering, cartesian refusal, and
+    VALUES scoping as :func:`match_pattern`); the result has one column
+    per variable bound in ANY group, with SPARQL's unbound-variable
+    semantics — a group that does not bind a variable leaves it null in
+    that group's rows. ``distinct=True`` gives SELECT DISTINCT set
+    semantics ACROSS groups (a binding produced by two branches appears
+    once); ``distinct=False`` keeps bag semantics (branch multiplicity
+    preserved).
+
+    Scale shape: a union of k independent join chains — Spark plans
+    each branch separately (each with its own pushed filters) and the
+    union is a zero-shuffle concatenation; the optional trailing
+    DISTINCT is the one cross-branch shuffle, on the final
+    (deduplicated) binding width, never on the triple table.
+    """
+    if not groups or not all(groups):
+        raise ValueError("match_union needs >= 1 non-empty pattern group")
+    cols = (subj_col, pred_col, obj_col)
+    compiled = [
+        _compile_group(triples, g, cols, allow_cartesian, values)
+        for g in groups
+    ]
+    all_vars = sorted(set().union(*(b for _, b in compiled)))
+    out = None
+    for frame, bound in compiled:
+        padded = frame.select(
+            *(
+                F.col(v).alias(v) if v in bound
+                else F.lit(None).cast("string").alias(v)
+                for v in all_vars
+            )
+        )
+        out = padded if out is None else out.unionByName(padded)
+    return out.distinct() if distinct else out
+
+
 def property_path(
     triples: DataFrame,
-    pred: str,
+    pred: str | list[str],
     max_hops: int = 3,
     subj_col: str = "subj_id",
     pred_col: str = "pred",
@@ -201,7 +293,10 @@ def property_path(
 ) -> DataFrame:
     """SPARQL property-path core ``pred{1,max_hops}``: all (src, dst)
     pairs connected by a directed chain of 1..max_hops edges labeled
-    ``pred``, with ``hops`` = the MINIMAL chain length.
+    ``pred``, with ``hops`` = the MINIMAL chain length. ``pred`` may be
+    a LIST of labels — SPARQL alternation ``(p1|p2){1,n}`` — in which
+    case every hop may use any listed label (the edge set is their
+    union; one extra ``isin`` value per label, the plan is unchanged).
 
     The canonical consumer is a hierarchy walk — ``reports_to{1,3}``
     is "everyone in x's management chain up to three levels" — which a
@@ -227,8 +322,11 @@ def property_path(
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
+    preds = [pred] if isinstance(pred, str) else list(pred)
+    if not preds:
+        raise ValueError("pred alternation list is empty")
     edges = (
-        triples.filter(F.col(pred_col) == F.lit(pred))
+        triples.filter(F.col(pred_col).isin(*preds))
         .select(F.col(subj_col).alias("src"), F.col(obj_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()

@@ -26,7 +26,13 @@ def corpus(spark):
 
 @pytest.fixture(scope="module")
 def result(spark, corpus):
-    return run_pipeline(spark, corpus, entity_dictionary(spark), PipelineConfig())
+    res = run_pipeline(spark, corpus, entity_dictionary(spark), PipelineConfig())
+    # materialize the frames the module's tests act on repeatedly — the
+    # checkpoint-dir-less pipeline is one lazy DAG, so without this every
+    # collect()/count() in every test re-runs the extraction stage
+    res.extracted = res.extracted.localCheckpoint(eager=True)
+    res.triples = res.triples.localCheckpoint(eager=True)
+    return res
 
 
 def test_cost_summary_and_budget(spark, result):

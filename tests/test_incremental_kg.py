@@ -20,10 +20,23 @@ def _rows(df):
 
 def _split_corpus(spark):
     """One synthetic corpus split into two disjoint conv batches."""
-    full = generate_transcripts(spark, n_convs=80)
+    # 40 conversations is the smallest corpus where both batches still
+    # carry every predicate family AND the embedding-link residue pass has
+    # unresolved mentions to resolve; 80 doubled the module wall for no
+    # added coverage.
+    full = generate_transcripts(spark, n_convs=40)
     b1 = full.filter(F.crc32(F.col("conv_id")) % 2 == 0)
     b2 = full.filter(F.crc32(F.col("conv_id")) % 2 == 1)
     return full, b1, b2
+
+
+def _materialized(res):
+    """Checkpoint a pipeline result's graph tables ONCE: without a
+    checkpoint dir run_pipeline is one lazy DAG, so every downstream
+    action in every test would re-run the whole extraction."""
+    res.edges = res.edges.localCheckpoint(eager=True)
+    res.nodes = res.nodes.localCheckpoint(eager=True)
+    return res
 
 
 @pytest.fixture(scope="module")
@@ -37,9 +50,9 @@ def built(spark):
     cfg = PipelineConfig()
     return {
         "full": full, "b1": b1, "b2": b2, "d": d, "cfg": cfg,
-        "scratch": run_pipeline(spark, full, d, cfg),
-        "r1": run_pipeline(spark, b1, d, cfg),
-        "r2": run_pipeline(spark, b2, d, cfg),
+        "scratch": _materialized(run_pipeline(spark, full, d, cfg)),
+        "r1": _materialized(run_pipeline(spark, b1, d, cfg)),
+        "r2": _materialized(run_pipeline(spark, b2, d, cfg)),
     }
 
 
@@ -53,9 +66,9 @@ def test_incremental_merge_equals_from_scratch_with_embedding_link(spark, built)
     full, b1, b2 = built["full"], built["b1"], built["b2"]
     d = built["d"]
     cfg = PipelineConfig(embedding_link=True)
-    scratch = run_pipeline(spark, full, d, cfg)
-    r1 = run_pipeline(spark, b1, d, cfg)
-    r2 = run_pipeline(spark, b2, d, cfg)
+    scratch = _materialized(run_pipeline(spark, full, d, cfg))
+    r1 = _materialized(run_pipeline(spark, b1, d, cfg))
+    r2 = _materialized(run_pipeline(spark, b2, d, cfg))
     nodes, edges = merge_graph(r1.edges, r2.edges)
     assert _rows(edges) == _rows(scratch.edges)
     assert _rows(nodes) == _rows(scratch.nodes)

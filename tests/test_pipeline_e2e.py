@@ -172,6 +172,10 @@ def test_integrity_gate_quarantines_malformed_conversations(spark):
         PipelineConfig(integrity_gate=True),
     )
     assert gated.integrity is not None
+    # materialize once: the lazy result is collected three times below,
+    # and each action would otherwise re-run the whole gated pipeline
+    gated.triples = gated.triples.localCheckpoint(eager=True)
+    gated.integrity = gated.integrity.localCheckpoint(eager=True)
     report = {r["conv_id"]: r.asDict() for r in gated.integrity.collect()}
     assert report["conv_00000000"]["disposition"] == "dup_turn_idx"
     assert report["conv_00000001"]["disposition"] == "gap_turn_idx"

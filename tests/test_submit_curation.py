@@ -18,6 +18,10 @@ REPO = Path(__file__).resolve().parents[1]
 SPARK_SUBMIT = Path("/opt/spark/bin/spark-submit")
 
 
+@pytest.mark.slow  # ~24 s of spark-submit JVM cold start; the docs-mode
+# curation semantics are fully pinned by the curation_pipeline_docs oracle
+# test and curate.py unit tests, and the submit_curation.py CLI path stays
+# covered by the (default-run) transcript-mode e2e below. Run with -m slow.
 @pytest.mark.skipif(not SPARK_SUBMIT.exists(), reason="spark-submit not on host")
 def test_spark_submit_curation_end_to_end(tmp_path):
     zpath = tmp_path / "delm_spark.zip"

@@ -136,14 +136,23 @@ def test_spark_submit_py_files_end_to_end(base_kg):
     assert (out / "type_violations" / "_SUCCESS").exists()
 
 
-def test_spark_submit_merge_into_is_idempotent(base_kg):
-    """--merge-into with the SAME batch must be a no-op merge: the
-    exactly-once-per-conversation guard drops every re-delivered edge."""
+def test_spark_submit_merge_into_same_dir_is_idempotent(base_kg):
+    """--merge-into with the SAME batch AND --output == --merge-into (the
+    natural in-place incremental workflow, ADVICE r4): the merged plan
+    reads {output}/edges while the job overwrites it — without the
+    pre-overwrite materialization the edges write fails AFTER nodes/ was
+    replaced, leaving the KG directory inconsistent. A passing run proves
+    both the exactly-once no-op merge and the in-place write path."""
     first = base_kg["stats"]
     merged = _submit(
         base_kg["zip"],
-        base_kg["root"] / "kg2",
+        base_kg["out"],  # in-place: output == merge-into
         ["--merge-into", str(base_kg["out"])],
     )
     assert merged["edges"] == first["edges"]  # re-delivery is a no-op
     assert merged["nodes"] == first["nodes"]
+    assert merged["merge"]["fresh_conv_ids"] == 0  # everything was dropped
+    assert merged["merge"]["dropped_conv_ids"] > 0
+    # the directory stayed consistent: both tables re-readable and paired
+    assert (base_kg["out"] / "edges" / "_SUCCESS").exists()
+    assert (base_kg["out"] / "nodes" / "_SUCCESS").exists()
