@@ -67,6 +67,33 @@ def _fixture_dictionary(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(str(_FIXTURES / "dictionary.parquet"))
 
 
+
+_FIXTURE_PIPE_CACHE: dict = {}
+
+
+def _fixture_pipeline(spark: SparkSession):
+    """Default-config pipeline over the committed fixture corpus, memoized
+    per SparkSession with its triples localCheckpoint-ed: ~20 queries()
+    entries derive from this exact result, and each would otherwise re-run
+    the whole extraction DAG once per query — in the driver's correctness
+    gate AND in tests/test_oracle_parity.py. Deterministic fixture input +
+    deterministic pipeline => the memo is pure; keyed on applicationId so
+    a fresh session never sees another session's checkpointed blocks."""
+    key = spark.sparkContext.applicationId
+    res = _FIXTURE_PIPE_CACHE.get(key)
+    if res is None:
+        res = run_pipeline(
+            spark,
+            _fixture_transcripts(spark),
+            _fixture_dictionary(spark),
+            PipelineConfig(),
+        )
+        res.triples = res.triples.localCheckpoint(eager=True)
+        _FIXTURE_PIPE_CACHE.clear()  # one live session at a time
+        _FIXTURE_PIPE_CACHE[key] = res
+    return res
+
+
 def _n_convs_for(sf_dir: str) -> int:
     name = Path(sf_dir).name
     return {"sf0.001": 150, "sf0.01": 600, "sf0.1": 3000}.get(name, 150)
@@ -758,8 +785,7 @@ def kg_triples_pipeline(spark, sf_dir):
     """Flagship KG pipeline (chunk/score/extract/clean/link) over the
     committed fixture corpus; the oracle reproduces the full chain plus the
     broadcast dictionary linking in DuckDB SQL."""
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return res.triples.orderBy("conv_id", "turn_idx", "chunk_pos", "item_pos")
 
 
@@ -772,8 +798,7 @@ def kg_snapshot_diff(spark, sf_dir):
     all-pairs."""
     from delm_spark.kg.update import graph_diff
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     tri = res.triples.select(
         "conv_id", "turn_idx", "chunk_pos", "item_pos",
         "subj", "pred", "obj", "subj_id", "obj_id",
@@ -831,8 +856,7 @@ def kg_nodes_canonical(spark, sf_dir):
     """Entity canonicalization (broadcast dict link + connected components);
     the oracle derives each node's canonical id independently from the
     dictionary's alias map."""
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return res.nodes.orderBy("entity_id")
 
 
@@ -862,8 +886,7 @@ def connected_components_demo(spark, sf_dir):
 def _kg_graph_edges(spark):
     """Entity-id edge table of the fixture KG: one (src, dst) row per
     linked triple — the input every graph-analytics query consumes."""
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return res.triples.select(
         F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
     )
@@ -1034,8 +1057,7 @@ def kg_triple_provenance(spark, sf_dir):
     plus the aggregation in SQL."""
     from delm_spark.kg.analytics import triple_provenance
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return triple_provenance(res.triples).orderBy("subj_id", "pred", "obj_id")
 
 
@@ -1047,8 +1069,7 @@ def kg_entity_cooccur(spark, sf_dir):
     oracle re-derives counts and lift with the same BIGINT arithmetic."""
     from delm_spark.kg.analytics import entity_cooccurrence
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return entity_cooccurrence(res.triples).orderBy("entity_a", "entity_b")
 
 
@@ -1061,8 +1082,7 @@ def kg_communities(spark, sf_dir):
     unrolls the same 4 rounds in SQL."""
     from delm_spark.kg.communities import label_propagation
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     edges = res.triples.select(
         F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
     )
@@ -1078,8 +1098,7 @@ def kg_pattern_colleagues(spark, sf_dir):
     re-derives the linked triples and runs the equivalent self-join."""
     from delm_spark.kg.query import match_pattern
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     bindings = match_pattern(
         res.triples,
         [("?a", "works_at", "?org"), ("?b", "works_at", "?org")],
@@ -1104,8 +1123,7 @@ def kg_predicate_canonical(spark, sf_dir):
     the integer Jaccard, and min-label propagation in SQL."""
     from delm_spark.kg.ontology import canonicalize_predicates
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     aliased = res.triples.withColumn(
         "pred",
         F.when(
@@ -1130,8 +1148,7 @@ def kg_functional_resolution(spark, sf_dir):
     replays both in SQL."""
     from delm_spark.kg.quality import resolve_functional
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return resolve_functional(res.triples).orderBy("subj", "pred", "rank")
 
 
@@ -1144,8 +1161,7 @@ def kg_entity_types(spark, sf_dir):
     aggregation; the oracle replays both in SQL."""
     from delm_spark.kg.typing import infer_entity_types, signature_table
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return infer_entity_types(res.triples, signature_table(spark)).orderBy(
         "entity"
     )
@@ -1161,8 +1177,7 @@ def kg_type_violations(spark, sf_dir):
     replays the corruption, the vote, and the per-triple check."""
     from delm_spark.kg.typing import signature_table, type_violations
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     base = res.triples.select("subj_id", "pred", "obj_id")
     swapped = (
         res.triples.filter(F.substring(F.md5("conv_id"), 1, 1) == "0")
@@ -1186,8 +1201,7 @@ def kg_reports_chain(spark, sf_dir):
     fixture scale and independent of the BFS logic."""
     from delm_spark.kg.query import property_path
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return property_path(res.triples, "reports_to", max_hops=3).orderBy(
         "src", "dst"
     )
@@ -1204,8 +1218,7 @@ def kg_pattern_optional(spark, sf_dir):
     left join, and anti join in SQL."""
     from delm_spark.kg.query import match_pattern
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     h = (
         F.conv(F.substring(F.md5("subj_id"), 1, 1), 16, 10).cast("int") % 2
     )
@@ -1231,8 +1244,7 @@ def kg_pattern_union(spark, sf_dir):
     exchange. The oracle is the literal SQL UNION of the two scans."""
     from delm_spark.kg.query import match_union
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return match_union(
         res.triples,
         [[("?x", "works_at", "?org")], [("?x", "uses_tool", "?tool")]],
@@ -1251,8 +1263,7 @@ def kg_pattern_values(spark, sf_dir):
     pattern self-join."""
     from delm_spark.kg.query import match_pattern
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     bindings = match_pattern(
         res.triples,
         [("?a", "works_at", "?org"), ("?b", "works_at", "?org")],
@@ -1276,8 +1287,7 @@ def kg_core_entities(spark, sf_dir):
     asserting the unroll depth suffices)."""
     from delm_spark.kg.graph import k_core
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     edges = res.triples.select(
         F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
     )
@@ -1293,8 +1303,7 @@ def kg_affiliation_chain(spark, sf_dir):
     1- and 2-hop chains over the union edge set and takes min(hops)."""
     from delm_spark.kg.query import property_path
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return property_path(
         res.triples, ["works_at", "located_in"], max_hops=2
     ).orderBy("src", "dst")
@@ -1402,9 +1411,10 @@ def entity_timeline_kg(spark, sf_dir):
     spread, active span. The temporal companion of triple_provenance."""
     from delm_spark.kg.trajectory import entity_timeline
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
-    return entity_timeline(res.triples, t).orderBy("entity")
+    res = _fixture_pipeline(spark)
+    return entity_timeline(res.triples, _fixture_transcripts(spark)).orderBy(
+        "entity"
+    )
 
 
 def context_window_turns(spark, sf_dir):
@@ -1438,8 +1448,7 @@ def random_walks_kg(spark, sf_dir):
     aggregation per hop, frontier stays one row per walk."""
     from delm_spark.kg.walks import random_walks
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     edges = res.triples.select(
         F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
     )
@@ -2137,8 +2146,7 @@ def kg_consistency_report(spark, sf_dir):
     extraction+linking chain and every check independently in SQL."""
     from delm_spark.kg.quality import consistency_report
 
-    t = _fixture_transcripts(spark)
-    res = run_pipeline(spark, t, _fixture_dictionary(spark), PipelineConfig())
+    res = _fixture_pipeline(spark)
     return consistency_report(res.triples).orderBy("check_name")
 
 

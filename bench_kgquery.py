@@ -251,14 +251,69 @@ def main() -> None:
         assert bad == 0, bad
         return {"typed_entities": n}
 
+    def phase_union():
+        from delm_spark.kg.query import match_union
+
+        # closed form: the works_at branch yields exactly P distinct
+        # (x, org) bindings and the located_in branch exactly O distinct
+        # (org->x, city) bindings; variables are disjoint per branch so
+        # the padded union is P + O rows exactly
+        out = match_union(
+            triples,
+            [[("?x", "works_at", "?org")], [("?x", "located_in", "?city")]],
+        )
+        n = out.count()
+        assert n == N_PERSONS + N_ORGS, n
+        return {"bindings": n}
+
+    def phase_values():
+        # VALUES restricts ?org to 16 named orgs, pushed into both
+        # pattern scans: bindings = 16 orgs x ORG_N members, and the
+        # In(obj_id,...) constant set must reach the parquet scan
+        vals = [f"org{i:06d}" for i in range(16)]
+        out = match_pattern(
+            triples,
+            [("?x", "works_at", "?org"), ("?org", "located_in", "?c")],
+            values={"org": vals},
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(pred), EqualTo(pred," in plan
+        assert "org000015" in plan  # the In list reached a scan filter
+        n = out.count()
+        assert n == 16 * ORG_N, n
+        return {"bindings": n, "values_pushdown_asserted": True}
+
+    def phase_kcore():
+        from delm_spark.kg.graph import k_core
+
+        # 'mentions' is the permutation s -> 7s+13 (mod P): a disjoint
+        # union of cycles, none of length 1 or 2 (the gcd asserts at the
+        # top), so the undirected simple graph is 2-regular — its 2-core
+        # is EXACTLY all P nodes at core_degree 2, and peeling must
+        # detect the fixed point on the first re-count
+        counters: dict = {}
+        got = k_core(
+            triples.filter(F.col("pred") == "mentions").select(
+                F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+            ),
+            k=2,
+            counters=counters,
+        )
+        n = got.count()
+        bad = got.filter(F.col("core_degree") != 2).count()
+        assert n == N_PERSONS and bad == 0, (n, bad)
+        assert counters["rounds"] == 2, counters  # nothing ever peels
+        return {"core_nodes": n, "rounds": counters["rounds"]}
+
     def phase_path():
         from delm_spark.kg.query import property_path
 
         # 'mentions' is the functional graph s -> 7s+13 (mod P); 7 and
         # P are coprime and 6s=-13, 48s=-104 have no solutions mod P,
         # so f(s), f2(s), f3(s) are pairwise distinct from s's view:
-        # exactly P pairs at each hop level
-        got = property_path(triples, "mentions", max_hops=3)
+        # exactly P pairs at each hop level. The LIST form exercises the
+        # round-5 alternation signature (same isin scan, one label).
+        got = property_path(triples, ["mentions"], max_hops=3)
         census = {
             r["hops"]: r["n"]
             for r in got.groupBy("hops")
@@ -271,6 +326,9 @@ def main() -> None:
     phases = [
         ("bgp_chain_4m", phase_chain),
         ("bgp_colleagues_24m", phase_colleagues),
+        ("bgp_union_4m", phase_union),
+        ("bgp_values_4m", phase_values),
+        ("kcore_cycles_1m", phase_kcore),
         ("pred_canon_10m", phase_pred_canon),
         ("functional_resolution_5m", phase_resolution),
         ("entity_typing_4m", phase_typing),
@@ -368,7 +426,21 @@ aliased corpus, and {5 * N_SUBJECTS:,} functional assertions over
 - **property path**: 'mentions' is the functional graph s -> 7s+13
   (mod {N_PERSONS:,}); 6s=-13 and 48s=-104 have no solutions mod 1e6,
   so hop levels never collide — the {{1, 2, 3}}-hop census is exactly
-  {N_PERSONS:,} pairs per level.
+  {N_PERSONS:,} pairs per level (run through the round-5 alternation
+  signature, pred as a list).
+- **BGP UNION**: {{?x works_at ?org}} UNION {{?x located_in ?city}} —
+  branch variables are disjoint, so the null-padded union is exactly
+  {N_PERSONS:,} + {N_ORGS:,} bindings; each branch plans and filters
+  independently, the union adds no shuffle.
+- **BGP VALUES**: the 2-pattern chain restricted to 16 named orgs —
+  exactly 16 x {ORG_N} bindings, with the In(obj_id, ...) constant set
+  plan-asserted INSIDE a scan filter (the works_at leg shrinks from
+  {N_PERSONS:,} rows to {16 * ORG_N:,} before the join).
+- **k-core**: the 'mentions' permutation graph is a disjoint union of
+  cycles, none of length 1 or 2 (gcd preconditions), so the undirected
+  simple graph is 2-regular — the 2-core is EXACTLY all
+  {N_PERSONS:,} nodes at core_degree 2, and the peel detects the fixed
+  point on its second count (counters-asserted).
 
 | phase | wall (s) | shuffle write (MB) | jobs |
 |---|---|---|---|

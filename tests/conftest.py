@@ -102,6 +102,30 @@ def spark():
     s.stop()
 
 
+def pytest_collection_modifyitems(config, items):
+    """If this run collected any spark-submit e2e test, launch the
+    subprocesses NOW (tests/submit_background.py): their ~72 s of JVM
+    cold start + 4-core pipeline overlaps the in-session tests instead
+    of serializing at the end of the alphabet. Tests join the Popen and
+    keep every assertion."""
+    needed = set()
+    for item in items:
+        if "test_submit_job" in item.nodeid:
+            needed.add("job")
+        elif "test_submit_curation" in item.nodeid:
+            needed.add("curation")
+    if needed:
+        from tests import submit_background
+
+        submit_background.start(needed)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    from tests import submit_background
+
+    submit_background.shutdown()
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _reclaim_spark_blocks():
     """localCheckpoint()ed RDD blocks are unpersisted by Spark's

@@ -70,30 +70,39 @@ def test_spark_submit_curation_end_to_end(tmp_path):
 
 @pytest.mark.skipif(not SPARK_SUBMIT.exists(), reason="spark-submit not on host")
 def test_spark_submit_transcript_curation_end_to_end(tmp_path):
-    zpath = tmp_path / "delm_spark.zip"
-    with zipfile.ZipFile(zpath, "w") as z:
-        for p in (REPO / "delm_spark").rglob("*.py"):
-            z.write(p, p.relative_to(REPO))
-    out = tmp_path / "curated"
-    turns = str(REPO / "tests" / "fixtures" / "transcripts.parquet")
-    env = dict(os.environ, PYTHONPATH="")
-    proc = subprocess.run(
-        [
-            str(SPARK_SUBMIT),
-            "--master", "local[4]",
-            "--conf", "spark.sql.shuffle.partitions=4",
-            "--conf", "spark.ui.enabled=false",
-            "--py-files", str(zpath),
-            str(REPO / "submit_curation.py"),
-            "--transcripts", turns,
-            "--output", str(out),
-            "--budget", "400",
-        ],
-        capture_output=True, text=True, timeout=420, env=env,
-    )
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    stats = json.loads(line)
+    # normally launched at collection time (tests/submit_background.py)
+    # so the subprocess wall overlaps the in-session tests; synchronous
+    # fallback for single-test invocations
+    from tests import submit_background
+
+    bg = submit_background.wait("curation")
+    if bg is not None:
+        stats, out = bg
+    else:
+        zpath = tmp_path / "delm_spark.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in (REPO / "delm_spark").rglob("*.py"):
+                z.write(p, p.relative_to(REPO))
+        out = tmp_path / "curated"
+        turns = str(REPO / "tests" / "fixtures" / "transcripts.parquet")
+        env = dict(os.environ, PYTHONPATH="")
+        proc = subprocess.run(
+            [
+                str(SPARK_SUBMIT),
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(zpath),
+                str(REPO / "submit_curation.py"),
+                "--transcripts", turns,
+                "--output", str(out),
+                "--budget", "400",
+            ],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        stats = json.loads(line)
     assert stats["census"].get("kept", 0) > 0
     # dispositions cover every conversation exactly once
     import pyarrow.parquet as pq

@@ -46,7 +46,29 @@ def _submit(zpath, out, extra):
 def base_kg(tmp_path_factory):
     """ONE real spark-submit run (zip built once), shared by the e2e
     assertions and as the merge base — a second identical full run would
-    only re-pay the JVM cold start."""
+    only re-pay the JVM cold start.
+
+    Normally the run was ALREADY LAUNCHED at pytest collection time
+    (tests/submit_background.py — overlaps the subprocess wall with the
+    in-session tests); this fixture just joins it. The in-place merge
+    chained behind it must ALSO be joined here: it overwrites nodes/ and
+    edges/ in the same directory, so assertions may only start once the
+    directory is quiescent. Falls back to a synchronous run when the
+    launcher never started (single-test invocations)."""
+    from tests import submit_background
+
+    bg = submit_background.wait("base")
+    if bg is not None:
+        stats, out = bg
+        merged = submit_background.wait("merge")
+        assert merged is not None, "base succeeded but merge never launched"
+        return {
+            "zip": submit_background._STATE["zip"],
+            "out": out,
+            "stats": stats,
+            "root": out.parent,
+            "merged_stats": merged[0],
+        }
     root = tmp_path_factory.mktemp("submit_job")
     zpath = root / "delm_spark.zip"
     with zipfile.ZipFile(zpath, "w") as z:
@@ -144,11 +166,13 @@ def test_spark_submit_merge_into_same_dir_is_idempotent(base_kg):
     replaced, leaving the KG directory inconsistent. A passing run proves
     both the exactly-once no-op merge and the in-place write path."""
     first = base_kg["stats"]
-    merged = _submit(
-        base_kg["zip"],
-        base_kg["out"],  # in-place: output == merge-into
-        ["--merge-into", str(base_kg["out"])],
-    )
+    merged = base_kg.get("merged_stats")
+    if merged is None:  # synchronous fallback (no background launcher)
+        merged = _submit(
+            base_kg["zip"],
+            base_kg["out"],  # in-place: output == merge-into
+            ["--merge-into", str(base_kg["out"])],
+        )
     assert merged["edges"] == first["edges"]  # re-delivery is a no-op
     assert merged["nodes"] == first["nodes"]
     assert merged["merge"]["fresh_conv_ids"] == 0  # everything was dropped
