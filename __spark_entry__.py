@@ -1309,6 +1309,40 @@ def kg_affiliation_chain(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def kg_mention_consolidation(spark, sf_dir):
+    """Mention consolidation (kg/consolidate.py consolidate_mentions):
+    unresolved mention variants cluster by surface edit distance (FastSS
+    deletion-neighborhood blocking + CC over verified pairs only) and
+    recurring clusters mint a deterministic entity id — the feedback
+    loop that grows the dictionary where the graph has no curated
+    knowledge. Unknown-mention streams are synthesized deterministically
+    from the fixture triples: every object becomes a 'proj <obj>'
+    mention, and conversations with odd md5 parity also assert its
+    one-char truncation — each object yields a 2-surface cluster within
+    edit distance 1. The oracle is deliberately BLOCKING-FREE: it pairs
+    the small fixture vocabulary by exhaustive levenshtein and unrolls
+    min-label propagation, so FastSS recall itself is under test."""
+    from delm_spark.kg.consolidate import consolidate_mentions
+
+    res = _fixture_pipeline(spark)
+    odd = (
+        F.conv(F.substring(F.md5("conv_id"), 1, 1), 16, 10).cast("int") % 2
+        == 1
+    )
+    base = res.triples.select(
+        "subj_id",
+        F.lit("mentions_project").alias("pred"),
+        F.concat(F.lit("mention:proj "), F.lower("obj")).alias("obj_id"),
+        "conv_id",
+    )
+    variant = base.filter(odd).withColumn(
+        "obj_id", F.expr("substring(obj_id, 1, length(obj_id) - 1)")
+    )
+    return consolidate_mentions(base.unionByName(variant)).orderBy(
+        "mention_id"
+    )
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2420,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_values": kg_pattern_values,
         "kg_core_entities": kg_core_entities,
         "kg_affiliation_chain": kg_affiliation_chain,
+        "kg_mention_consolidation": kg_mention_consolidation,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -3081,6 +3116,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pattern_values": _kg_oracle_sql("pattern_values"),
         "kg_core_entities": _kg_oracle_sql("kcore"),
         "kg_affiliation_chain": _kg_oracle_sql("chain_alt"),
+        "kg_mention_consolidation": _kg_oracle_sql("mention_consolidation"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4299,6 +4335,68 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                 UNION ALL SELECT v FROM {prev})
             GROUP BY node HAVING count(*) >= 2
             ORDER BY node
+        """
+    if kind == "mention_consolidation":
+        # kg/consolidate.py consolidate_mentions over the planted
+        # 'proj <obj>' mention stream (+ one-char truncations for
+        # odd-md5 conversations). Deliberately BLOCKING-FREE: pairs come
+        # from exhaustive levenshtein over the fixture vocabulary (so the
+        # Spark side's FastSS recall is itself under test), components
+        # from min-label propagation unrolled 6 rounds (cluster graphs
+        # are stars/short chains; parity fails loudly if 6 ever falls
+        # short). MATERIALIZED throughout — each round references the
+        # previous one three times.
+        lpa = []
+        prev = "l0"
+        for r in range(1, 7):
+            lpa.append(f"""
+            l{r} AS MATERIALIZED (
+                SELECT s, least(lab, coalesce(nb, lab)) AS lab FROM (
+                    SELECT n.s, n.lab, min(m.lab) AS nb
+                    FROM {prev} n
+                    LEFT JOIN sym e ON n.s = e.x
+                    LEFT JOIN {prev} m ON e.y = m.s
+                    GROUP BY n.s, n.lab))""")
+            prev = f"l{r}"
+        return linked + f""",
+            ments AS (
+                SELECT 'mention:proj ' || lower(obj) AS id FROM linked
+                UNION ALL
+                SELECT substr('mention:proj ' || lower(obj), 1,
+                              length('mention:proj ' || lower(obj)) - 1)
+                FROM linked
+                WHERE ('0x' || substr(md5(conv_id), 1, 1))::INT % 2 = 1),
+            sup AS MATERIALIZED (
+                SELECT id, count(*)::BIGINT AS support,
+                       substr(id, 9) AS surface
+                FROM ments GROUP BY id),
+            pairs AS MATERIALIZED (
+                SELECT a.surface AS sa, b.surface AS sb
+                FROM sup a JOIN sup b ON a.surface < b.surface
+                WHERE levenshtein(a.surface, b.surface) <= 1
+                  AND length(a.surface) BETWEEN 3 AND 64
+                  AND length(b.surface) BETWEEN 3 AND 64),
+            sym AS MATERIALIZED (
+                SELECT sa AS x, sb AS y FROM pairs
+                UNION ALL SELECT sb, sa FROM pairs),
+            l0 AS MATERIALIZED (
+                SELECT DISTINCT x AS s, x AS lab FROM sym),
+            {",".join(lpa)},
+            clustered AS MATERIALIZED (
+                SELECT p.id, p.support, p.surface, c.lab AS component
+                FROM sup p JOIN {prev} c ON p.surface = c.s),
+            stats AS MATERIALIZED (
+                SELECT component, count(*)::BIGINT AS n_members,
+                       sum(support)::BIGINT AS cluster_support,
+                       (list(surface ORDER BY support DESC, surface ASC))[1]
+                           AS display
+                FROM clustered GROUP BY component)
+            SELECT c.id AS mention_id,
+                   'entity:' || substr(md5(c.component), 1, 16) AS new_id,
+                   s.display, s.n_members, s.cluster_support
+            FROM clustered c JOIN stats s USING (component)
+            WHERE s.n_members >= 2
+            ORDER BY mention_id
         """
     if kind == "chain_alt":
         # kg/query.py property_path(['works_at','located_in'], 2):
