@@ -1343,6 +1343,54 @@ def kg_mention_consolidation(spark, sf_dir):
     )
 
 
+def kg_pattern_aggregate(spark, sf_dir):
+    """SPARQL GROUP BY + aggregates (kg/query.py match_aggregate) over
+    the materialized KG: per city, how many distinct organizations are
+    located there, how many distinct people work at those orgs, the
+    solution-multiset size of the two-pattern join, and the
+    lexicographically-first person. Exercises RDF set-of-triples dedup
+    (multi-support triples count once) + bag-semantics join
+    multiplicity + exact-over-strings aggregates; the oracle re-derives
+    the same two filtered scans, the org-keyed join, and the GROUP BY
+    in SQL."""
+    from delm_spark.kg.query import match_aggregate
+
+    res = _fixture_pipeline(spark)
+    return match_aggregate(
+        res.triples,
+        [("?p", "works_at", "?org"), ("?org", "located_in", "?city")],
+        group_by=["city"],
+        aggs=[
+            ("count_distinct", "org", "n_orgs"),
+            ("count_distinct", "p", "n_people"),
+            ("count", None, "n_solutions"),
+            ("min", "p", "first_person"),
+        ],
+    ).orderBy("city")
+
+
+def kg_construct_colleagues(spark, sf_dir):
+    """SPARQL CONSTRUCT (kg/query.py construct): materialize the derived
+    symmetric colleague graph from the shared-employer BGP — template
+    [(?a colleague_of ?b), (?b colleague_of ?a)] over
+    (?a works_at ?org),(?b works_at ?org) FILTER a < b. The result is a
+    GRAPH (distinct 3-column triple frame with the store's own column
+    names), directly unionable back into the KG; the oracle emits all
+    ordered pairs of distinct co-workers."""
+    from delm_spark.kg.query import construct
+
+    res = _fixture_pipeline(spark)
+    return construct(
+        res.triples,
+        [("?a", "works_at", "?org"), ("?b", "works_at", "?org")],
+        template=[
+            ("?a", "colleague_of", "?b"),
+            ("?b", "colleague_of", "?a"),
+        ],
+        filter_expr="a < b",
+    ).orderBy("subj_id", "obj_id")
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2455,6 +2503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_core_entities": kg_core_entities,
         "kg_affiliation_chain": kg_affiliation_chain,
         "kg_mention_consolidation": kg_mention_consolidation,
+        "kg_pattern_aggregate": kg_pattern_aggregate,
+        "kg_construct_colleagues": kg_construct_colleagues,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -3117,6 +3167,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_core_entities": _kg_oracle_sql("kcore"),
         "kg_affiliation_chain": _kg_oracle_sql("chain_alt"),
         "kg_mention_consolidation": _kg_oracle_sql("mention_consolidation"),
+        "kg_pattern_aggregate": _kg_oracle_sql("pattern_aggregate"),
+        "kg_construct_colleagues": _kg_oracle_sql("construct_colleagues"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4271,6 +4323,39 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             WHERE a.pred = 'works_at' AND b.pred = 'works_at'
               AND a.subj_id < b.subj_id
             ORDER BY a, b, org
+        """
+    if kind == "pattern_aggregate":
+        # kg/query.py match_aggregate: distinct triple store, the
+        # two filtered scans joined on ?org (bag semantics), GROUP BY
+        # ?city with exact-over-strings aggregates
+        return linked + """,
+            t AS (SELECT DISTINCT subj_id, pred, obj_id FROM linked),
+            w AS (SELECT subj_id AS p, obj_id AS org FROM t
+                  WHERE pred = 'works_at'),
+            loc AS (SELECT subj_id AS org, obj_id AS city FROM t
+                    WHERE pred = 'located_in')
+            SELECT loc.city,
+                   count(DISTINCT loc.org)::BIGINT AS n_orgs,
+                   count(DISTINCT w.p)::BIGINT AS n_people,
+                   count(*)::BIGINT AS n_solutions,
+                   min(w.p) AS first_person
+            FROM w JOIN loc ON w.org = loc.org
+            GROUP BY loc.city
+            ORDER BY city
+        """
+    if kind == "construct_colleagues":
+        # kg/query.py construct: symmetric template over the a<b
+        # colleague BGP == every ordered pair of distinct co-workers,
+        # CONSTRUCT output is a SET (DISTINCT)
+        return linked + """,
+            t AS (SELECT DISTINCT subj_id, obj_id FROM linked
+                  WHERE pred = 'works_at')
+            SELECT DISTINCT a.subj_id AS subj_id,
+                   'colleague_of' AS pred,
+                   b.subj_id AS obj_id
+            FROM t a JOIN t b ON a.obj_id = b.obj_id
+             AND a.subj_id <> b.subj_id
+            ORDER BY subj_id, obj_id
         """
     if kind == "pattern_union":
         # kg/query.py match_union: literal SQL UNION of the two branch

@@ -122,6 +122,7 @@ def match_pattern(
     optional: list[list[tuple[str, str, str]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
     values: dict[str, list] | None = None,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Match a conjunctive triple pattern; return variable bindings.
 
@@ -162,6 +163,12 @@ def match_pattern(
     ``isin`` filter, so it prunes before any join. A variable that
     appears in no pattern, or an empty constant list, is a query bug
     and refused.
+
+    ``filter_expr`` is SPARQL FILTER: a SQL boolean expression over the
+    binding columns (variable names without ``?``), e.g. ``"a < b"`` —
+    applied after every clause joins, before the trailing DISTINCT.
+    Catalyst pushes deterministic conjuncts down through the joins on
+    its own, so writing the filter last costs nothing at plan time.
     """
     cols = (subj_col, pred_col, obj_col)
     if values:
@@ -228,7 +235,146 @@ def match_pattern(
                 "here; correlate through required-bound variables"
             )
         out = out.join(g.select(*shared), on=shared, how="left_anti")
+    if filter_expr:
+        out = out.filter(F.expr(filter_expr))
     return out.distinct() if distinct else out
+
+
+#: aggregate functions SPARQL defines that are exact over string-typed
+#: bindings (no float folds, so results are aggregation-order
+#: independent and reproducible against any SQL engine)
+_AGG_FNS = {
+    "count": lambda v: F.count(F.col(v) if v else F.lit(1)),
+    "count_distinct": lambda v: F.count_distinct(F.col(v)),
+    "min": lambda v: F.min(F.col(v)),
+    "max": lambda v: F.max(F.col(v)),
+}
+
+
+def match_aggregate(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    group_by: list[str],
+    aggs: list[tuple[str, str | None, str]],
+    having_expr: str | None = None,
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL ``GROUP BY`` + aggregates over pattern solutions — the
+    analytics form of :func:`match_pattern` ("how many employees and
+    distinct tools per organization?").
+
+    ``group_by`` lists binding variables (without ``?``); ``aggs`` is a
+    list of ``(fn, var, alias)`` with ``fn`` one of ``count`` (``var``
+    may be None for ``COUNT(*)``), ``count_distinct``, ``min``, ``max``
+    — exactly the SPARQL aggregates that stay EXACT over string
+    bindings, so the result is reproducible bit-for-bit by any SQL
+    engine regardless of aggregation order. ``having_expr`` is SPARQL
+    HAVING: a SQL boolean over the aliased aggregate columns.
+
+    Solution semantics: SPARQL aggregates over the WHERE clause's
+    solution multiset of the RDF GRAPH — a SET of triples — so the
+    triple scan is deduplicated on the three pattern columns first
+    (one distinct; multi-support triples count once, matching every
+    other query in this module), then the pattern join runs under bag
+    semantics (``distinct=False``) because the join itself is what
+    produces legitimate solution multiplicity.
+
+    Scale shape: the dedup is one shuffle on the triple key, the BGP
+    compiles as usual, and the trailing groupBy is map-side combinable
+    (count/min/max all carry partial aggregates); count_distinct
+    expands to Spark's standard two-phase distinct aggregate. Nothing
+    is corpus-size-dependent beyond the BGP's own joins.
+    """
+    if not group_by:
+        raise ValueError("group_by needs at least one variable")
+    if not aggs:
+        raise ValueError("aggs needs at least one (fn, var, alias)")
+    subj = match_kwargs.get("subj_col", "subj_id")
+    pred = match_kwargs.get("pred_col", "pred")
+    obj = match_kwargs.get("obj_col", "obj_id")
+    store = triples.select(subj, pred, obj).distinct()
+    bindings = match_pattern(
+        store, patterns, **{**match_kwargs, "distinct": False}
+    )
+    missing = [v for v in group_by if v not in bindings.columns]
+    if missing:
+        raise ValueError(f"group_by variables {missing} are not bound")
+    exprs = []
+    for fn, var, alias in aggs:
+        if fn not in _AGG_FNS:
+            raise ValueError(
+                f"unsupported aggregate {fn!r}; exact-over-strings "
+                f"aggregates are {sorted(_AGG_FNS)}"
+            )
+        if fn != "count" and (var is None or var not in bindings.columns):
+            raise ValueError(f"aggregate {fn}({var}) over an unbound variable")
+        e = _AGG_FNS[fn](var)
+        if fn in ("count", "count_distinct"):
+            e = e.cast("long")
+        exprs.append(e.alias(alias))
+    out = bindings.groupBy(*group_by).agg(*exprs)
+    if having_expr:
+        out = out.filter(F.expr(having_expr))
+    return out
+
+
+def construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: match ``patterns``, instantiate each
+    ``template`` triple once per binding, and return the resulting
+    GRAPH — a distinct (subj, pred, obj) frame with the input's column
+    names, ready to union back into the store or feed any operator in
+    this package (graph analytics, consistency gates, diffs).
+
+    Template terms are variables (``?x``) or constants. Per the SPARQL
+    spec, an instantiation containing an unbound (null) component —
+    possible when a template variable comes from an OPTIONAL group —
+    is dropped, not emitted half-filled; and a CONSTRUCT result is a
+    graph, i.e. a SET, so the output is distinct.
+
+    Scale shape: one BGP compile + a zero-shuffle k-way projection
+    union (k = template size, a plan constant) + one distinct on the
+    3-column output — the derived graph, never the corpus.
+    """
+    if not template:
+        raise ValueError("construct needs at least one template triple")
+    bindings = match_pattern(
+        triples,
+        patterns,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+        **{**match_kwargs, "distinct": False},
+    )
+    out_cols = (subj_col, pred_col, obj_col)
+    parts = []
+    for t in template:
+        if len(t) != 3:
+            raise ValueError(f"template triple must be a 3-tuple, got {t!r}")
+        sel = []
+        for term, col in zip(t, out_cols):
+            if _is_var(term):
+                v = term[1:]
+                if v not in bindings.columns:
+                    raise ValueError(
+                        f"template variable ?{v} is bound by no pattern"
+                    )
+                sel.append(F.col(v).alias(col))
+            else:
+                sel.append(F.lit(term).alias(col))
+        parts.append(bindings.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    notnull = [F.col(c).isNotNull() for c in out_cols]
+    return out.filter(notnull[0] & notnull[1] & notnull[2]).distinct()
 
 
 def match_union(
