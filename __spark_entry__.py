@@ -1324,23 +1324,58 @@ def kg_mention_consolidation(spark, sf_dir):
     min-label propagation, so FastSS recall itself is under test."""
     from delm_spark.kg.consolidate import consolidate_mentions
 
+    stream, _ = _planted_mention_stream(spark)
+    return consolidate_mentions(stream).orderBy("mention_id")
+
+
+def _planted_mention_stream(spark):
+    """(triple stream with planted mention variants, gold node->cluster)
+    shared by kg_mention_consolidation and kg_er_metrics: every fixture
+    object becomes a 'proj <obj>' mention, odd-md5 conversations also
+    assert its one-char truncation; gold is each surface's base mention
+    (min per node, so a truncation colliding with another object's base
+    stays a well-defined assignment)."""
     res = _fixture_pipeline(spark)
     odd = (
         F.conv(F.substring(F.md5("conv_id"), 1, 1), 16, 10).cast("int") % 2
         == 1
     )
+    base_id = F.concat(F.lit("mention:proj "), F.lower("obj"))
     base = res.triples.select(
         "subj_id",
         F.lit("mentions_project").alias("pred"),
-        F.concat(F.lit("mention:proj "), F.lower("obj")).alias("obj_id"),
+        base_id.alias("obj_id"),
+        base_id.alias("gold_base"),
         "conv_id",
     )
     variant = base.filter(odd).withColumn(
         "obj_id", F.expr("substring(obj_id, 1, length(obj_id) - 1)")
     )
-    return consolidate_mentions(base.unionByName(variant)).orderBy(
-        "mention_id"
+    ments = base.unionByName(variant)
+    gold = ments.groupBy(F.col("obj_id").alias("node")).agg(
+        F.min("gold_base").alias("cluster")
     )
+    return ments.drop("gold_base"), gold
+
+
+def kg_er_metrics(spark, sf_dir):
+    """Pairwise ER-clustering evaluation (kg/er_eval.py
+    pairwise_er_metrics) of the mention-consolidation output against
+    its planted gold: predicted = consolidate_mentions' minted entity
+    per mention (absent mentions = singletons), gold = each surface's
+    base mention. One row of exact-BIGINT pair censuses + integer
+    micro-unit P/R/F1 — computed from cluster SIZES only (sum C(n,2)
+    per label census), never by materializing pairs; the oracle replays
+    the consolidation chain and the same size-census arithmetic."""
+    from delm_spark.kg.consolidate import consolidate_mentions
+    from delm_spark.kg.er_eval import pairwise_er_metrics
+
+    stream, gold = _planted_mention_stream(spark)
+    mapping = consolidate_mentions(stream)
+    predicted = mapping.select(
+        F.col("mention_id").alias("node"), F.col("new_id").alias("cluster")
+    )
+    return pairwise_er_metrics(predicted, gold)
 
 
 def kg_pattern_aggregate(spark, sf_dir):
@@ -2505,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_consolidation": kg_mention_consolidation,
         "kg_pattern_aggregate": kg_pattern_aggregate,
         "kg_construct_colleagues": kg_construct_colleagues,
+        "kg_er_metrics": kg_er_metrics,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -3169,6 +3205,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_consolidation": _kg_oracle_sql("mention_consolidation"),
         "kg_pattern_aggregate": _kg_oracle_sql("pattern_aggregate"),
         "kg_construct_colleagues": _kg_oracle_sql("construct_colleagues"),
+        "kg_er_metrics": _kg_oracle_sql("er_metrics"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4421,7 +4458,7 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             GROUP BY node HAVING count(*) >= 2
             ORDER BY node
         """
-    if kind == "mention_consolidation":
+    if kind in ("mention_consolidation", "er_metrics"):
         # kg/consolidate.py consolidate_mentions over the planted
         # 'proj <obj>' mention stream (+ one-char truncations for
         # odd-md5 conversations). Deliberately BLOCKING-FREE: pairs come
@@ -4430,7 +4467,10 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
         # from min-label propagation unrolled 6 rounds (cluster graphs
         # are stars/short chains; parity fails loudly if 6 ever falls
         # short). MATERIALIZED throughout — each round references the
-        # previous one three times.
+        # previous one three times. The er_metrics kind shares the whole
+        # chain and scores the minted clustering against the planted
+        # gold (each surface's base mention) with the same
+        # size-census-only pairwise arithmetic as kg/er_eval.py.
         lpa = []
         prev = "l0"
         for r in range(1, 7):
@@ -4443,12 +4483,14 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                     LEFT JOIN {prev} m ON e.y = m.s
                     GROUP BY n.s, n.lab))""")
             prev = f"l{r}"
-        return linked + f""",
+        cons = linked + f""",
             ments AS (
-                SELECT 'mention:proj ' || lower(obj) AS id FROM linked
+                SELECT 'mention:proj ' || lower(obj) AS id,
+                       'mention:proj ' || lower(obj) AS base FROM linked
                 UNION ALL
                 SELECT substr('mention:proj ' || lower(obj), 1,
-                              length('mention:proj ' || lower(obj)) - 1)
+                              length('mention:proj ' || lower(obj)) - 1),
+                       'mention:proj ' || lower(obj)
                 FROM linked
                 WHERE ('0x' || substr(md5(conv_id), 1, 1))::INT % 2 = 1),
             sup AS MATERIALIZED (
@@ -4475,13 +4517,62 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                        sum(support)::BIGINT AS cluster_support,
                        (list(surface ORDER BY support DESC, surface ASC))[1]
                            AS display
-                FROM clustered GROUP BY component)
+                FROM clustered GROUP BY component)"""
+        if kind == "mention_consolidation":
+            return cons + """
             SELECT c.id AS mention_id,
                    'entity:' || substr(md5(c.component), 1, 16) AS new_id,
                    s.display, s.n_members, s.cluster_support
             FROM clustered c JOIN stats s USING (component)
             WHERE s.n_members >= 2
             ORDER BY mention_id
+        """
+        return cons + """,
+            gold AS (SELECT id AS node, min(base) AS gc
+                     FROM ments GROUP BY id),
+            pred AS (SELECT c.id AS node,
+                            'entity:' || substr(md5(c.component), 1, 16)
+                                AS pc
+                     FROM clustered c JOIN stats s USING (component)
+                     WHERE s.n_members >= 2),
+            assigned AS MATERIALIZED (
+                SELECT g.node, coalesce(p.pc, 'sing:' || g.node) AS pc,
+                       g.gc
+                FROM gold g LEFT JOIN pred p USING (node)),
+            pp AS (SELECT coalesce(sum((n * (n - 1)) // 2), 0)::BIGINT
+                          AS pred_pairs
+                   FROM (SELECT count(*)::BIGINT AS n FROM assigned
+                         GROUP BY pc)),
+            gp AS (SELECT coalesce(sum((n * (n - 1)) // 2), 0)::BIGINT
+                          AS gold_pairs
+                   FROM (SELECT count(*)::BIGINT AS n FROM assigned
+                         GROUP BY gc)),
+            ap AS (SELECT coalesce(sum((n * (n - 1)) // 2), 0)::BIGINT
+                          AS agree_pairs
+                   FROM (SELECT count(*)::BIGINT AS n FROM assigned
+                         GROUP BY pc, gc)),
+            census AS (SELECT count(*)::BIGINT AS n_nodes,
+                              count(DISTINCT pc)::BIGINT
+                                  AS n_pred_clusters,
+                              count(DISTINCT gc)::BIGINT
+                                  AS n_gold_clusters
+                       FROM assigned),
+            pr AS (SELECT *,
+                          CASE WHEN pred_pairs > 0
+                               THEN (1000000 * agree_pairs) // pred_pairs
+                               ELSE 1000000 END::BIGINT
+                              AS precision_micro,
+                          CASE WHEN gold_pairs > 0
+                               THEN (1000000 * agree_pairs) // gold_pairs
+                               ELSE 1000000 END::BIGINT
+                              AS recall_micro
+                   FROM census, pp, gp, ap)
+            SELECT *,
+                   CASE WHEN precision_micro + recall_micro > 0
+                        THEN (2 * precision_micro * recall_micro)
+                             // (precision_micro + recall_micro)
+                        ELSE 0 END::BIGINT AS f1_micro
+            FROM pr
         """
     if kind == "chain_alt":
         # kg/query.py property_path(['works_at','located_in'], 2):
