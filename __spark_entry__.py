@@ -1378,6 +1378,56 @@ def kg_er_metrics(spark, sf_dir):
     return pairwise_er_metrics(predicted, gold)
 
 
+def _fixture_fact_occurrences(spark):
+    """Timestamped triple occurrences: pipeline triples joined back to
+    their source turns on the natural (conv_id, turn_idx) key, ts as
+    exact epoch seconds (BIGINT on both engines)."""
+    res = _fixture_pipeline(spark)
+    ts = _fixture_transcripts(spark).select(
+        "conv_id", "turn_idx", F.col("ts").cast("long").alias("epoch")
+    )
+    return res.triples.join(ts, ["conv_id", "turn_idx"]).select(
+        "subj_id", "pred", "obj_id", "epoch"
+    )
+
+
+def kg_fact_intervals(spark, sf_dir):
+    """Temporal fact validity (kg/temporal_facts.py fact_intervals):
+    one interval per distinct fact — first/last seen + support from one
+    combinable aggregation over the occurrence stream, then functional
+    predicates (works_at, located_in) get valid_to = the successor
+    object's first_seen via a (subj, pred) window over the
+    already-aggregated fact table (partition width = objects per
+    subject-predicate, corpus-size independent). The oracle replays the
+    agg + lead window in SQL."""
+    from delm_spark.kg.temporal_facts import fact_intervals
+
+    occ = _fixture_fact_occurrences(spark)
+    return fact_intervals(
+        occ, functional_preds=["works_at", "located_in"], ts_col="epoch"
+    ).orderBy("subj_id", "pred", "obj_id")
+
+
+def kg_facts_asof(spark, sf_dir):
+    """Point-in-time KG snapshot (kg/temporal_facts.py facts_asof): the
+    graph state at the corpus midpoint timestamp — facts with
+    valid_from <= mid < valid_to (open-ended for current facts). The
+    midpoint is (min+max) DIV 2 of the occurrence epochs, a 1-row
+    bounded aggregate collected driver-side (the snapshot ts is a query
+    PARAMETER at scale, not data); the oracle computes the same mid in
+    a CTE and applies the same interval filter."""
+    from delm_spark.kg.temporal_facts import fact_intervals, facts_asof
+
+    occ = _fixture_fact_occurrences(spark)
+    iv = fact_intervals(
+        occ, functional_preds=["works_at", "located_in"], ts_col="epoch"
+    )
+    mid = occ.agg(
+        F.expr("(min(epoch) + max(epoch)) DIV 2").alias("mid")
+    ).collect()[0]["mid"]
+    return facts_asof(iv, mid).orderBy("subj_id", "pred", "obj_id")
+
+
 def kg_pattern_aggregate(spark, sf_dir):
     """SPARQL GROUP BY + aggregates (kg/query.py match_aggregate) over
     the materialized KG: per city, how many distinct organizations are
@@ -2541,6 +2591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_aggregate": kg_pattern_aggregate,
         "kg_construct_colleagues": kg_construct_colleagues,
         "kg_er_metrics": kg_er_metrics,
+        "kg_fact_intervals": kg_fact_intervals,
+        "kg_facts_asof": kg_facts_asof,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -3206,6 +3258,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pattern_aggregate": _kg_oracle_sql("pattern_aggregate"),
         "kg_construct_colleagues": _kg_oracle_sql("construct_colleagues"),
         "kg_er_metrics": _kg_oracle_sql("er_metrics"),
+        "kg_fact_intervals": _kg_oracle_sql("fact_intervals"),
+        "kg_facts_asof": _kg_oracle_sql("facts_asof"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4573,6 +4627,47 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                              // (precision_micro + recall_micro)
                         ELSE 0 END::BIGINT AS f1_micro
             FROM pr
+        """
+    if kind in ("fact_intervals", "facts_asof"):
+        # kg/temporal_facts.py: occurrence agg -> per-(subj,pred) lead
+        # window for functional supersession; facts_asof filters to the
+        # (min+max) DIV 2 midpoint snapshot
+        body = linked + f""",
+            ts_map AS (
+                SELECT conv_id, turn_idx,
+                       CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                           AS epoch
+                FROM read_parquet('{tp}')),
+            occ AS (
+                SELECT l.subj_id, l.pred, l.obj_id, m.epoch
+                FROM linked l JOIN ts_map m USING (conv_id, turn_idx)),
+            facts AS (
+                SELECT subj_id, pred, obj_id,
+                       min(epoch) AS first_seen,
+                       max(epoch) AS last_seen,
+                       count(*)::BIGINT AS n_support
+                FROM occ GROUP BY subj_id, pred, obj_id),
+            iv AS (
+                SELECT subj_id, pred, obj_id, first_seen, last_seen,
+                       n_support, first_seen AS valid_from,
+                       CASE WHEN pred IN ('works_at', 'located_in')
+                            THEN lead(first_seen) OVER (
+                                PARTITION BY subj_id, pred
+                                ORDER BY first_seen, obj_id)
+                            ELSE NULL END AS valid_to
+                FROM facts)"""
+        if kind == "fact_intervals":
+            return body + """
+            SELECT *, valid_to IS NULL AS is_current FROM iv
+            ORDER BY subj_id, pred, obj_id
+        """
+        return body + """,
+            mid AS (SELECT (min(epoch) + max(epoch)) // 2 AS m FROM occ)
+            SELECT iv.*, valid_to IS NULL AS is_current
+            FROM iv, mid
+            WHERE iv.valid_from <= mid.m
+              AND (iv.valid_to IS NULL OR iv.valid_to > mid.m)
+            ORDER BY subj_id, pred, obj_id
         """
     if kind == "chain_alt":
         # kg/query.py property_path(['works_at','located_in'], 2):
