@@ -1476,6 +1476,90 @@ def kg_construct_colleagues(spark, sf_dir):
     ).orderBy("subj_id", "obj_id")
 
 
+def kg_ask_patterns(spark, sf_dir):
+    """SPARQL ASK (kg/query.py ask): existence checks over the
+    materialized KG, one labeled row per question — does anyone work at
+    org:acme, and does org:acme itself assert employment anywhere. The
+    pattern compiles like match_pattern, then limit(1) short-circuits
+    (CollectLimit stops the join at the first satisfying binding, so a
+    satisfiable ASK touches a handful of partitions at any corpus
+    size). The oracle is SQL EXISTS over the same distinct triple
+    store."""
+    from delm_spark.kg.query import ask
+
+    res = _fixture_pipeline(spark)
+    yes = ask(res.triples, [("?p", "works_at", "org:acme")]).select(
+        F.lit("anyone_works_at_acme").alias("label"), "ask"
+    )
+    no = ask(res.triples, [("org:acme", "works_at", "?x")]).select(
+        F.lit("acme_works_somewhere").alias("label"), "ask"
+    )
+    return yes.unionByName(no).orderBy("label")
+
+
+def kg_describe_entity(spark, sf_dir):
+    """SPARQL DESCRIBE (kg/query.py describe): org:acme's depth-1 ego
+    neighborhood — every distinct triple where the node is subject or
+    object, role-tagged. ONE scan of the triple table with a pushed
+    disjunctive constant filter, no join; the oracle is the same
+    filtered distinct with a CASE role."""
+    from delm_spark.kg.query import describe
+
+    res = _fixture_pipeline(spark)
+    return describe(res.triples, "org:acme").orderBy(
+        "role", "subj_id", "pred", "obj_id"
+    )
+
+
+def kg_pattern_topk(spark, sf_dir):
+    """SPARQL solution modifiers (kg/query.py match_pattern
+    order_by/limit): the colleague BGP under a TOTAL lexicographic
+    ORDER BY + LIMIT 25. limit demands an order over every output
+    variable (partial orders make the tie-break engine-dependent, so
+    they are refused), which is what makes the top-k byte-comparable to
+    the oracle's ORDER BY/LIMIT. Spark plans the pair as TakeOrdered —
+    per-partition partial top-k, no global sort shuffle."""
+    from delm_spark.kg.query import match_pattern
+
+    res = _fixture_pipeline(spark)
+    return match_pattern(
+        res.triples,
+        [("?a", "works_at", "?org"), ("?b", "works_at", "?org")],
+        filter_expr="a < b",
+        order_by=["a", "b", "org"],
+        limit=25,
+    )
+
+
+def kg_export_ntriples(spark, sf_dir):
+    """N-Triples export (kg/rdf.py to_ntriples): the distinct triple
+    set serialized as W3C RDF statements ``<s> <p> <o> .`` under the
+    urn:delm: base, ids percent-encoded per the module escape table
+    (space and IRI-forbidden characters survive round trips; RDF graphs
+    are sets, so export dedups). Map-only after one 3-column distinct;
+    the oracle replays the identical replace-chain concat in SQL."""
+    from delm_spark.kg.rdf import to_ntriples
+
+    res = _fixture_pipeline(spark)
+    return to_ntriples(res.triples).orderBy("line")
+
+
+def kg_roundtrip_ntriples(spark, sf_dir):
+    """N-Triples import (kg/rdf.py from_ntriples): parse the export
+    back — regexp term split, base strip, percent-decode, malformed
+    lines to a tagged null row instead of a job kill. The round trip
+    must reproduce the distinct triple set exactly, which is what the
+    oracle asserts (SELECT DISTINCT of the linked triples, all
+    well-formed)."""
+    from delm_spark.kg.rdf import from_ntriples, to_ntriples
+
+    res = _fixture_pipeline(spark)
+    parsed = from_ntriples(to_ntriples(res.triples))
+    return parsed.select("subj_id", "pred", "obj_id", "malformed").orderBy(
+        "subj_id", "pred", "obj_id"
+    )
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2593,6 +2677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_er_metrics": kg_er_metrics,
         "kg_fact_intervals": kg_fact_intervals,
         "kg_facts_asof": kg_facts_asof,
+        "kg_ask_patterns": kg_ask_patterns,
+        "kg_describe_entity": kg_describe_entity,
+        "kg_pattern_topk": kg_pattern_topk,
+        "kg_export_ntriples": kg_export_ntriples,
+        "kg_roundtrip_ntriples": kg_roundtrip_ntriples,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -3260,6 +3349,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_er_metrics": _kg_oracle_sql("er_metrics"),
         "kg_fact_intervals": _kg_oracle_sql("fact_intervals"),
         "kg_facts_asof": _kg_oracle_sql("facts_asof"),
+        "kg_ask_patterns": _kg_oracle_sql("ask"),
+        "kg_describe_entity": _kg_oracle_sql("describe"),
+        "kg_pattern_topk": _kg_oracle_sql("pattern_topk"),
+        "kg_export_ntriples": _kg_oracle_sql("ntriples"),
+        "kg_roundtrip_ntriples": _kg_oracle_sql("ntriples_roundtrip"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4473,6 +4567,79 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
               AND a.obj_id IN ('org:acme', 'org:initech')
               AND a.subj_id < b.subj_id
             ORDER BY a, b, org
+        """
+    if kind == "ask":
+        # kg/query.py ask: SQL EXISTS over the distinct triple store —
+        # one row per labeled question
+        return linked + """,
+            t AS (SELECT DISTINCT subj_id, pred, obj_id FROM linked)
+            SELECT * FROM (
+                SELECT 'anyone_works_at_acme' AS label,
+                       EXISTS(SELECT 1 FROM t
+                              WHERE pred = 'works_at'
+                                AND obj_id = 'org:acme') AS ask
+                UNION ALL
+                SELECT 'acme_works_somewhere',
+                       EXISTS(SELECT 1 FROM t
+                              WHERE pred = 'works_at'
+                                AND subj_id = 'org:acme'))
+            ORDER BY label
+        """
+    if kind == "describe":
+        # kg/query.py describe: depth-1 ego neighborhood of org:acme,
+        # role = CASE on which side matched (subject wins a self-loop)
+        return linked + """
+            SELECT DISTINCT subj_id, pred, obj_id,
+                   CASE WHEN subj_id = 'org:acme' THEN 'subject'
+                        ELSE 'object' END AS role
+            FROM linked
+            WHERE subj_id = 'org:acme' OR obj_id = 'org:acme'
+            ORDER BY role, subj_id, pred, obj_id
+        """
+    if kind == "pattern_topk":
+        # kg/query.py match_pattern order_by/limit: the colleague BGP
+        # under a total lexicographic order — LIMIT is engine-safe only
+        # because the order covers every output variable
+        return linked + """,
+            t AS (SELECT DISTINCT subj_id, pred, obj_id FROM linked)
+            SELECT a.subj_id AS a, b.subj_id AS b, a.obj_id AS org
+            FROM t a JOIN t b ON a.obj_id = b.obj_id
+            WHERE a.pred = 'works_at' AND b.pred = 'works_at'
+              AND a.subj_id < b.subj_id
+            ORDER BY a, b, org
+            LIMIT 25
+        """
+    if kind in ("ntriples", "ntriples_roundtrip"):
+        from delm_spark.kg.rdf import DEFAULT_BASE, IRI_ESCAPES
+
+        if kind == "ntriples_roundtrip":
+            # from_ntriples(to_ntriples(t)) == the distinct triple set,
+            # every line well-formed
+            return linked + """
+                SELECT DISTINCT subj_id, pred, obj_id,
+                       false AS malformed
+                FROM linked
+                ORDER BY subj_id, pred, obj_id
+            """
+
+        def enc(expr: str) -> str:
+            # the SAME percent-encode chain as kg/rdf.py, in order
+            for raw, pct in IRI_ESCAPES:
+                lit = (
+                    f"chr({ord(raw)})"
+                    if raw in "\n\r\t"
+                    else "'" + raw.replace("'", "''") + "'"
+                )
+                expr = f"replace({expr}, {lit}, '{pct}')"
+            return expr
+
+        return linked + f""",
+            t AS (SELECT DISTINCT subj_id, pred, obj_id FROM linked)
+            SELECT '<{DEFAULT_BASE}' || {enc("subj_id")}
+                || '> <{DEFAULT_BASE}' || {enc("pred")}
+                || '> <{DEFAULT_BASE}' || {enc("obj_id")}
+                || '> .' AS line
+            FROM t ORDER BY line
         """
     if kind == "kcore":
         # kg/graph.py k_core(k=2): the same peeling unrolled a fixed

@@ -123,6 +123,8 @@ def match_pattern(
     not_exists: list[list[tuple[str, str, str]]] | None = None,
     values: dict[str, list] | None = None,
     filter_expr: str | None = None,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
 ) -> DataFrame:
     """Match a conjunctive triple pattern; return variable bindings.
 
@@ -169,6 +171,14 @@ def match_pattern(
     applied after every clause joins, before the trailing DISTINCT.
     Catalyst pushes deterministic conjuncts down through the joins on
     its own, so writing the filter last costs nothing at plan time.
+
+    ``order_by`` / ``limit`` are the SPARQL solution modifiers. ORDER BY
+    lists binding columns (ascending); LIMIT without a TOTAL order is
+    nondeterministic across engines/partitionings, so ``limit`` requires
+    ``order_by`` to cover every output variable — the lexicographic
+    order makes the top-k reproducible bit-for-bit against any SQL
+    engine. Spark plans the pair as TakeOrdered (per-partition partial
+    top-k, no global sort shuffle).
     """
     cols = (subj_col, pred_col, obj_col)
     if values:
@@ -237,7 +247,82 @@ def match_pattern(
         out = out.join(g.select(*shared), on=shared, how="left_anti")
     if filter_expr:
         out = out.filter(F.expr(filter_expr))
-    return out.distinct() if distinct else out
+    out = out.distinct() if distinct else out
+    if order_by is not None:
+        unknown = [c for c in order_by if c not in out.columns]
+        if unknown:
+            raise ValueError(
+                f"order_by names {unknown}, which are not binding "
+                f"columns {out.columns}"
+            )
+        if limit is not None and set(order_by) != set(out.columns):
+            raise ValueError(
+                "limit requires order_by to cover every output variable "
+                f"({sorted(out.columns)}) — a partial order makes the "
+                "top-k tie-break engine-dependent"
+            )
+        out = out.orderBy(*order_by)
+    elif limit is not None:
+        raise ValueError(
+            "limit without order_by is nondeterministic — name a total "
+            "order over the output variables"
+        )
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def ask(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    **kwargs,
+) -> DataFrame:
+    """SPARQL ASK: does at least one binding satisfy the pattern?
+
+    Returns a ONE-row DataFrame with a single boolean ``ask`` column
+    (queries compose as frames, not driver booleans). The pattern
+    compiles exactly like :func:`match_pattern` (same clause kwargs),
+    then ``limit(1)`` short-circuits: Spark's CollectLimit stops the
+    scan-and-join chain at the first satisfying binding instead of
+    enumerating the full solution set, so an ASK over a satisfiable
+    pattern touches a handful of partitions at any corpus size.
+    """
+    first = match_pattern(triples, patterns, distinct=False, **kwargs)
+    return (
+        first.select(F.lit(1).alias("__one"))
+        .limit(1)
+        .agg((F.count("__one") > 0).alias("ask"))
+    )
+
+
+def describe(
+    triples: DataFrame,
+    node: str,
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+) -> DataFrame:
+    """SPARQL DESCRIBE (concise-bounded style, depth 1): every distinct
+    triple whose subject OR object is ``node`` — the entity's ego
+    neighborhood as emitted/received facts in one frame with a ``role``
+    tag. One scan of the triple table with a pushed-down disjunction
+    (both branches prune to the constant), no join at all.
+    """
+    t = triples.select(
+        F.col(subj_col).alias("subj_id"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj_id"),
+    )
+    return (
+        t.filter((F.col("subj_id") == node) | (F.col("obj_id") == node))
+        .withColumn(
+            "role",
+            F.when(F.col("subj_id") == node, F.lit("subject")).otherwise(
+                F.lit("object")
+            ),
+        )
+        .distinct()
+    )
 
 
 #: aggregate functions SPARQL defines that are exact over string-typed

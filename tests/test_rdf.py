@@ -1,0 +1,149 @@
+"""N-Triples codec (kg/rdf.py) and SPARQL solution modifiers / ASK /
+DESCRIBE (kg/query.py): round trips through hostile ids, malformed-line
+disposition, and the determinism guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delm_spark.kg.query import ask, describe, match_pattern
+from delm_spark.kg.rdf import (
+    DEFAULT_BASE,
+    IRI_ESCAPES,
+    from_ntriples,
+    to_ntriples,
+)
+
+NASTY = [
+    ("a b", "works at", "x<y>"),
+    ('q"uote', "p|pipe", "c^caret"),
+    ("back\\slash", "brace{s}", "tick`t"),
+    ("pct%20literal", "nl\nid", "tab\tcr\r"),
+    ("unicode_éxî", "normal", "plain:id"),
+]
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj_id string, pred string, obj_id string")
+
+
+def test_roundtrip_hostile_ids(spark):
+    t = _triples(spark, NASTY)
+    lines = to_ntriples(t)
+    got = {tuple(r) for r in lines.collect()}
+    # every forbidden character left each IRI
+    import re
+
+    for (line,) in got:
+        iris = re.findall(r"<([^<>]*)>", line)
+        assert len(iris) == 3, f"not 3 IRIs in {line!r}"
+        for iri in iris:
+            for bad in ' <>"{}|^`\\\n\r\t':
+                assert bad not in iri, f"{bad!r} survived in {line!r}"
+    back = from_ntriples(lines)
+    assert back.filter("malformed").count() == 0
+    assert {
+        (r.subj_id, r.pred, r.obj_id) for r in back.collect()
+    } == set(NASTY)
+
+
+def test_percent_encoding_is_bijective(spark):
+    # an id that already CONTAINS an escape sequence must not decode
+    # into the character it spells — '%' encodes first / decodes last
+    rows = [("x%20y", "p", "a b"), ("x y", "p", "a%20b")]
+    t = _triples(spark, rows)
+    back = from_ntriples(to_ntriples(t))
+    assert {
+        (r.subj_id, r.pred, r.obj_id) for r in back.collect()
+    } == set(rows)
+
+
+def test_export_dedups_and_drops_null_ids(spark):
+    rows = [("a", "p", "b"), ("a", "p", "b"), (None, "p", "b"), ("a", None, "b")]
+    t = _triples(spark, rows)
+    assert to_ntriples(t).count() == 1
+
+
+def test_malformed_comment_blank_disposition(spark):
+    lines = spark.createDataFrame(
+        [
+            (f"<{DEFAULT_BASE}a> <{DEFAULT_BASE}p> <{DEFAULT_BASE}b> .",),
+            ("# a comment",),
+            ("   ",),
+            (None,),
+            ("<urn:delm:a> <urn:delm:p> missing-brackets .",),
+            ("<urn:delm:a> <urn:delm:p> <urn:delm:b>",),  # no dot
+        ],
+        "line string",
+    )
+    out = from_ntriples(lines).collect()
+    # comment/blank/null skipped entirely; 1 good + 2 malformed survive
+    assert len(out) == 3
+    good = [r for r in out if not r.malformed]
+    assert [(r.subj_id, r.pred, r.obj_id) for r in good] == [("a", "p", "b")]
+    assert all(
+        r.subj_id is None and r.pred is None and r.obj_id is None
+        for r in out
+        if r.malformed
+    )
+
+
+def test_foreign_base_iri_kept_verbatim(spark):
+    lines = spark.createDataFrame(
+        [("<http://other.org/s> <urn:delm:p> <urn:delm:o> .",)], "line string"
+    )
+    row = from_ntriples(lines).collect()[0]
+    assert row.subj_id == "http://other.org/s" and row.pred == "p"
+
+
+def test_escape_table_order_pins_percent_first():
+    assert IRI_ESCAPES[0] == ("%", "%25")
+
+
+TRIPLES = [
+    ("a", "works_at", "org1"),
+    ("b", "works_at", "org1"),
+    ("c", "works_at", "org2"),
+    ("org1", "located_in", "city1"),
+]
+
+
+def test_ask_true_false(spark):
+    t = _triples(spark, TRIPLES)
+    assert ask(t, [("?p", "works_at", "org1")]).collect()[0].ask is True
+    assert ask(t, [("?p", "works_at", "nowhere")]).collect()[0].ask is False
+
+
+def test_describe_roles(spark):
+    t = _triples(spark, TRIPLES)
+    rows = {(r.subj_id, r.pred, r.obj_id, r.role) for r in describe(t, "org1").collect()}
+    assert rows == {
+        ("a", "works_at", "org1", "object"),
+        ("b", "works_at", "org1", "object"),
+        ("org1", "located_in", "city1", "subject"),
+    }
+
+
+def test_limit_requires_total_order(spark):
+    t = _triples(spark, TRIPLES)
+    pats = [("?a", "works_at", "?org"), ("?b", "works_at", "?org")]
+    with pytest.raises(ValueError, match="nondeterministic"):
+        match_pattern(t, pats, limit=5)
+    with pytest.raises(ValueError, match="every output variable"):
+        match_pattern(t, pats, order_by=["a"], limit=5)
+    with pytest.raises(ValueError, match="not binding"):
+        match_pattern(t, pats, order_by=["zzz"])
+    top = match_pattern(t, pats, order_by=["a", "b", "org"], limit=2).collect()
+    assert [(r.a, r.b, r.org) for r in top] == [
+        ("a", "a", "org1"),
+        ("a", "b", "org1"),
+    ]
+
+
+def test_order_by_without_limit_is_allowed_partial(spark):
+    t = _triples(spark, TRIPLES)
+    out = match_pattern(
+        t, [("?p", "works_at", "?org")], order_by=["org"]
+    ).collect()
+    assert [r.org for r in out] == ["org1", "org1", "org2"]
