@@ -1560,6 +1560,40 @@ def kg_roundtrip_ntriples(spark, sf_dir):
     )
 
 
+def kg_path_fixpoint(spark, sf_dir):
+    """Unbounded property-path closure ``reports_to+`` (kg/query.py
+    property_path max_hops=None): the frontier loop runs to FIXPOINT —
+    a level that adds no new (src, dst) pair ends the walk, so the
+    management-chain closure needs no depth guess. Termination is
+    structural (reached pairs only grow inside the finite pair space;
+    the per-level anti-join means a cycle, including the fixture's
+    self-loops, can never re-enqueue a pair). The oracle is a DuckDB
+    RECURSIVE CTE with min(hops) per pair, hop-guarded at 15;
+    tests/test_rdf.py pins that the fixture closure converges well
+    below the guard, which makes the bounded recursion exact."""
+    from delm_spark.kg.query import property_path
+
+    res = _fixture_pipeline(spark)
+    return property_path(res.triples, "reports_to", max_hops=None).orderBy(
+        "src", "dst"
+    )
+
+
+def kg_path_star(spark, sf_dir):
+    """Zero-or-more property path ``reports_to*`` (kg/query.py
+    property_path zero_or_more=True): the fixpoint closure plus a
+    hops=0 self-pair for every node of the predicate subgraph; a
+    self-pair a cycle reaches at k > 0 hops collapses to its 0-hop row
+    (min-hop semantics). The oracle unions the node set's zero rows
+    with the recursive closure's non-self pairs."""
+    from delm_spark.kg.query import property_path
+
+    res = _fixture_pipeline(spark)
+    return property_path(
+        res.triples, "reports_to", max_hops=None, zero_or_more=True
+    ).orderBy("src", "dst", "hops")
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2682,6 +2716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_topk": kg_pattern_topk,
         "kg_export_ntriples": kg_export_ntriples,
         "kg_roundtrip_ntriples": kg_roundtrip_ntriples,
+        "kg_path_fixpoint": kg_path_fixpoint,
+        "kg_path_star": kg_path_star,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -3354,6 +3390,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pattern_topk": _kg_oracle_sql("pattern_topk"),
         "kg_export_ntriples": _kg_oracle_sql("ntriples"),
         "kg_roundtrip_ntriples": _kg_oracle_sql("ntriples_roundtrip"),
+        "kg_path_fixpoint": _kg_oracle_sql("path_fixpoint"),
+        "kg_path_star": _kg_oracle_sql("path_star"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4640,6 +4678,42 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                 || '> <{DEFAULT_BASE}' || {enc("obj_id")}
                 || '> .' AS line
             FROM t ORDER BY line
+        """
+    if kind in ("path_fixpoint", "path_star"):
+        # kg/query.py property_path(max_hops=None): a RECURSIVE CTE
+        # with min(hops) per pair. The hop guard (< 15) bounds the
+        # recursion through cycles/self-loops; tests/test_rdf.py pins
+        # fixture convergence well below it, making the guard exact.
+        closure = linked.replace(
+            "WITH chunks AS", "WITH RECURSIVE chunks AS", 1
+        ) + """,
+            e AS (SELECT DISTINCT subj_id AS s, obj_id AS d FROM linked
+                  WHERE pred = 'reports_to'
+                    AND subj_id IS NOT NULL AND obj_id IS NOT NULL),
+            walk(s, d, hops) AS (
+                SELECT s, d, 1 FROM e
+                UNION
+                SELECT w.s, e2.d, w.hops + 1
+                FROM walk w JOIN e e2 ON w.d = e2.s
+                WHERE w.hops < 15),
+            m AS (SELECT s, d, min(hops) AS hops FROM walk GROUP BY s, d)
+        """
+        if kind == "path_fixpoint":
+            return closure + """
+            SELECT s AS src, d AS dst, hops::BIGINT AS hops FROM m
+            ORDER BY src, dst
+            """
+        # NOTE: under WITH RECURSIVE, DuckDB parses ANY CTE with a
+        # top-level UNION as anchor/iteration (even self-reference-free
+        # ones) and drops the cross-branch dedup — build the node set
+        # with an explicit subquery DISTINCT instead
+        return closure + """,
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION ALL SELECT d FROM e))
+            SELECT node AS src, node AS dst, 0::BIGINT AS hops FROM nodes
+            UNION ALL
+            SELECT s, d, hops::BIGINT FROM m WHERE s <> d
+            ORDER BY src, dst, hops
         """
     if kind == "kcore":
         # kg/graph.py k_core(k=2): the same peeling unrolled a fixed

@@ -517,10 +517,11 @@ def match_union(
 def property_path(
     triples: DataFrame,
     pred: str | list[str],
-    max_hops: int = 3,
+    max_hops: int | None = 3,
     subj_col: str = "subj_id",
     pred_col: str = "pred",
     obj_col: str = "obj_id",
+    zero_or_more: bool = False,
 ) -> DataFrame:
     """SPARQL property-path core ``pred{1,max_hops}``: all (src, dst)
     pairs connected by a directed chain of 1..max_hops edges labeled
@@ -528,6 +529,21 @@ def property_path(
     a LIST of labels — SPARQL alternation ``(p1|p2){1,n}`` — in which
     case every hop may use any listed label (the edge set is their
     union; one extra ``isin`` value per label, the plan is unchanged).
+
+    ``max_hops=None`` is the UNBOUNDED closure ``pred+``: the frontier
+    loop runs to fixpoint, stopping when a level adds no new pair.
+    Termination is structural, not a convergence heuristic — reached
+    pairs only grow inside the finite src x dst space and the per-level
+    anti-join means a cycle can never re-enqueue a pair, so the loop
+    runs at most graph-diameter iterations. Fixpoint mode pays one
+    extra isEmpty action per level on the already-checkpointed frontier
+    (a limit-1 scan); bounded mode keeps the action-free plan.
+
+    ``zero_or_more=True`` is ``pred*``: adds a ``hops = 0`` self-pair
+    for every node of the PREDICATE SUBGRAPH (src∪dst of the filtered
+    edge set — SPARQL's all-graph-terms universe would need the caller
+    to union in the wider node set). Self-pairs a cycle reaches at
+    k > 0 hops collapse to the 0-hop row, per min-hop semantics.
 
     The canonical consumer is a hierarchy walk — ``reports_to{1,3}``
     is "everyone in x's management chain up to three levels" — which a
@@ -551,7 +567,7 @@ def property_path(
     only at fixture scale, which is exactly what makes it an
     independent cross-check rather than a re-implementation.
     """
-    if max_hops < 1:
+    if max_hops is not None and max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     preds = [pred] if isinstance(pred, str) else list(pred)
     if not preds:
@@ -565,7 +581,8 @@ def property_path(
     )
     result = edges.withColumn("hops", F.lit(1).cast("long"))
     frontier = result
-    for h in range(2, max_hops + 1):
+    h = 2
+    while max_hops is None or h <= max_hops:
         nxt = (
             frontier.select("src", F.col("dst").alias("__mid"))
             .join(
@@ -580,6 +597,23 @@ def property_path(
             .withColumn("hops", F.lit(h).cast("long"))
             .localCheckpoint(eager=True)
         )
+        if max_hops is None and nxt.isEmpty():
+            break
         result = result.unionByName(nxt)
         frontier = nxt
+        h += 1
+    if zero_or_more:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        zero = nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+        # min-hop semantics: any self-pair a cycle reached at k > 0
+        # collapses to its 0-hop row
+        result = zero.unionByName(result.filter(F.col("src") != F.col("dst")))
     return result

@@ -147,3 +147,57 @@ def test_order_by_without_limit_is_allowed_partial(spark):
         t, [("?p", "works_at", "?org")], order_by=["org"]
     ).collect()
     assert [r.org for r in out] == ["org1", "org1", "org2"]
+
+
+def test_property_path_fixpoint_cycle(spark):
+    from delm_spark.kg.query import property_path
+
+    # chain a->b->c plus cycle c->a and a self-loop d->d: the fixpoint
+    # loop must terminate and report minimal hops through the cycle
+    t = _triples(
+        spark,
+        [
+            ("a", "next", "b"),
+            ("b", "next", "c"),
+            ("c", "next", "a"),
+            ("d", "next", "d"),
+        ],
+    )
+    got = {
+        (r.src, r.dst): r.hops
+        for r in property_path(t, "next", max_hops=None).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1, ("d", "d"): 1,
+        ("a", "c"): 2, ("b", "a"): 2, ("c", "b"): 2,
+        ("a", "a"): 3, ("b", "b"): 3, ("c", "c"): 3,
+    }
+
+
+def test_property_path_star_zero_rows(spark):
+    from delm_spark.kg.query import property_path
+
+    t = _triples(spark, [("a", "next", "b"), ("b", "next", "a")])
+    got = {
+        (r.src, r.dst): r.hops
+        for r in property_path(
+            t, "next", max_hops=None, zero_or_more=True
+        ).collect()
+    }
+    # cycle self-pairs collapse to the 0-hop row (min-hop semantics)
+    assert got == {
+        ("a", "a"): 0, ("b", "b"): 0, ("a", "b"): 1, ("b", "a"): 1,
+    }
+
+
+def test_fixture_closure_converges_below_oracle_guard(spark):
+    """The path_fixpoint/path_star oracles guard their RECURSIVE CTE at
+    hops < 15; the bounded recursion is exact only while the fixture's
+    true closure depth stays below that. Pin it with margin."""
+    import __spark_entry__ as entry_mod
+    from delm_spark.kg.query import property_path
+
+    res = entry_mod._fixture_pipeline(spark)
+    closure = property_path(res.triples, "reports_to", max_hops=None)
+    max_hops = closure.agg(F.max("hops").alias("m")).collect()[0].m
+    assert max_hops is not None and max_hops <= 10, max_hops
