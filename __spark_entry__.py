@@ -1594,6 +1594,27 @@ def kg_path_star(spark, sf_dir):
     ).orderBy("src", "dst", "hops")
 
 
+def kg_harmonic_centrality(spark, sf_dir):
+    """Sampled harmonic centrality (kg/graph.py harmonic_centrality):
+    C(v) = sum of 1/d(s, v) micro-units over a deterministic md5-drawn
+    source sample — the scale-sane pivot from quadratic all-pairs
+    closeness to n_sources multi-source-BFS levels (one equi-join +
+    anti-join per level, minimal dist by construction, early exit on an
+    empty level). Harmonic, not classic closeness, so disconnected
+    fixtures don't poison the score. The oracle replays the BFS as a
+    hop-guarded RECURSIVE CTE with min(dist) per (source, node) and the
+    same integer micro-unit sum."""
+    from delm_spark.kg.graph import harmonic_centrality
+
+    res = _fixture_pipeline(spark)
+    edges = res.triples.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return harmonic_centrality(edges, n_sources=8, max_depth=6).orderBy(
+        "node"
+    )
+
+
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Distributed Lloyd k-means in EXACT integer arithmetic
     (operators/cluster.py): vectors quantized once to BIGINT micro-units,
@@ -2718,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_roundtrip_ntriples": kg_roundtrip_ntriples,
         "kg_path_fixpoint": kg_path_fixpoint,
         "kg_path_star": kg_path_star,
+        "kg_harmonic_centrality": kg_harmonic_centrality,
         # --- the flagship KG chain rotates just past the gate this round: all
         # five were driver-green in r04, entry() still smoke-runs the composed
         # linked pipeline every round, and tests/test_oracle_parity.py pins all
@@ -3392,6 +3414,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip_ntriples": _kg_oracle_sql("ntriples_roundtrip"),
         "kg_path_fixpoint": _kg_oracle_sql("path_fixpoint"),
         "kg_path_star": _kg_oracle_sql("path_star"),
+        "kg_harmonic_centrality": _kg_oracle_sql("harmonic"),
         "kg_predicate_canonical": _kg_oracle_sql("pred_canon"),
         "kg_triple_provenance": _kg_oracle_sql("provenance"),
         "kg_entity_cooccur": _kg_oracle_sql("cooccur"),
@@ -4714,6 +4737,38 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             UNION ALL
             SELECT s, d, hops::BIGINT FROM m WHERE s <> d
             ORDER BY src, dst, hops
+        """
+    if kind == "harmonic":
+        # kg/graph.py harmonic_centrality(n_sources=8, max_depth=6):
+        # multi-source BFS as a hop-guarded RECURSIVE CTE, min(dist)
+        # per (source, node), integer micro-unit harmonic sum. Same
+        # WITH RECURSIVE UNION caveat as path_star: non-recursive CTEs
+        # use subquery DISTINCT, never a top-level UNION.
+        return linked.replace(
+            "WITH chunks AS", "WITH RECURSIVE chunks AS", 1
+        ) + """,
+            e AS (SELECT DISTINCT a, b FROM (
+                      SELECT subj_id AS a, obj_id AS b FROM linked
+                      UNION ALL
+                      SELECT obj_id AS a, subj_id AS b FROM linked)
+                  WHERE a IS NOT NULL AND b IS NOT NULL),
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+            srcs AS (SELECT node FROM nodes ORDER BY md5(node), node
+                     LIMIT 8),
+            walk(source, node, dist) AS (
+                SELECT node, node, 0 FROM srcs
+                UNION
+                SELECT w.source, e.b, w.dist + 1
+                FROM walk w JOIN e ON w.node = e.a
+                WHERE w.dist < 6),
+            m AS (SELECT source, node, min(dist) AS dist FROM walk
+                  GROUP BY source, node)
+            SELECT node,
+                   sum(1000000 // dist)::BIGINT AS harmonic_micro,
+                   count(*)::BIGINT AS n_reached
+            FROM m WHERE dist > 0
+            GROUP BY node ORDER BY node
         """
     if kind == "kcore":
         # kg/graph.py k_core(k=2): the same peeling unrolled a fixed

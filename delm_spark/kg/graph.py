@@ -333,3 +333,92 @@ def k_core(
         counters["rounds"] = max_iters
         counters["nodes"] = n
     return keep.select("node", "core_degree")
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    n_sources: int = 32,
+    max_depth: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Sampled harmonic centrality (Boldi & Vigna 2014 framing): for a
+    deterministic sample S of sources, ``C(v) = sum over s in S, s != v,
+    d(s, v) finite of 1/d(s, v)`` — computed in exact integer
+    micro-units (``1000000 div d``) so the sum is aggregation-order
+    independent and byte-comparable across engines. Harmonic (not
+    classic closeness) because it is defined on disconnected graphs:
+    unreachable pairs contribute 0 instead of poisoning a mean.
+
+    Exact all-pairs closeness is a BFS from EVERY node — quadratic and
+    off the table at any scale; pivoting to a fixed source sample makes
+    the cost ``n_sources`` multi-source BFS levels, each ONE equi-join
+    of the (source, node, dist) frontier against the adjacency plus a
+    distinct and an anti-join against the visited set (minimal dist by
+    construction, cycles can't re-enqueue — same discipline as
+    k_hop_neighbors). Frontier rows are bounded by n_sources x |V|;
+    every level localCheckpoints and the loop exits early when a level
+    adds nothing. ``max_depth`` truncates: a distance-d source beyond
+    it would contribute < 1e6/max_depth micro-units per pair
+    (documented cutoff, the standard sampled-centrality trade).
+
+    Sources are the ``n_sources`` nodes with the smallest ``md5(node)``
+    — a partitioning-independent, retry-stable uniform draw that any
+    SQL engine reproduces (TakeOrdered, never a global sort shuffle).
+
+    Returns (node, harmonic_micro, n_reached): the micro-unit harmonic
+    sum and how many sampled sources reach the node — the support count
+    that tells a consumer whether the estimate is thin.
+    """
+    if n_sources < 1:
+        raise ValueError("n_sources must be >= 1")
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    adj = (
+        adj.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        adj.select(F.col("a").alias("node"))
+        .unionByName(adj.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    sources = nodes.orderBy(F.md5("node"), "node").limit(n_sources)
+    visited = (
+        sources.select(
+            F.col("node").alias("source"),
+            F.col("node").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.select("source", F.col("node").alias("a"))
+            .join(adj, "a")
+            .select("source", F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_micro"),
+            F.count("*").cast("long").alias("n_reached"),
+        )
+    )
