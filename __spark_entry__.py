@@ -963,6 +963,37 @@ def pagerank_demo(spark, sf_dir):
     ).orderBy("node")
 
 
+def ppr_demo(spark, sf_dir):
+    """Personalized PageRank (kg/graph.py personalized_pagerank) on the
+    same chain+hub synthetic graph as pagerank_demo, teleporting to the
+    block-head seed set (rn % 64 == 0): rank mass concentrates around
+    seeds instead of spreading uniformly — the KG relevance ranking
+    'what matters around these entities'. Dangling block-tail mass also
+    returns to the seeds. The oracle unrolls the identical 3 iterations
+    with the seed-teleport vector; ranks scaled by N, rounded to 4dp."""
+    from delm_spark.kg.graph import personalized_pagerank
+
+    rn = _rn_graph_base(spark, sf_dir, _PR_N)
+    chain = rn.filter(F.col("rn") % 64 != 63).select(
+        F.col("rn").alias("u"), (F.col("rn") + 1).alias("v")
+    )
+    hub = rn.filter((F.col("rn") % 64).between(1, 62)).select(
+        F.col("rn").alias("u"), (F.col("rn") - F.col("rn") % 64).alias("v")
+    )
+    seeds = rn.filter(F.col("rn") % 64 == 0).select(F.col("rn").alias("node"))
+    ranks = personalized_pagerank(
+        chain.unionByName(hub),
+        seeds,
+        iters=_PR_ITERS,
+        damping=_PR_DAMPING,
+        src="u",
+        dst="v",
+    )
+    return ranks.select(
+        "node", F.round(F.col("rank") * _PR_N, 4).alias("rank_scaled")
+    ).orderBy("node")
+
+
 def triangle_blocks_demo(spark, sf_dir):
     """Degree-ordered triangle enumeration (kg/graph.py triangles) on a
     synthetic graph whose 64-node blocks carry chain (i,i+1) and skip
@@ -2760,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_distribution": kg_degree_distribution,
         "kg_two_hop_entities": kg_two_hop_entities,
         "pagerank_demo": pagerank_demo,
+        "ppr_demo": ppr_demo,
         "triangle_blocks_demo": triangle_blocks_demo,
         "connected_components_demo": connected_components_demo,
         "near_dup_pipeline_docs": near_dup_pipeline_docs,
@@ -3719,6 +3751,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY shard, shard_pos
         """,
         "pagerank_demo": _pagerank_oracle_sql(_PR_N, _PR_ITERS, _PR_DAMPING),
+        "ppr_demo": _ppr_oracle_sql(_PR_N, _PR_ITERS, _PR_DAMPING),
         "triangle_blocks_demo": _triangle_oracle_sql(_PR_N),
         "clustering_coeff_graph": _clustering_oracle_sql(_PR_N),
         "negative_samples_kg": _kg_oracle_sql("negatives"),
@@ -5546,6 +5579,58 @@ def _pagerank_oracle_sql(n: int, iters: int, damping: float) -> str:
                 SELECT u, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
             edeg AS (SELECT e.u, e.v, o.outdeg FROM edges e JOIN outdeg o ON e.u = o.u),
             r0 AS (SELECT node, 1.0 / {n} AS rank FROM nodes){it}
+            SELECT node, round(rank * {n}, 4)::DOUBLE AS rank_scaled
+            FROM {prev} ORDER BY node
+        """
+    )
+
+
+def _ppr_oracle_sql(n: int, iters: int, damping: float) -> str:
+    """Unrolled personalized-PageRank replica (kg/graph.py
+    personalized_pagerank) over the chain+hub synthetic graph with the
+    block-head seed set: teleport AND dangling mass go to the seed
+    vector p (1/|S| on seeds, 0 elsewhere); identical FP formula to the
+    Spark side, output scaled by N and rounded to 4dp."""
+    it, prev = "", "r0"
+    for i in range(1, iters + 1):
+        it += f""",
+            c{i} AS (
+                SELECT e.v AS node, sum(r.rank / e.outdeg) AS c
+                FROM edeg e JOIN {prev} r ON e.u = r.node GROUP BY e.v),
+            d{i} AS (
+                SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+                WHERE node NOT IN (SELECT u FROM outdeg)),
+            r{i} AS (
+                SELECT t.node,
+                       {(1.0 - damping)!r} * t.tele
+                       + {damping!r} * (coalesce(c{i}.c, 0)
+                                        + d{i}.dm * t.tele) AS rank
+                FROM tele t
+                LEFT JOIN c{i} ON t.node = c{i}.node
+                CROSS JOIN d{i})"""
+        prev = f"r{i}"
+    return (
+        _rn_graph_sql(n)
+        + f""",
+            edges AS (
+                SELECT rn AS u, rn + 1 AS v FROM rn WHERE rn % 64 <> 63
+                UNION ALL
+                SELECT rn, rn - rn % 64 FROM rn WHERE rn % 64 BETWEEN 1 AND 62),
+            nodes AS (
+                SELECT DISTINCT u AS node FROM edges
+                UNION
+                SELECT DISTINCT v FROM edges),
+            seeds AS (SELECT node FROM nodes WHERE node % 64 = 0),
+            tele AS (
+                SELECT node,
+                       CASE WHEN node % 64 = 0
+                            THEN 1.0 / (SELECT count(*) FROM seeds)
+                            ELSE 0.0 END AS tele
+                FROM nodes),
+            outdeg AS (
+                SELECT u, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
+            edeg AS (SELECT e.u, e.v, o.outdeg FROM edges e JOIN outdeg o ON e.u = o.u),
+            r0 AS (SELECT node, tele AS rank FROM tele){it}
             SELECT node, round(rank * {n}, 4)::DOUBLE AS rank_scaled
             FROM {prev} ORDER BY node
         """

@@ -422,3 +422,80 @@ def harmonic_centrality(
             F.count("*").cast("long").alias("n_reached"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: power iteration whose teleport (and
+    dangling-mass) distribution is the SEED set instead of uniform —
+    the standard KG relevance ranking "what matters around these
+    entities" (query-biased recommendations, related-entity panels).
+
+    rank'(v) = (1-d)*p(v) + d * (sum_{u->v} rank(u)/outdeg(u)
+                                 + dangling * p(v))
+
+    with p(v) = 1/|S| for seed nodes and 0 elsewhere; ranks start AT
+    the seed distribution and stay a probability vector every step.
+    Identical join shape to :func:`pagerank` — the teleport vector is
+    one extra left-join column on the node table, computed once; each
+    iteration is still one dst-shuffled contribution reduce plus a
+    broadcast one-row dangling aggregate. Seeds not present in the
+    edge table still teleport (they are unioned into the node set), so
+    a query about a brand-new entity degrades gracefully instead of
+    silently dropping its mass.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .unionByName(s)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tele = nodes.join(
+        s.withColumn("tele", F.lit(1.0 / n_seeds)), "node", "left"
+    ).select("node", F.coalesce("tele", F.lit(0.0)).alias("tele"))
+    tele = tele.localCheckpoint(eager=True)
+    outdeg = (
+        e.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
+    )
+    e_deg = e.join(outdeg, "u").localCheckpoint(eager=True)
+    ranks = tele.select("node", F.col("tele").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e_deg.join(ranks.withColumnRenamed("node", "u"), "u")
+            .select("v", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("u", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        ranks = (
+            tele.join(contrib.withColumnRenamed("v", "node"), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dangling") * F.col("tele")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

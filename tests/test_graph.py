@@ -226,3 +226,60 @@ def test_harmonic_centrality_source_sample_is_md5_deterministic(spark):
     }
     got = {r.node: (r.harmonic_micro, r.n_reached) for r in a}
     assert got == expect
+
+
+def test_personalized_pagerank_mass_and_seed_bias(spark):
+    """Ranks stay a probability vector every iteration and concentrate
+    on/around the seed, and an edge-absent seed keeps its teleport mass
+    instead of being dropped."""
+    from pyspark.sql import functions as F
+    from delm_spark.kg.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    ranks = {r.node: r.rank for r in
+             personalized_pagerank(edges, seeds, iters=8).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # the seed and its direct successor dominate; d, fed only by c's
+    # split and getting no teleport, trails everything
+    assert ranks["d"] == min(ranks.values())
+    assert ranks["a"] > ranks["c"] > ranks["d"]
+
+    lonely = spark.createDataFrame([("zzz",)], "node string")
+    r2 = {r.node: r.rank for r in
+          personalized_pagerank(edges, lonely, iters=3).collect()}
+    assert abs(sum(r2.values()) - 1.0) < 1e-9
+    assert r2["zzz"] > 0  # unioned into the node set, teleport kept
+
+
+def test_personalized_pagerank_uniform_seeds_equal_pagerank(spark):
+    """With EVERY node seeded, PPR's teleport vector is uniform — it
+    must reproduce plain pagerank exactly (same FP formula)."""
+    from delm_spark.kg.graph import pagerank, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "node string"
+    )
+    pr = {r.node: r.rank for r in pagerank(edges, iters=4).collect()}
+    ppr = {r.node: r.rank for r in
+           personalized_pagerank(edges, seeds, iters=4).collect()}
+    assert pr.keys() == ppr.keys()
+    for k in pr:
+        assert abs(pr[k] - ppr[k]) < 1e-12, (k, pr[k], ppr[k])
+
+
+def test_personalized_pagerank_empty_seeds_refused(spark):
+    import pytest as _pytest
+    from delm_spark.kg.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    empty = spark.createDataFrame([], "node string")
+    with _pytest.raises(ValueError, match="non-empty seed"):
+        personalized_pagerank(edges, empty)
