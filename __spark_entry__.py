@@ -1307,6 +1307,38 @@ def kg_pattern_values(spark, sf_dir):
     )
 
 
+def kg_pattern_bind(spark, sf_dir):
+    """SPARQL BIND computed variables (kg/query.py match_pattern
+    bind=): the COALESCE-over-OPTIONAL idiom — employees with their
+    manager LEFT-joined where known (reports_to deterministically
+    thinned by md5 parity of the asserting subject, same corpus shaping
+    as kg_pattern_optional, so a real null/bound mix exists), then BIND
+    fills the unmanaged rows with a label, derives an integer managed
+    flag, and chains a report_line key off the earlier bind. Pure
+    projection: zero exchanges beyond the pattern joins; Catalyst folds
+    all three expressions into the join's output stage. The oracle
+    replays thinning, left join, and the same coalesce/CASE/concat."""
+    from delm_spark.kg.query import match_pattern
+
+    res = _fixture_pipeline(spark)
+    h = (
+        F.conv(F.substring(F.md5("subj_id"), 1, 1), 16, 10).cast("int") % 2
+    )
+    thinned = res.triples.filter(
+        ~((F.col("pred") == "reports_to") & (h == 0))
+    )
+    return match_pattern(
+        thinned,
+        [("?x", "works_at", "?org")],
+        optional=[[("?x", "reports_to", "?mgr")]],
+        bind={
+            "mgr_label": "coalesce(mgr, '<unmanaged>')",
+            "managed": "CASE WHEN mgr IS NULL THEN 0 ELSE 1 END",
+            "report_line": "concat(x, '->', mgr_label)",
+        },
+    ).orderBy("x", "org", "mgr")
+
+
 def kg_core_entities(spark, sf_dir):
     """k-core density gate (kg/graph.py k_core): entities of the 2-core
     of the canonical entity graph with their in-core degree — the
@@ -2755,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_optional": kg_pattern_optional,
         "kg_pattern_union": kg_pattern_union,
         "kg_pattern_values": kg_pattern_values,
+        "kg_pattern_bind": kg_pattern_bind,
         "kg_core_entities": kg_core_entities,
         "kg_affiliation_chain": kg_affiliation_chain,
         "kg_mention_consolidation": kg_mention_consolidation,
@@ -3431,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pattern_optional": _kg_oracle_sql("pattern_optional"),
         "kg_pattern_union": _kg_oracle_sql("pattern_union"),
         "kg_pattern_values": _kg_oracle_sql("pattern_values"),
+        "kg_pattern_bind": _kg_oracle_sql("pattern_bind"),
         "kg_core_entities": _kg_oracle_sql("kcore"),
         "kg_affiliation_chain": _kg_oracle_sql("chain_alt"),
         "kg_mention_consolidation": _kg_oracle_sql("mention_consolidation"),
@@ -4661,6 +4695,32 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
               AND a.obj_id IN ('org:acme', 'org:initech')
               AND a.subj_id < b.subj_id
             ORDER BY a, b, org
+        """
+    if kind == "pattern_bind":
+        # kg/query.py match_pattern with BIND over an OPTIONAL-null
+        # variable: thinned reports_to, left join, then the same
+        # coalesce/CASE/concat — bind is pure projection, so
+        # distinct-then-compute == compute-then-distinct
+        return linked + """,
+            thin AS (
+                SELECT * FROM linked
+                WHERE NOT (pred = 'reports_to'
+                           AND ('0x' || substr(md5(subj_id), 1, 1))::INT
+                               % 2 = 0)),
+            w AS (SELECT DISTINCT subj_id AS x, obj_id AS org FROM thin
+                  WHERE pred = 'works_at'),
+            r AS (SELECT DISTINCT subj_id AS x, obj_id AS mgr FROM thin
+                  WHERE pred = 'reports_to'),
+            b AS (
+                SELECT DISTINCT w.x AS x, w.org AS org, r.mgr AS mgr
+                FROM w LEFT JOIN r ON w.x = r.x)
+            SELECT x, org, mgr,
+                   coalesce(mgr, '<unmanaged>') AS mgr_label,
+                   CASE WHEN mgr IS NULL THEN 0 ELSE 1 END AS managed,
+                   x || '->' || coalesce(mgr, '<unmanaged>')
+                       AS report_line
+            FROM b
+            ORDER BY x, org, mgr
         """
     if kind == "ask":
         # kg/query.py ask: SQL EXISTS over the distinct triple store —

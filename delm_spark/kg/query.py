@@ -122,6 +122,7 @@ def match_pattern(
     optional: list[list[tuple[str, str, str]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
     values: dict[str, list] | None = None,
+    bind: dict[str, str] | None = None,
     filter_expr: str | None = None,
     order_by: list[str] | None = None,
     limit: int | None = None,
@@ -166,11 +167,27 @@ def match_pattern(
     appears in no pattern, or an empty constant list, is a query bug
     and refused.
 
+    ``bind`` is SPARQL BIND: an ORDERED mapping of fresh variable name
+    to a SQL expression over already-bound columns (earlier binds are
+    visible to later ones), e.g. ``{"org_kind": "CASE WHEN org LIKE
+    'mention:%' THEN 'mention' ELSE 'curated' END"}`` — evaluated after
+    every clause joins, so OPTIONAL-introduced (nullable) variables are
+    usable with explicit null handling. Re-binding an existing variable
+    is a SPARQL error and refused. Pure projection — zero exchanges;
+    Catalyst folds the expressions into the surrounding stage.
+
     ``filter_expr`` is SPARQL FILTER: a SQL boolean expression over the
     binding columns (variable names without ``?``), e.g. ``"a < b"`` —
-    applied after every clause joins, before the trailing DISTINCT.
-    Catalyst pushes deterministic conjuncts down through the joins on
-    its own, so writing the filter last costs nothing at plan time.
+    applied after every clause joins and after ``bind`` (so computed
+    variables are filterable), before the trailing DISTINCT. Catalyst
+    pushes deterministic conjuncts down through the joins on its own,
+    so writing the filter last costs nothing at plan time. SPARQL
+    ``MINUS`` is deliberately NOT a separate knob: under this engine's
+    correlation rule (clauses must share a required-bound, non-null
+    variable) MINUS and FILTER NOT EXISTS are provably the same
+    anti-join, and the one case where they diverge (no shared variable,
+    where MINUS is a no-op and NOT EXISTS is all-or-nothing) is refused
+    as a query bug anyway.
 
     ``order_by`` / ``limit`` are the SPARQL solution modifiers. ORDER BY
     lists binding columns (ascending); LIMIT without a TOTAL order is
@@ -245,6 +262,18 @@ def match_pattern(
                 "here; correlate through required-bound variables"
             )
         out = out.join(g.select(*shared), on=shared, how="left_anti")
+    for name, expr in (bind or {}).items():
+        if not name or name.startswith("?"):
+            raise ValueError(
+                f"bind target {name!r} must be a bare variable name "
+                "(no '?' prefix)"
+            )
+        if name in out.columns:
+            raise ValueError(
+                f"bind re-binds ?{name}, already bound by a pattern "
+                "clause — SPARQL BIND requires a fresh variable"
+            )
+        out = out.withColumn(name, F.expr(expr))
     if filter_expr:
         out = out.filter(F.expr(filter_expr))
     out = out.distinct() if distinct else out

@@ -101,6 +101,55 @@ def test_filter_expr_on_bindings(triples):
     assert [(r.a, r.b, r.org) for r in rows] == [("alice", "bob", "acme")]
 
 
+def test_bind_computes_and_chains(triples):
+    """BIND introduces computed variables; later binds see earlier
+    ones; FILTER sees all of them."""
+    rows = match_pattern(
+        triples,
+        [("?p", "works_at", "?org")],
+        bind={
+            "p_len": "length(p)",
+            "tag": "concat(org, ':', cast(p_len as string))",
+        },
+        filter_expr="p_len >= 5",
+        order_by=["p", "org"],
+    ).collect()
+    assert [(r.p, r.org, r.p_len, r.tag) for r in rows] == [
+        ("alice", "acme", 5, "acme:5")
+    ]
+
+
+def test_bind_over_optional_null_is_usable(triples):
+    """An OPTIONAL-introduced variable reaches BIND as null and is
+    handled explicitly — the SPARQL COALESCE idiom."""
+    rows = {
+        r.p: r.tool_label
+        for r in match_pattern(
+            triples,
+            [("?p", "works_at", "?org")],
+            optional=[[("?p", "uses_tool", "?tool")]],
+            bind={"tool_label": "coalesce(tool, '<none>')"},
+        ).collect()
+    }
+    assert rows["cara"] == "<none>"
+    assert rows["alice"] == "grep"
+
+
+def test_bind_rejects_rebind_and_bad_name(triples):
+    with pytest.raises(ValueError, match="re-binds"):
+        match_pattern(
+            triples,
+            [("?p", "works_at", "?org")],
+            bind={"org": "upper(p)"},
+        )
+    with pytest.raises(ValueError, match="bare variable"):
+        match_pattern(
+            triples,
+            [("?p", "works_at", "?org")],
+            bind={"?k": "1"},
+        )
+
+
 def test_construct_colleague_graph(triples):
     g = construct(
         triples,
