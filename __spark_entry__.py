@@ -1339,6 +1339,23 @@ def kg_pattern_bind(spark, sf_dir):
     ).orderBy("x", "org", "mgr")
 
 
+def kg_pattern_inverse(spark, sf_dir):
+    """SPARQL 1.1 inverse path (kg/query.py match_pattern ^pred): the
+    org-centric roster — ``(?org, ^works_at, ?x), (?org, located_in,
+    ?city)`` walks works_at BACKWARD so both patterns share the org
+    subject position, the natural shape when the query starts from the
+    organization. Compile-time column-role swap: same scan, pushdown,
+    and equi-join plan as the forward form. The oracle joins the
+    (swapped) works_at scan to located_in on org."""
+    from delm_spark.kg.query import match_pattern
+
+    res = _fixture_pipeline(spark)
+    return match_pattern(
+        res.triples,
+        [("?org", "^works_at", "?x"), ("?org", "located_in", "?city")],
+    ).orderBy("org", "x", "city")
+
+
 def kg_core_entities(spark, sf_dir):
     """k-core density gate (kg/graph.py k_core): entities of the 2-core
     of the canonical entity graph with their in-core degree — the
@@ -2788,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_union": kg_pattern_union,
         "kg_pattern_values": kg_pattern_values,
         "kg_pattern_bind": kg_pattern_bind,
+        "kg_pattern_inverse": kg_pattern_inverse,
         "kg_core_entities": kg_core_entities,
         "kg_affiliation_chain": kg_affiliation_chain,
         "kg_mention_consolidation": kg_mention_consolidation,
@@ -3465,6 +3483,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pattern_union": _kg_oracle_sql("pattern_union"),
         "kg_pattern_values": _kg_oracle_sql("pattern_values"),
         "kg_pattern_bind": _kg_oracle_sql("pattern_bind"),
+        "kg_pattern_inverse": _kg_oracle_sql("pattern_inverse"),
         "kg_core_entities": _kg_oracle_sql("kcore"),
         "kg_affiliation_chain": _kg_oracle_sql("chain_alt"),
         "kg_mention_consolidation": _kg_oracle_sql("mention_consolidation"),
@@ -4721,6 +4740,20 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
                        AS report_line
             FROM b
             ORDER BY x, org, mgr
+        """
+    if kind == "pattern_inverse":
+        # kg/query.py match_pattern with ^works_at: the inverse path is
+        # a column-role swap, so the oracle is the forward works_at
+        # scan joined to located_in on the org
+        return linked + """,
+            t AS (SELECT DISTINCT subj_id, pred, obj_id FROM linked),
+            w AS (SELECT obj_id AS org, subj_id AS x FROM t
+                  WHERE pred = 'works_at'),
+            loc AS (SELECT subj_id AS org, obj_id AS city FROM t
+                    WHERE pred = 'located_in')
+            SELECT DISTINCT w.org AS org, w.x AS x, loc.city AS city
+            FROM w JOIN loc ON w.org = loc.org
+            ORDER BY org, x, city
         """
     if kind == "ask":
         # kg/query.py ask: SQL EXISTS over the distinct triple store —

@@ -60,10 +60,23 @@ def _compile_group(
     for pat in patterns:
         if len(pat) != 3:
             raise ValueError(f"pattern must be a 3-tuple, got {pat!r}")
+        # SPARQL 1.1 inverse path: (s, ^p, o) matches o --p--> s. Pure
+        # term rewrite at compile time (swap the subject/object COLUMN
+        # roles for this one pattern) — the scan, constant pushdown,
+        # VALUES pruning, and join planning all apply unchanged.
+        pat, pcols = list(pat), list(cols)
+        if isinstance(pat[1], str) and pat[1].startswith("^"):
+            if pat[1] == "^" or _is_var(pat[1][1:]):
+                raise ValueError(
+                    f"inverse path {pat[1]!r} needs a constant predicate "
+                    "— ^?var is not a SPARQL path"
+                )
+            pat[1] = pat[1][1:]
+            pcols[0], pcols[2] = pcols[2], pcols[0]
         df = triples
         sel: dict[str, str] = {}
         n_const = 0
-        for term, col in zip(pat, cols):
+        for term, col in zip(pat, pcols):
             if _is_var(term):
                 v = term[1:]
                 if v in values:
@@ -136,6 +149,12 @@ def match_pattern(
     ``distinct=True`` (the default) gives SPARQL SELECT DISTINCT set
     semantics, ``distinct=False`` keeps duplicate-support bag
     semantics.
+
+    A constant predicate prefixed with ``^`` is the SPARQL 1.1 INVERSE
+    path: ``(?city, ^located_in, ?org)`` matches ``?org located_in
+    ?city`` — a compile-time column-role swap on that one pattern, so
+    pushdown, VALUES pruning, and join planning are unaffected
+    (``^?var`` is not a SPARQL path and is refused).
 
     A variable repeated WITHIN one pattern (e.g. ``(?x, likes, ?x)``)
     becomes an equality filter on that pattern's scan. Patterns that

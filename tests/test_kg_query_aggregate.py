@@ -135,6 +135,40 @@ def test_bind_over_optional_null_is_usable(triples):
     assert rows["alice"] == "grep"
 
 
+def test_inverse_path_equals_swapped_forward(triples):
+    """(?org, ^works_at, ?p) is exactly (?p, works_at, ?org)."""
+    inv = match_pattern(triples, [("?org", "^works_at", "?p")])
+    fwd = match_pattern(triples, [("?p", "works_at", "?org")])
+    assert sorted((r.p, r.org) for r in inv.collect()) == sorted(
+        (r.p, r.org) for r in fwd.collect()
+    )
+
+
+def test_inverse_path_composes_in_joins(triples):
+    """works_at/^works_at is the colleague zig-zag — same answer as
+    the two-forward-pattern self-join."""
+    zig = match_pattern(
+        triples,
+        [("?a", "works_at", "?org"), ("?org", "^works_at", "?b")],
+        filter_expr="a < b",
+    )
+    ref = match_pattern(
+        triples,
+        [("?a", "works_at", "?org"), ("?b", "works_at", "?org")],
+        filter_expr="a < b",
+    )
+    assert sorted(map(tuple, zig.select("a", "b", "org").collect())) == sorted(
+        map(tuple, ref.select("a", "b", "org").collect())
+    )
+
+
+def test_inverse_path_refuses_variable_predicate(triples):
+    with pytest.raises(ValueError, match="inverse path"):
+        match_pattern(triples, [("?a", "^?p", "?b")])
+    with pytest.raises(ValueError, match="inverse path"):
+        match_pattern(triples, [("?a", "^", "?b")])
+
+
 def test_bind_rejects_rebind_and_bad_name(triples):
     with pytest.raises(ValueError, match="re-binds"):
         match_pattern(
