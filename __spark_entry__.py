@@ -1356,6 +1356,42 @@ def kg_pattern_inverse(spark, sf_dir):
     ).orderBy("org", "x", "city")
 
 
+_RDFS_ONTOLOGY = [
+    ("works_at", "subproperty_of", "affiliated_with"),
+    ("affiliated_with", "subproperty_of", "related_to"),
+    ("works_at", "domain", "ent:Person"),
+    ("works_at", "range", "ent:Org"),
+    ("located_in", "domain", "ent:Org"),
+    ("located_in", "range", "ent:Place"),
+    ("ent:Org", "subclass_of", "ent:Agent"),
+    ("ent:Person", "subclass_of", "ent:Agent"),
+    ("ent:Agent", "subclass_of", "ent:Entity"),
+]
+
+
+def kg_rdfs_closure(spark, sf_dir):
+    """RDFS entailment materialization (kg/reason.py rdfs_closure):
+    the extracted fixture graph under a small curated ontology —
+    works_at lifts through a two-level property chain (rdfs5/7),
+    domain/range declarations type people, orgs, and places (rdfs2/3),
+    and the class hierarchy propagates every type up to ent:Entity
+    (rdfs9/11). Schema-side closures run on the 9-row ontology via the
+    property-path fixpoint; the corpus is touched only by broadcast
+    joins. Output = distinct asserted+entailed triples with an
+    asserted-wins inferred flag. The oracle replays the rules with the
+    hand-unrolled constant closures (the ontology is inline, so its
+    transitive pairs are enumerable by eye)."""
+    from delm_spark.kg.reason import rdfs_closure
+
+    res = _fixture_pipeline(spark)
+    schema = spark.createDataFrame(
+        _RDFS_ONTOLOGY, "subj_id string, pred string, obj_id string"
+    )
+    return rdfs_closure(
+        res.triples.select("subj_id", "pred", "obj_id"), schema
+    ).orderBy("subj_id", "pred", "obj_id")
+
+
 def kg_core_entities(spark, sf_dir):
     """k-core density gate (kg/graph.py k_core): entities of the 2-core
     of the canonical entity graph with their in-core degree — the
@@ -2806,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_values": kg_pattern_values,
         "kg_pattern_bind": kg_pattern_bind,
         "kg_pattern_inverse": kg_pattern_inverse,
+        "kg_rdfs_closure": kg_rdfs_closure,
         "kg_core_entities": kg_core_entities,
         "kg_affiliation_chain": kg_affiliation_chain,
         "kg_mention_consolidation": kg_mention_consolidation,
@@ -3484,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pattern_values": _kg_oracle_sql("pattern_values"),
         "kg_pattern_bind": _kg_oracle_sql("pattern_bind"),
         "kg_pattern_inverse": _kg_oracle_sql("pattern_inverse"),
+        "kg_rdfs_closure": _kg_oracle_sql("rdfs"),
         "kg_core_entities": _kg_oracle_sql("kcore"),
         "kg_affiliation_chain": _kg_oracle_sql("chain_alt"),
         "kg_mention_consolidation": _kg_oracle_sql("mention_consolidation"),
@@ -4754,6 +4792,82 @@ def _kg_oracle_sql(kind: str, typos: bool = False) -> str:
             SELECT DISTINCT w.org AS org, w.x AS x, loc.city AS city
             FROM w JOIN loc ON w.org = loc.org
             ORDER BY org, x, city
+        """
+    if kind == "rdfs":
+        # kg/reason.py rdfs_closure: the inline 9-row ontology's
+        # transitive closures are hand-unrolled constants; the rules
+        # (7 -> 2/3 -> 9) replay as joins, min(inferred) = asserted wins
+        return linked + """,
+            t AS (SELECT subj_id, pred, obj_id FROM linked),
+            subprop AS (SELECT * FROM (VALUES
+                ('works_at', 'affiliated_with'),
+                ('affiliated_with', 'related_to'),
+                ('works_at', 'related_to')) v(src, dst)),
+            subcls AS (SELECT * FROM (VALUES
+                ('ent:Org', 'ent:Agent'),
+                ('ent:Person', 'ent:Agent'),
+                ('ent:Agent', 'ent:Entity'),
+                ('ent:Org', 'ent:Entity'),
+                ('ent:Person', 'ent:Entity')) v(src, dst)),
+            dom AS (SELECT * FROM (VALUES
+                ('works_at', 'ent:Person'),
+                ('located_in', 'ent:Org')) v(pred, cls)),
+            rng AS (SELECT * FROM (VALUES
+                ('works_at', 'ent:Org'),
+                ('located_in', 'ent:Place')) v(pred, cls)),
+            schema_rows AS (SELECT * FROM (VALUES
+                ('works_at', 'subproperty_of', 'affiliated_with'),
+                ('affiliated_with', 'subproperty_of', 'related_to'),
+                ('works_at', 'domain', 'ent:Person'),
+                ('works_at', 'range', 'ent:Org'),
+                ('located_in', 'domain', 'ent:Org'),
+                ('located_in', 'range', 'ent:Place'),
+                ('ent:Org', 'subclass_of', 'ent:Agent'),
+                ('ent:Person', 'subclass_of', 'ent:Agent'),
+                ('ent:Agent', 'subclass_of', 'ent:Entity')
+                ) v(subj_id, pred, obj_id)),
+            rule7 AS (
+                SELECT t.subj_id, sp.dst AS pred, t.obj_id
+                FROM t JOIN subprop sp ON t.pred = sp.src),
+            props AS (
+                SELECT subj_id, pred, obj_id FROM t
+                UNION ALL SELECT * FROM rule7),
+            rule2 AS (
+                SELECT p.subj_id, 'type' AS pred, d.cls AS obj_id
+                FROM props p JOIN dom d ON p.pred = d.pred),
+            rule3 AS (
+                SELECT p.obj_id AS subj_id, 'type' AS pred,
+                       r.cls AS obj_id
+                FROM props p JOIN rng r ON p.pred = r.pred),
+            types AS (
+                SELECT * FROM rule2
+                UNION ALL SELECT * FROM rule3
+                UNION ALL SELECT subj_id, pred, obj_id FROM props
+                          WHERE pred = 'type'),
+            rule9 AS (
+                SELECT ty.subj_id, 'type' AS pred, sc.dst AS obj_id
+                FROM types ty JOIN subcls sc ON ty.obj_id = sc.src),
+            everything AS (
+                SELECT subj_id, pred, obj_id, 0 AS inferred FROM t
+                UNION ALL
+                SELECT subj_id, pred, obj_id, 0 FROM schema_rows
+                UNION ALL
+                SELECT subj_id, pred, obj_id, 1 FROM rule7
+                UNION ALL
+                SELECT subj_id, pred, obj_id, 1 FROM rule2
+                UNION ALL
+                SELECT subj_id, pred, obj_id, 1 FROM rule3
+                UNION ALL
+                SELECT subj_id, pred, obj_id, 1 FROM rule9
+                UNION ALL
+                SELECT src, 'subproperty_of', dst, 1 FROM subprop
+                UNION ALL
+                SELECT src, 'subclass_of', dst, 1 FROM subcls)
+            SELECT subj_id, pred, obj_id,
+                   min(inferred)::INT AS inferred
+            FROM everything
+            GROUP BY subj_id, pred, obj_id
+            ORDER BY subj_id, pred, obj_id
         """
     if kind == "ask":
         # kg/query.py ask: SQL EXISTS over the distinct triple store —
