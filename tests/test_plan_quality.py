@@ -358,3 +358,31 @@ def test_predicate_similarity_broadcasts_sizes_no_pair_self_join(spark):
     plan = _plan(predicate_similarity(t, min_jaccard_micro=0))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_rdfs_closure_corpus_joins_all_broadcast(spark):
+    """RDFS materialization must touch the corpus only through broadcast
+    hash joins against schema-sized closures — no sort-merge join, no
+    cartesian product, no Python stage. The schema-side transitive
+    closures iterate on the ontology alone (localCheckpoint'd before the
+    corpus plan is built), so the corpus plan stays a single linear pass."""
+    from delm_spark.kg.reason import rdfs_closure
+
+    data = spark.createDataFrame(
+        [("alice", "works_at", "acme"), ("acme", "hq_in", "paris")],
+        "subj_id string, pred string, obj_id string",
+    )
+    schema = spark.createDataFrame(
+        [
+            ("works_at", "subproperty_of", "affiliated_with"),
+            ("works_at", "domain", "Person"),
+            ("hq_in", "range", "Place"),
+            ("Person", "subclass_of", "Agent"),
+        ],
+        "subj_id string, pred string, obj_id string",
+    )
+    plan = _plan(rdfs_closure(data, schema))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
