@@ -1392,6 +1392,51 @@ def kg_rdfs_closure(spark, sf_dir):
     ).orderBy("subj_id", "pred", "obj_id")
 
 
+def ground_pronouns_kg(spark, sf_dir):
+    """First-person pronoun grounding (kg/ground.py ground_pronouns):
+    deictic triple subjects bind to per-conversation speaker entities
+    speaker:<conv_id>:<role>. Input triples are synthesized per
+    dictionary surface — one pronoun triple ('I', works_at, surface)
+    and one control triple (surface, works_at, 'acme corp') at
+    conv 'pg:'||surface, turn length(surface)%3. The role table is the
+    REAL fixture transcript (none of whose conv_ids match, exercising
+    the semi-join pruning) unioned with synthetic turns for
+    even-length surfaces only — odd-length pronouns stay ungrounded
+    (subject kept verbatim, grounded=0). The oracle replays the rule
+    as one left join + CASE."""
+    from delm_spark.kg.ground import ground_pronouns
+
+    d = _fixture_dictionary(spark)
+    conv = F.concat(F.lit("pg:"), F.col("surface"))
+    turn = (F.length("surface") % 3).cast("int")
+    triples = d.select(
+        conv.alias("conv_id"), turn.alias("turn_idx"),
+        F.lit("I").alias("subj"), F.lit("works_at").alias("pred"),
+        F.col("surface").alias("obj"),
+    ).unionByName(
+        d.select(
+            conv.alias("conv_id"), turn.alias("turn_idx"),
+            F.col("surface").alias("subj"),
+            F.lit("works_at").alias("pred"),
+            F.lit("acme corp").alias("obj"),
+        )
+    )
+    roles = _fixture_transcripts(spark).select(
+        "conv_id", "turn_idx", "role"
+    ).unionByName(
+        d.filter(F.length("surface") % 2 == 0).select(
+            conv.alias("conv_id"), turn.alias("turn_idx"),
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                (F.length("surface") % 3 + 1).cast("int"),
+            ).alias("role"),
+        )
+    )
+    return ground_pronouns(triples, roles).select(
+        "conv_id", "turn_idx", "subj", "pred", "obj", "grounded"
+    ).orderBy("conv_id", "turn_idx", "subj", "pred", "obj")
+
+
 def kg_core_entities(spark, sf_dir):
     """k-core density gate (kg/graph.py k_core): entities of the 2-core
     of the canonical entity graph with their in-core degree — the
@@ -2919,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": lang_id_docs,
         "fuzzy_score_docs": fuzzy_score_docs,
         "fixed_window_chunks": fixed_window_chunks,
+        "ground_pronouns_kg": ground_pronouns_kg,
     }
 
 
@@ -3363,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
                    unnest(chunks) AS chunk
             FROM c ORDER BY doc_id, chunk_pos
         """,
+        "ground_pronouns_kg": _ground_pronouns_oracle_sql(),
         "multimodal_media_features": """
             SELECT printf('m%08d', doc_id) AS media_id,
                    octet_length(encode(text))::BIGINT AS n_bytes,
@@ -4534,6 +4581,46 @@ _KG_PHRASES = [
 ]
 _KG_ALLOWED = ["works_at", "uses_tool", "located_in", "reports_to", "created"]
 _KG_NULL_WORDS = ["none", "null", "unknown", "n/a", ""]
+
+
+def _ground_pronouns_oracle_sql() -> str:
+    """DuckDB replica of ground_pronouns_kg: synthesize the same
+    per-surface pronoun + control triples and even-length-only speaker
+    turns, then replay the grounding rule as one left join against the
+    min-role-per-turn lookup + CASE rewrite (kg/ground.py)."""
+    tp = (_FIXTURES / "transcripts.parquet").as_posix() + "/*.parquet"
+    dp = (_FIXTURES / "dictionary.parquet").as_posix() + "/*.parquet"
+    prons = "'i','me','my','mine','myself','we','us','our','ours'"
+    return f"""
+        WITH d AS (SELECT surface FROM read_parquet('{dp}')),
+        tr AS (
+            SELECT 'pg:' || surface AS conv_id,
+                   CAST(length(surface) % 3 AS INT) AS turn_idx,
+                   'I' AS subj, 'works_at' AS pred, surface AS obj
+            FROM d
+            UNION ALL
+            SELECT 'pg:' || surface, CAST(length(surface) % 3 AS INT),
+                   surface, 'works_at', 'acme corp'
+            FROM d),
+        roles AS (
+            SELECT conv_id, turn_idx, role FROM read_parquet('{tp}')
+            UNION ALL
+            SELECT 'pg:' || surface, CAST(length(surface) % 3 AS INT),
+                   (['user', 'assistant', 'tool'])[length(surface) % 3 + 1]
+            FROM d WHERE length(surface) % 2 = 0),
+        rl AS (SELECT conv_id, turn_idx, min(role) AS role
+               FROM roles GROUP BY conv_id, turn_idx)
+        SELECT t.conv_id, t.turn_idx,
+               CASE WHEN lower(t.subj) IN ({prons}) AND rl.role IS NOT NULL
+                    THEN 'speaker:' || t.conv_id || ':' || rl.role
+                    ELSE t.subj END AS subj,
+               t.pred, t.obj,
+               CASE WHEN lower(t.subj) IN ({prons}) AND rl.role IS NOT NULL
+                    THEN 1 ELSE 0 END AS grounded
+        FROM tr t LEFT JOIN rl
+          ON t.conv_id = rl.conv_id AND t.turn_idx = rl.turn_idx
+        ORDER BY t.conv_id, t.turn_idx, subj, t.pred, t.obj
+    """
 
 
 def _kg_oracle_sql(kind: str, typos: bool = False) -> str:

@@ -1,0 +1,87 @@
+"""Pronoun-grounding operator: deictic subjects bind to speaker
+entities, non-pronouns pass through, unresolvable lineage is flagged
+rather than guessed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delm_spark.kg.ground import ground_pronouns
+
+TRIPLE_SCHEMA = "conv_id string, turn_idx int, subj string, pred string, obj string"
+TURN_SCHEMA = "conv_id string, turn_idx int, role string"
+
+
+def _rows(df):
+    return {
+        tuple(r) for r in df.select(
+            "conv_id", "turn_idx", "subj", "pred", "obj", "grounded"
+        ).collect()
+    }
+
+
+def test_grounding_rewrites_flags_and_preserves(spark):
+    triples = spark.createDataFrame(
+        [
+            ("c1", 0, "I", "works_at", "acme"),        # grounded -> user
+            ("c1", 1, "My", "reports_to", "bob"),      # grounded -> assistant
+            ("c1", 0, "alice", "works_at", "acme"),    # not a pronoun
+            ("c2", 7, "we", "located_in", "paris"),    # no transcript row
+        ],
+        TRIPLE_SCHEMA,
+    )
+    turns = spark.createDataFrame(
+        [("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "tool")],
+        TURN_SCHEMA,
+    )
+    out = ground_pronouns(triples, turns)
+    assert out.count() == triples.count()
+    assert _rows(out) == {
+        ("c1", 0, "speaker:c1:user", "works_at", "acme", 1),
+        ("c1", 1, "speaker:c1:assistant", "reports_to", "bob", 1),
+        ("c1", 0, "alice", "works_at", "acme", 0),
+        ("c2", 7, "we", "located_in", "paris", 0),
+    }
+
+
+def test_duplicate_turn_rows_do_not_duplicate_triples(spark):
+    """A feed that violates (conv_id, turn_idx) uniqueness must not fan
+    the pronoun triple out; min-role wins deterministically."""
+    triples = spark.createDataFrame(
+        [("c1", 0, "i", "works_at", "acme")], TRIPLE_SCHEMA
+    )
+    turns = spark.createDataFrame(
+        [("c1", 0, "user"), ("c1", 0, "assistant")], TURN_SCHEMA
+    )
+    out = ground_pronouns(triples, turns)
+    assert out.count() == 1
+    assert _rows(out) == {("c1", 0, "speaker:c1:assistant", "works_at", "acme", 1)}
+
+
+def test_custom_pronoun_set_and_prefix(spark):
+    triples = spark.createDataFrame(
+        [("c1", 0, "ich", "works_at", "acme"),
+         ("c1", 0, "i", "works_at", "acme")],
+        TRIPLE_SCHEMA,
+    )
+    turns = spark.createDataFrame([("c1", 0, "user")], TURN_SCHEMA)
+    out = ground_pronouns(
+        triples, turns, pronouns=("ich",), speaker_prefix="sprecher:"
+    )
+    assert _rows(out) == {
+        ("c1", 0, "sprecher:c1:user", "works_at", "acme", 1),
+        ("c1", 0, "i", "works_at", "acme", 0),
+    }
+
+
+def test_plan_no_cartesian_no_python(spark):
+    triples = spark.createDataFrame(
+        [("c1", 0, "i", "works_at", "acme")], TRIPLE_SCHEMA
+    )
+    turns = spark.createDataFrame([("c1", 0, "user")], TURN_SCHEMA)
+    df = ground_pronouns(triples, turns)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
