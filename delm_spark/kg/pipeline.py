@@ -276,6 +276,14 @@ class PipelineConfig:
     #: recover their canonical entity. Off by default: it adds a candidate
     #: search stage, and exact-only linking is the reference-parity shape.
     embedding_link: bool = False
+    #: bind first-person pronoun subjects ("I works at Acme" from a user
+    #: turn) to per-conversation speaker:<conv_id>:<role> entities BEFORE
+    #: dictionary linking (kg/ground.py) — grounded subjects take their
+    #: speaker string as subj_id directly, bypassing mention minting and
+    #: the embedding residue pass (a speaker entity must never fuzzy-match
+    #: a dictionary surface). Off by default: the reference emits the
+    #: verbatim extraction.
+    ground_pronouns: bool = False
     embedding_link_threshold: float = 0.5
     embedding_dim: int = 64
     embedding_planes: int = 8
@@ -491,7 +499,23 @@ def run_pipeline(
     extracted = runner.stage("s2_extracted", build_extracted)
 
     def build_triples():
-        linked = link_mentions(triples_from_extracted(extracted, spec), dictionary)
+        raw = triples_from_extracted(extracted, spec)
+        if config.ground_pronouns:
+            from delm_spark.kg.ground import ground_pronouns
+
+            # transcripts here is the post-integrity-gate frame, so a
+            # quarantined conversation can never donate a speaker role
+            raw = ground_pronouns(raw, transcripts)
+        linked = link_mentions(raw, dictionary)
+        if config.ground_pronouns:
+            # a grounded speaker string IS its entity id — skip mention
+            # minting so the residue resolver below never sees it
+            linked = linked.withColumn(
+                "subj_id",
+                F.when(F.col("grounded") == 1, F.col("subj")).otherwise(
+                    F.col("subj_id")
+                ),
+            ).drop("grounded")
         if config.embedding_link:
             from delm_spark.kg.linking import resolve_mention_residue
 

@@ -85,3 +85,36 @@ def test_plan_no_cartesian_no_python(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_composes_grounding(spark):
+    """run_pipeline(ground_pronouns=True) binds an extracted first-person
+    subject to the speaker entity end-to-end; off by default the same
+    triple keeps the verbatim 'I' and a minted mention id."""
+    from delm_spark.data.synthetic import entity_dictionary
+    from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
+
+    transcripts = spark.createDataFrame(
+        [
+            ("cg1", 0, "user", "I works at Acme Corp.", None, "2024-01-01 00:00:00"),
+            ("cg1", 1, "assistant", "Alice Smith works at Acme Corp.", None,
+             "2024-01-01 00:00:01"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = entity_dictionary(spark)
+
+    on = run_pipeline(
+        spark, transcripts, d, PipelineConfig(ground_pronouns=True)
+    ).edges
+    subj = {r["subj"]: r["subj_id"] for r in on.collect()}
+    assert subj["speaker:cg1:user"] == "speaker:cg1:user"
+    assert "I" not in subj
+    # the non-pronoun triple is untouched by the flag
+    assert "Alice Smith" in subj
+
+    off = run_pipeline(spark, transcripts, d, PipelineConfig()).edges
+    subj_off = {r["subj"]: r["subj_id"] for r in off.collect()}
+    assert subj_off["I"] == "mention:i"
+    assert on.count() == off.count()
