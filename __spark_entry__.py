@@ -1437,6 +1437,54 @@ def ground_pronouns_kg(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx", "subj", "pred", "obj")
 
 
+def address_pronouns_kg(spark, sf_dir):
+    """Second-person grounding (kg/ground.py ground_pronouns
+    second_person=): 'you' binds to the ADDRESSEE — the other role of a
+    two-party conversation; monologues and 3+-party conversations stay
+    ungrounded. Per dictionary surface, conv 'ap:'||surface gets a
+    ('you', reports_to, surface) and an ('I', works_at, surface) triple
+    at turn 0, whose role table has turn 0 = user always, turn 1 =
+    assistant iff length(surface)%2=0, turn 2 = tool iff
+    length(surface)%3=0 — yielding all four census cases (two-party
+    user/assistant, two-party user/tool, monologue, three-party). The
+    oracle replays the rule with an explicit two-role census +
+    addressee self-join."""
+    from delm_spark.kg.ground import SECOND_PERSON, ground_pronouns
+
+    d = _fixture_dictionary(spark)
+    conv = F.concat(F.lit("ap:"), F.col("surface"))
+    triples = d.select(
+        conv.alias("conv_id"), F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("you").alias("subj"), F.lit("reports_to").alias("pred"),
+        F.col("surface").alias("obj"),
+    ).unionByName(
+        d.select(
+            conv.alias("conv_id"), F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("I").alias("subj"), F.lit("works_at").alias("pred"),
+            F.col("surface").alias("obj"),
+        )
+    )
+    roles = d.select(
+        conv.alias("conv_id"), F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+    ).unionByName(
+        d.filter(F.length("surface") % 2 == 0).select(
+            conv.alias("conv_id"), F.lit(1).cast("int").alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+        )
+    ).unionByName(
+        d.filter(F.length("surface") % 3 == 0).select(
+            conv.alias("conv_id"), F.lit(2).cast("int").alias("turn_idx"),
+            F.lit("tool").alias("role"),
+        )
+    )
+    return ground_pronouns(
+        triples, roles, second_person=SECOND_PERSON
+    ).select(
+        "conv_id", "turn_idx", "subj", "pred", "obj", "grounded"
+    ).orderBy("conv_id", "turn_idx", "subj", "pred", "obj")
+
+
 def kg_core_entities(spark, sf_dir):
     """k-core density gate (kg/graph.py k_core): entities of the 2-core
     of the canonical entity graph with their in-core degree — the
@@ -2965,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_score_docs": fuzzy_score_docs,
         "fixed_window_chunks": fixed_window_chunks,
         "ground_pronouns_kg": ground_pronouns_kg,
+        "address_pronouns_kg": address_pronouns_kg,
     }
 
 
@@ -3410,6 +3459,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY doc_id, chunk_pos
         """,
         "ground_pronouns_kg": _ground_pronouns_oracle_sql(),
+        "address_pronouns_kg": _address_pronouns_oracle_sql(),
         "multimodal_media_features": """
             SELECT printf('m%08d', doc_id) AS media_id,
                    octet_length(encode(text))::BIGINT AS n_bytes,
@@ -4619,6 +4669,60 @@ def _ground_pronouns_oracle_sql() -> str:
                     THEN 1 ELSE 0 END AS grounded
         FROM tr t LEFT JOIN rl
           ON t.conv_id = rl.conv_id AND t.turn_idx = rl.turn_idx
+        ORDER BY t.conv_id, t.turn_idx, subj, t.pred, t.obj
+    """
+
+
+def _address_pronouns_oracle_sql() -> str:
+    """DuckDB replica of address_pronouns_kg: same synthetic triples and
+    role census, grounding replayed as speaker-role lookup + explicit
+    two-role census + addressee self-join + CASE rewrite
+    (kg/ground.py second_person path)."""
+    dp = (_FIXTURES / "dictionary.parquet").as_posix() + "/*.parquet"
+    return f"""
+        WITH d AS (SELECT surface FROM read_parquet('{dp}')),
+        tr AS (
+            SELECT 'ap:' || surface AS conv_id, CAST(0 AS INT) AS turn_idx,
+                   'you' AS subj, 'reports_to' AS pred, surface AS obj
+            FROM d
+            UNION ALL
+            SELECT 'ap:' || surface, CAST(0 AS INT),
+                   'I', 'works_at', surface
+            FROM d),
+        roles AS (
+            SELECT 'ap:' || surface AS conv_id, CAST(0 AS INT) AS turn_idx,
+                   'user' AS role
+            FROM d
+            UNION ALL
+            SELECT 'ap:' || surface, CAST(1 AS INT), 'assistant'
+            FROM d WHERE length(surface) % 2 = 0
+            UNION ALL
+            SELECT 'ap:' || surface, CAST(2 AS INT), 'tool'
+            FROM d WHERE length(surface) % 3 = 0),
+        rl AS (SELECT conv_id, turn_idx, min(role) AS role
+               FROM roles GROUP BY conv_id, turn_idx),
+        dr AS (SELECT DISTINCT conv_id, role FROM roles),
+        c2 AS (SELECT conv_id FROM dr GROUP BY conv_id HAVING count(*) = 2),
+        addr AS (SELECT a.conv_id, a.role, min(b.role) AS other
+                 FROM dr a
+                 JOIN dr b ON a.conv_id = b.conv_id AND a.role <> b.role
+                 JOIN c2 ON a.conv_id = c2.conv_id
+                 GROUP BY a.conv_id, a.role)
+        SELECT t.conv_id, t.turn_idx,
+               CASE WHEN lower(t.subj) = 'you' AND addr.other IS NOT NULL
+                    THEN 'speaker:' || t.conv_id || ':' || addr.other
+                    WHEN lower(t.subj) = 'i' AND rl.role IS NOT NULL
+                    THEN 'speaker:' || t.conv_id || ':' || rl.role
+                    ELSE t.subj END AS subj,
+               t.pred, t.obj,
+               CASE WHEN (lower(t.subj) = 'you' AND addr.other IS NOT NULL)
+                      OR (lower(t.subj) = 'i' AND rl.role IS NOT NULL)
+                    THEN 1 ELSE 0 END AS grounded
+        FROM tr t
+        LEFT JOIN rl
+          ON t.conv_id = rl.conv_id AND t.turn_idx = rl.turn_idx
+        LEFT JOIN addr
+          ON t.conv_id = addr.conv_id AND rl.role = addr.role
         ORDER BY t.conv_id, t.turn_idx, subj, t.pred, t.obj
     """
 

@@ -44,11 +44,18 @@ FIRST_PERSON: tuple[str, ...] = (
     "i", "me", "my", "mine", "myself", "we", "us", "our", "ours",
 )
 
+#: second-person forms — grounded to the ADDRESSEE, which is only
+#: well-defined in two-party conversations (see ground_pronouns)
+SECOND_PERSON: tuple[str, ...] = (
+    "you", "your", "yours", "yourself", "yourselves",
+)
+
 
 def ground_pronouns(
     triples: DataFrame,
     transcripts: DataFrame,
     pronouns: Sequence[str] = FIRST_PERSON,
+    second_person: Sequence[str] = (),
     subj_col: str = "subj",
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
@@ -57,17 +64,35 @@ def ground_pronouns(
 ) -> DataFrame:
     """Rewrite pronoun subjects to ``speaker:<conv_id>:<role>`` entities.
 
+    ``pronouns`` (first person) bind to the SPEAKER of the turn the
+    triple came from. ``second_person`` forms (off by default — pass
+    :data:`SECOND_PERSON`) bind to the ADDRESSEE, which is only
+    well-defined when the conversation has exactly two distinct roles:
+    the addressee is then the other role. Conversations with one role
+    (monologue), or three or more (multi-party — "you" is genuinely
+    ambiguous), leave second-person subjects ungrounded rather than
+    guessed; same for a turn with no transcript row.
+
     Returns ``triples`` with the same columns plus an int ``grounded``
-    flag: 1 = subject was a pronoun and was rewritten, 0 = either not a
-    pronoun (passed through untouched) or a pronoun whose (conv_id,
-    turn_idx) has no transcript row (subject kept verbatim — never
-    guessed). Row count and non-subject columns are preserved exactly.
+    flag: 1 = subject was rewritten, 0 = passed through (not a pronoun,
+    unresolvable lineage, or ambiguous addressee). Row count and
+    non-subject columns are preserved exactly.
     """
     pron_set = [p.lower() for p in pronouns]
-    is_pron = F.lower(F.col(subj_col)).isin(pron_set)
+    second_set = [p.lower() for p in second_person]
+    is_first = F.lower(F.col(subj_col)).isin(pron_set)
+    is_second = (
+        F.lower(F.col(subj_col)).isin(second_set)
+        if second_set
+        else F.lit(False)
+    )
 
-    rest = triples.filter(~is_pron).withColumn("grounded", F.lit(0))
-    pron = triples.filter(is_pron)
+    rest = triples.filter(~is_first & ~is_second).withColumn(
+        "grounded", F.lit(0)
+    )
+    pron = triples.filter(is_first | is_second).withColumn(
+        "__second", is_second
+    )
 
     # cut the transcript table to exactly the keys the pronoun slice
     # needs, THEN resolve one deterministic role per key
@@ -77,24 +102,61 @@ def ground_pronouns(
         .groupBy(conv_col, turn_col)
         .agg(F.min(role_col).alias("__role"))
     )
+    joined = pron.join(roles, [conv_col, turn_col], "left")
+
+    if second_set:
+        # addressee map: for each needed conversation with EXACTLY two
+        # distinct roles, each role points at the other — built from the
+        # semi-cut slice, so its size is bounded by the pronoun volume
+        convs = pron.filter(F.col("__second")).select(conv_col).distinct()
+        addressee = (
+            transcripts.join(convs, conv_col, "left_semi")
+            .select(conv_col, role_col)
+            .distinct()
+            .groupBy(conv_col)
+            .agg(F.collect_set(role_col).alias("__rs"))
+            .filter(F.size("__rs") == 2)
+            .select(
+                conv_col,
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.array_min("__rs").alias("__role"),
+                            F.array_max("__rs").alias("__other"),
+                        ),
+                        F.struct(
+                            F.array_max("__rs").alias("__role"),
+                            F.array_min("__rs").alias("__other"),
+                        ),
+                    )
+                ).alias("__p"),
+            )
+            .select(conv_col, "__p.__role", "__p.__other")
+        )
+        joined = joined.join(addressee, [conv_col, "__role"], "left")
+    else:
+        joined = joined.withColumn("__other", F.lit(None).cast("string"))
+
+    target = F.when(~F.col("__second"), F.col("__role")).otherwise(
+        F.col("__other")
+    )
     grounded = (
-        pron.join(roles, [conv_col, turn_col], "left")
-        .withColumn(
+        joined.withColumn(
             subj_col,
             F.when(
-                F.col("__role").isNotNull(),
+                target.isNotNull(),
                 F.concat(
                     F.lit(speaker_prefix),
                     F.col(conv_col),
                     F.lit(":"),
-                    F.col("__role"),
+                    target,
                 ),
             ).otherwise(F.col(subj_col)),
         )
         .withColumn(
             "grounded",
-            F.when(F.col("__role").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
+            F.when(target.isNotNull(), F.lit(1)).otherwise(F.lit(0)),
         )
-        .drop("__role")
+        .drop("__role", "__other", "__second")
     )
     return rest.unionByName(grounded)

@@ -118,3 +118,50 @@ def test_pipeline_composes_grounding(spark):
     subj_off = {r["subj"]: r["subj_id"] for r in off.collect()}
     assert subj_off["I"] == "mention:i"
     assert on.count() == off.count()
+
+
+def test_second_person_binds_to_addressee(spark):
+    """'you' grounds to the other role in a two-party conversation;
+    monologues and 3+-party conversations leave it ungrounded."""
+    from delm_spark.kg.ground import SECOND_PERSON, ground_pronouns
+
+    triples = spark.createDataFrame(
+        [
+            ("two", 0, "you", "works_at", "acme"),   # user turn -> assistant
+            ("two", 1, "You", "reports_to", "bob"),  # assistant -> user
+            ("two", 0, "I", "works_at", "acme"),     # first person unchanged
+            ("solo", 0, "you", "works_at", "acme"),  # one role -> ambiguous
+            ("multi", 0, "you", "works_at", "acme"), # three roles -> ambiguous
+        ],
+        TRIPLE_SCHEMA,
+    )
+    turns = spark.createDataFrame(
+        [
+            ("two", 0, "user"), ("two", 1, "assistant"),
+            ("solo", 0, "user"),
+            ("multi", 0, "user"), ("multi", 1, "assistant"),
+            ("multi", 2, "tool"),
+        ],
+        TURN_SCHEMA,
+    )
+    out = ground_pronouns(triples, turns, second_person=SECOND_PERSON)
+    assert out.count() == triples.count()
+    assert _rows(out) == {
+        ("two", 0, "speaker:two:assistant", "works_at", "acme", 1),
+        ("two", 1, "speaker:two:user", "reports_to", "bob", 1),
+        ("two", 0, "speaker:two:user", "works_at", "acme", 1),
+        ("solo", 0, "you", "works_at", "acme", 0),
+        ("multi", 0, "you", "works_at", "acme", 0),
+    }
+
+
+def test_second_person_off_by_default(spark):
+    triples = spark.createDataFrame(
+        [("two", 0, "you", "works_at", "acme")], TRIPLE_SCHEMA
+    )
+    turns = spark.createDataFrame(
+        [("two", 0, "user"), ("two", 1, "assistant")], TURN_SCHEMA
+    )
+    assert _rows(ground_pronouns(triples, turns)) == {
+        ("two", 0, "you", "works_at", "acme", 0)
+    }
