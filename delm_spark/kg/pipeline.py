@@ -284,6 +284,10 @@ class PipelineConfig:
     #: a dictionary surface). Off by default: the reference emits the
     #: verbatim extraction.
     ground_pronouns: bool = False
+    #: also bind second-person subjects to the ADDRESSEE role — only in
+    #: conversations whose role census is exactly two (kg/ground.py);
+    #: requires ground_pronouns
+    ground_second_person: bool = False
     embedding_link_threshold: float = 0.5
     embedding_dim: int = 64
     embedding_planes: int = 8
@@ -501,11 +505,17 @@ def run_pipeline(
     def build_triples():
         raw = triples_from_extracted(extracted, spec)
         if config.ground_pronouns:
-            from delm_spark.kg.ground import ground_pronouns
+            from delm_spark.kg.ground import SECOND_PERSON, ground_pronouns
 
             # transcripts here is the post-integrity-gate frame, so a
             # quarantined conversation can never donate a speaker role
-            raw = ground_pronouns(raw, transcripts)
+            raw = ground_pronouns(
+                raw,
+                transcripts,
+                second_person=(
+                    SECOND_PERSON if config.ground_second_person else ()
+                ),
+            )
         linked = link_mentions(raw, dictionary)
         if config.ground_pronouns:
             # a grounded speaker string IS its entity id — skip mention

@@ -165,3 +165,31 @@ def test_second_person_off_by_default(spark):
     assert _rows(ground_pronouns(triples, turns)) == {
         ("two", 0, "you", "works_at", "acme", 0)
     }
+
+
+def test_pipeline_second_person_flag(spark):
+    """ground_second_person=True additionally binds an extracted 'You'
+    subject to the two-party addressee."""
+    from delm_spark.data.synthetic import entity_dictionary
+    from delm_spark.kg.pipeline import PipelineConfig, run_pipeline
+
+    transcripts = spark.createDataFrame(
+        [
+            ("cg2", 0, "user", "You works at Acme Corp.", None,
+             "2024-01-01 00:00:00"),
+            ("cg2", 1, "assistant", "I works at Initech.", None,
+             "2024-01-01 00:00:01"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = entity_dictionary(spark)
+
+    edges = run_pipeline(
+        spark, transcripts, d,
+        PipelineConfig(ground_pronouns=True, ground_second_person=True),
+    ).edges
+    subj = {r["subj"]: r["subj_id"] for r in edges.collect()}
+    # 'You' spoken by the user -> the assistant; 'I' by the assistant
+    assert subj["speaker:cg2:assistant"] == "speaker:cg2:assistant"
+    assert "You" not in subj and "I" not in subj
