@@ -80,9 +80,14 @@ def ground_pronouns(
     """
     pron_set = [p.lower() for p in pronouns]
     second_set = [p.lower() for p in second_person]
-    is_first = F.lower(F.col(subj_col)).isin(pron_set)
+    # null-safe: a NULL subject makes isin() NULL, which both a filter
+    # and its negation drop — coalesce so null-subject triples pass
+    # through the rest branch (grounded=0) instead of vanishing
+    is_first = F.coalesce(
+        F.lower(F.col(subj_col)).isin(pron_set), F.lit(False)
+    )
     is_second = (
-        F.lower(F.col(subj_col)).isin(second_set)
+        F.coalesce(F.lower(F.col(subj_col)).isin(second_set), F.lit(False))
         if second_set
         else F.lit(False)
     )

@@ -193,3 +193,22 @@ def test_pipeline_second_person_flag(spark):
     # 'You' spoken by the user -> the assistant; 'I' by the assistant
     assert subj["speaker:cg2:assistant"] == "speaker:cg2:assistant"
     assert "You" not in subj and "I" not in subj
+
+
+def test_null_subject_passes_through(spark):
+    """A NULL subject must survive as grounded=0, not vanish (isin() on
+    NULL is NULL, which an unguarded filter and its negation both drop)."""
+    from delm_spark.kg.ground import SECOND_PERSON
+
+    triples = spark.createDataFrame(
+        [("c1", 0, None, "works_at", "acme"),
+         ("c1", 0, "i", "works_at", "acme")],
+        TRIPLE_SCHEMA,
+    )
+    turns = spark.createDataFrame([("c1", 0, "user")], TURN_SCHEMA)
+    out = ground_pronouns(triples, turns, second_person=SECOND_PERSON)
+    assert out.count() == 2
+    assert _rows(out) == {
+        ("c1", 0, None, "works_at", "acme", 0),
+        ("c1", 0, "speaker:c1:user", "works_at", "acme", 1),
+    }
