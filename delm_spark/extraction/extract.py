@@ -70,6 +70,19 @@ def _extract_series(
     max_retries: int,
     base_delay: float = 0.0,
 ):
+    # fastest path (r6): fully vectorized extract+clean+serialize — no
+    # per-row Python at all. Backends opt in via extract_clean_json_batch
+    # (returns None when the spec shape disqualifies it); any raise falls
+    # through to the slower paths, preserving the per-chunk error-safety
+    # contract.
+    if hasattr(backend, "extract_clean_json_batch"):
+        try:
+            fast = backend.extract_clean_json_batch(texts, spec)
+        except Exception:
+            fast = None
+        if fast is not None:
+            return fast
+
     # fast path: vectorized backend (C regex loop) + per-row clean. A
     # raising batch backend falls back to the per-row path below so the
     # per-chunk error-safety contract (reference extraction_manager.py:
@@ -275,6 +288,40 @@ def extract_chunks(
         dedup = True
 
     if not dedup:
+        # native inline mode (r6): backends whose extraction is a
+        # deterministic expression chain (RuleTripleExtractor) publish it
+        # as Catalyst columns — the whole stage runs in whole-stage
+        # codegen with NO Python boundary (no Arrow transpose, no pandas
+        # batches; plan shows zero ArrowEvalPython/MapInPandas nodes).
+        # Byte parity with the UDF path is pinned in
+        # tests/test_round6_opt.py. Retries are meaningless for a pure
+        # expression (it cannot raise per-row), and errors are
+        # structurally null, matching the deterministic backend's
+        # behavior under the UDF path.
+        native = getattr(backend, "native_extract_columns", None)
+        cols = native(spec, F.col(text_col)) if native is not None else None
+        if cols is not None:
+            # two-step select: the json expression is non-cheap and
+            # referenced twice (output column + out_tokens), which keeps
+            # CollapseProject from inlining it — it evaluates once per row
+            staged = df.select(
+                "*",
+                cols["json"].alias(EXTRACTED_JSON_COL),
+                cols["in_tokens"].alias(IN_TOKENS_COL),
+            )
+            return staged.select(
+                "*",
+                F.lit(None).cast(StringType()).alias(ERRORS_COL),
+                F.floor((F.length(EXTRACTED_JSON_COL) + 3) / 4)
+                .cast("long")
+                .alias(OUT_TOKENS_COL),
+                F.spark_partition_id().cast("long").alias(PART_ID_COL),
+                F.lit(False).alias(CACHE_HIT_COL),
+            ).select(*(df.columns + [
+                EXTRACTED_JSON_COL, ERRORS_COL, IN_TOKENS_COL,
+                OUT_TOKENS_COL, PART_ID_COL, CACHE_HIT_COL,
+            ]))
+
         # inline mode: pass every column through, append extraction columns
         out_schema = StructType(list(df.schema.fields) + _EXTRA_FIELDS)
 

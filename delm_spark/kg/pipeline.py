@@ -503,7 +503,44 @@ def run_pipeline(
     extracted = runner.stage("s2_extracted", build_extracted)
 
     def build_triples():
-        raw = triples_from_extracted(extracted, spec)
+        raw = None
+        if runner.dir is None and not config.dedup_extraction and not config.cache_dir:
+            # r6 fast path: with no checkpointed extracted stage to share,
+            # build triples from the backend's NATIVE typed items — the
+            # JSON string is never serialized and from_json never runs
+            # (element-for-element parity with the JSON round-trip is
+            # pinned in tests/test_round6_opt.py). PipelineResult.extracted
+            # still exposes the lazy JSON frame for direct consumers.
+            native_items = getattr(backend, "native_extract_items", None)
+            items_col = (
+                native_items(spec, F.col(CHUNK_COL))
+                if native_items is not None
+                else None
+            )
+            if items_col is not None:
+                raw = (
+                    chunks.select(
+                        "conv_id", "turn_idx", CHUNK_POS_COL, items_col.alias("__items")
+                    )
+                    .select(
+                        "conv_id",
+                        "turn_idx",
+                        CHUNK_POS_COL,
+                        F.posexplode("__items").alias("item_pos", "__item"),
+                    )
+                    .select(
+                        "conv_id",
+                        "turn_idx",
+                        CHUNK_POS_COL,
+                        "item_pos",
+                        *[
+                            F.col(f"__item.{v.name}").alias(v.name)
+                            for v in spec.variables
+                        ],
+                    )
+                )
+        if raw is None:
+            raw = triples_from_extracted(extracted, spec)
         if config.ground_pronouns:
             from delm_spark.kg.ground import SECOND_PERSON, ground_pronouns
 

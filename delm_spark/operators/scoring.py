@@ -28,12 +28,21 @@ from pyspark.sql.types import DoubleType
 
 
 def keyword_score_expr(col: Column, keywords: Sequence[str]) -> Column:
-    """Native KeywordScorer.score (scoring_strategies.py:70-75)."""
+    """Native KeywordScorer.score (scoring_strategies.py:70-75).
+
+    Flat OR-chain of `contains` over the lowered text (r6): the previous
+    `exists(array<kw>, ...)` higher-order function evaluates its lambda
+    INTERPRETED — measured ~2x the chunk-stage cost at 5.6M turns — while
+    the OR-chain compiles into whole-stage codegen with the shared
+    `lower(col)` subexpression hoisted. Null text stays null (OR of
+    nulls), exactly like `exists` over an all-null lambda result."""
     if not keywords:
         raise ValueError("KeywordScorer requires a non-empty keyword list")
-    kw_arr = F.array(*[F.lit(k.lower()) for k in keywords])
     lowered = F.lower(col)
-    return F.exists(kw_arr, lambda kw: lowered.contains(kw)).cast("double")
+    hit = lowered.contains(F.lit(keywords[0].lower()))
+    for k in keywords[1:]:
+        hit = hit | lowered.contains(F.lit(k.lower()))
+    return hit.cast("double")
 
 
 def _lcs_len(pm: dict, len1: int, window: str) -> int:

@@ -33,10 +33,16 @@ from delm_spark.constants import (
 )
 
 
+#: the character set Java-regex `\s` matches (ASCII-only) — btrim over this
+#: set is byte-equivalent to the old regexp_replace('^\s+'/'\s+$') pair at
+#: a fraction of the cost (no regex scan per array element)
+_WS_CHARS = " \t\n\x0b\f\r"
+
+
 def _strip(x: Column) -> Column:
     """Python str.strip() equivalent: removes ALL whitespace at both ends
     (Spark's trim() removes only spaces, which diverges on \\n/\\t)."""
-    return F.regexp_replace(F.regexp_replace(x, r"^\s+", ""), r"\s+$", "")
+    return F.btrim(x, F.lit(_WS_CHARS))
 
 
 def regex_split_expr(col: Column, pattern: str) -> Column:
@@ -49,7 +55,16 @@ def regex_split_expr(col: Column, pattern: str) -> Column:
 
 
 def paragraph_split_expr(col: Column) -> Column:
-    """Native ParagraphSplit (reference splitting_strategies.py:56-75)."""
+    """Native ParagraphSplit (reference splitting_strategies.py:56-75).
+
+    Kept as split→transform(btrim)→filter: an r6 experiment that folded
+    the strip into an absorbing break pattern
+    (`[^\\S\\n]*\\r?\\n\\s*\\r?\\n[^\\S\\n]*`) measured 2.5x SLOWER —
+    a leading char-class star defeats the regex engine's literal-prefix
+    scan, so every position backtracks. The per-piece strip is btrim
+    (see _strip), which is the cheap part; the simple `\\r?\\n` prefix
+    keeps the split scan fast. Differential-tested against the original
+    regexp_replace chain in tests/test_round6_opt.py."""
     return regex_split_expr(col, PARAGRAPH_SPLIT_REGEX)
 
 
