@@ -52,6 +52,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism (r6, guide §2.5 'input
+    skew: one huge unsplittable file'): the local testdata tables are
+    single-row-group parquet files, so every scan is ONE task and any
+    heavy per-row map work (n-gram explodes, md5 chains, interpreted HOF
+    folds) serializes on one core until the first exchange. The explicit
+    repartition costs one small-text shuffle and is AQE-exempt; on a real
+    multi-file table the scan parallelism makes it unnecessary (the
+    simhash/minhash queries have used this shape since r4)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 #: committed oracle fixtures (tests/fixtures/make_fixtures.py): the synthetic
 #: transcript corpus is Spark-xxhash64-derived, which DuckDB cannot
 #: regenerate, so the KG-chain queries and their oracle SQL both read these
@@ -285,7 +297,7 @@ def union_nation_counts(spark, sf_dir):
 
 def regex_split_chunks(spark, sf_dir):
     """T3+T4: RegexSplit semantics (split, trim, drop empties) + posexplode."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     chunks = regex_split_expr(F.col("text"), r"\s+the\s+")
     return docs.select(
         "doc_id", F.posexplode(chunks).alias("chunk_pos", "chunk")
@@ -378,7 +390,7 @@ def doc_fingerprint(spark, sf_dir):
 
 def embedding_topk_cosine(spark, sf_dir):
     """Similarity search baseline: exact cosine top-10 for 3 query vectors."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = _spread(_t(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -398,7 +410,7 @@ def lsh_topk_embeddings(spark, sf_dir):
     set in SQL — exact output parity, not just recall."""
     from delm_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = _spread(_t(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -1835,7 +1847,7 @@ def kmeans_clusters_embeddings(spark, sf_dir):
     fold: ZERO shuffle of the corpus side."""
     from delm_spark.operators.cluster import kmeans_cluster
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return kmeans_cluster(emb, k=8, iters=3).orderBy("vec_id")
 
 
@@ -1978,7 +1990,7 @@ def kmv_distinct_tokens(spark, sf_dir):
     from delm_spark.operators.dedup import normalize_text
     from delm_spark.operators.sketch import kmv_distinct
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -2446,7 +2458,7 @@ def decontam_ngram_docs(spark, sf_dir):
     a broadcast semi-join; the oracle re-derives the full n-gram chain."""
     from delm_spark.operators.curation import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") % 17 != 0)
     test = docs.filter(F.col("doc_id") % 17 == 0)
     return decontaminate(train, test, n=4).orderBy("doc_id")
@@ -2519,7 +2531,7 @@ def unigram_lm_docs(spark, sf_dir):
     micronats end-to-end so aggregation order cannot perturb values."""
     from delm_spark.operators.curation import unigram_lm_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return unigram_lm_score(docs, vocab_size=30).orderBy("doc_id")
 
 
@@ -2529,7 +2541,7 @@ def bm25_search_docs(spark, sf_dir):
     quantized to micro-units per (doc, term) before the per-doc sum."""
     from delm_spark.operators.search import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return bm25_topk(docs, ["spark", "merge", "window"], k=20)
 
 

@@ -325,14 +325,26 @@ def resolve_mention_residue(
     resolved map when it is small; at web scale it stays a plain shuffle
     equi-join, never a crossJoin)."""
     mention_ids = (
-        triples.select(F.col("subj_id").alias("__mid"))
-        .unionByName(triples.select(F.col("obj_id").alias("__mid")))
+        # ONE scan of the (checkpointed) triples frame instead of a
+        # subj/obj union of two scans (r6) — same multiset, same distinct
+        triples.select(
+            F.explode(F.array(F.col("subj_id"), F.col("obj_id"))).alias("__mid")
+        )
         .filter(F.col("__mid").startswith("mention:"))
         .dropDuplicates(["__mid"])
         # strip the 'mention:' prefix (8 chars) — the residue surface is
         # already normalize_mention()-normalized (idempotent downstream)
         .withColumn("surface", F.expr("substring(__mid, 9)"))
     )
+    # residue-free short circuit (r6): with zero unlinked mentions the
+    # rewrite is the identity, but the candidate search still costs ~2 s
+    # of fixed stage overhead (two Arrow stages, two eager checkpoints, a
+    # cogroup shuffle, a window) over empty frames. One cheap existence
+    # probe over the already-materialized triples frame skips all of it;
+    # corpora with residue pay the probe (one short scan) and proceed
+    # unchanged.
+    if mention_ids.isEmpty():
+        return triples
     cands = embedding_link_candidates(
         mention_ids,
         dictionary,

@@ -135,6 +135,112 @@ def kmeans_assign(
     )
 
 
+def _assign_best_expr(cent_rows, vec_col: str) -> Column:
+    """argmin struct over a CONSTANT-FOLDED literal centroid array (r6):
+    the centroid table is model state (k x dim BIGINTs, <= 2 MiB at the
+    k=4096 ceiling), so shipping it as a literal — folded ONCE by
+    ConstantFolding, never re-evaluated per row — replaces the broadcast
+    crossJoin of a packed row without changing a single distance or
+    tie-break (same struct types: long dist, int cluster_id)."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cluster_id"),
+                F.array(*[F.lit(int(x)) for x in c])
+                .cast("array<bigint>")
+                .alias("centroid"),
+            )
+            for cid, c in cent_rows
+        ]
+    )
+    return F.array_min(
+        F.transform(
+            cands,
+            lambda c: F.struct(
+                _dist2(F.col(vec_col), c["centroid"]).alias("dist_micro2"),
+                c["cluster_id"].alias("cluster_id"),
+            ),
+        )
+    )
+
+
+def _div_trunc(s: int, c: int) -> int:
+    """Python twin of Spark/DuckDB BIGINT `div`: truncate toward zero
+    (Python `//` floors, which differs on negative sums)."""
+    return -((-s) // c) if s < 0 else s // c
+
+
+def _kmeans_fit_rows(
+    embeddings: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    salt: str,
+):
+    """Driver-side Lloyd loop (r6): per iteration ONE job — the
+    assignment + per-cluster integer sums aggregation — whose k-row
+    result is collected and the `sum div count` update applied in exact
+    Python integer arithmetic (bit-identical to the previous
+    `__s div __cnt` Spark expression; `_div_trunc` reproduces the
+    truncate-toward-zero semantics). This replaces the per-iteration
+    join + localCheckpoint of the centroid table (2 jobs -> 1, no
+    checkpoint blocks), the same driver-resident-model shape Spark
+    MLlib's KMeans uses: centroids are k x dim model state, bounded and
+    collected by design — the corpus never leaves the executors.
+
+    Returns (cent_rows, vm) where cent_rows is a list of
+    (cluster_id, centroid list) and vm the localCheckpoint-ed micro
+    vectors for reuse by the caller's final assignment."""
+    vm = embeddings.select(
+        F.col(id_col), vec_micro(F.col(vec_col)).alias("vm")
+    ).localCheckpoint(eager=True)
+    init = kmeans_init(embeddings, k, id_col, vec_col, salt).collect()
+    cent_rows = [(int(r["cluster_id"]), list(r["centroid"])) for r in init]
+    if not cent_rows:
+        return [], vm
+    dim = len(cent_rows[0][1])
+    sums = [
+        F.sum(F.element_at(F.col("vm"), i + 1)).alias(f"__s{i}") for i in range(dim)
+    ]
+    for _ in range(iters):
+        best = _assign_best_expr(cent_rows, "vm")
+        stats = (
+            vm.select(best.getField("cluster_id").alias("cluster_id"), "vm")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("__cnt"), *sums)
+            .collect()
+        )
+        by_cluster = {int(r["cluster_id"]): r for r in stats}
+        nxt = []
+        for cid, old in cent_rows:
+            r = by_cluster.get(cid)
+            if r is None:
+                # a cluster that loses all members keeps its centroid
+                nxt.append((cid, old))
+            else:
+                cnt = int(r["__cnt"])
+                nxt.append(
+                    (cid, [_div_trunc(int(r[f"__s{i}"]), cnt) for i in range(dim)])
+                )
+        cent_rows = nxt
+    return cent_rows, vm
+
+
+def _cent_rows_df(spark, cent_rows) -> DataFrame:
+    """(cluster_id int, centroid array<bigint>) as an Arrow-backed local
+    frame (LocalTableScan — no Python-RDD tasks on downstream actions)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "cluster_id": [c for c, _ in cent_rows],
+            "centroid": [list(v) for _, v in cent_rows],
+        }
+    )
+    return spark.createDataFrame(pdf, "cluster_id int, centroid array<bigint>")
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,
@@ -147,44 +253,14 @@ def kmeans_fit(
     arithmetic. Returns the final centroid table
     (cluster_id, centroid: array<bigint> micro).
 
-    Per iteration: broadcast-assign (no shuffle) -> ONE hash aggregation
-    on cluster_id computing per-dimension integer sums + count (map-side
-    combinable) -> centroid = sum div count (truncate toward zero, ==
-    DuckDB ``//``). A cluster that loses all members keeps its previous
-    centroid. Centroids are localCheckpoint-ed each iteration (k x dim —
-    tiny) so the plan does not grow exponentially with iters."""
-    # one-row bounded collect: the dimensionality drives codegen width
-    dim = int(
-        embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
-    )
-    vm = embeddings.select(
-        F.col(id_col), vec_micro(F.col(vec_col)).alias("vm")
-    ).localCheckpoint(eager=True)
-    cent = kmeans_init(embeddings, k, id_col, vec_col, salt).localCheckpoint(
-        eager=True
-    )
-    sums = [
-        F.sum(F.element_at(F.col("vm"), i + 1)).alias(f"__s{i}") for i in range(dim)
-    ]
-    mean_arr = F.array(
-        *[F.expr(f"__s{i} div __cnt").cast("long") for i in range(dim)]
-    )
-    for _ in range(iters):
-        assigned = kmeans_assign(vm, cent, id_col=id_col, vec_col="vm")
-        newc = (
-            assigned.groupBy("cluster_id")
-            .agg(F.count(F.lit(1)).alias("__cnt"), *sums)
-            .select("cluster_id", mean_arr.alias("__newc"))
-        )
-        cent = (
-            cent.join(newc, "cluster_id", "left")
-            .select(
-                "cluster_id",
-                F.coalesce(F.col("__newc"), F.col("centroid")).alias("centroid"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cent
+    Per iteration: literal-centroid assignment (no shuffle of the corpus
+    side) -> ONE hash aggregation on cluster_id computing per-dimension
+    integer sums + count (map-side combinable) -> centroid = sum div
+    count (truncate toward zero, == DuckDB ``//``), applied driver-side
+    (see _kmeans_fit_rows). A cluster that loses all members keeps its
+    previous centroid."""
+    cent_rows, _ = _kmeans_fit_rows(embeddings, k, iters, id_col, vec_col, salt)
+    return _cent_rows_df(embeddings.sparkSession, cent_rows)
 
 
 def kmeans_cluster(
@@ -196,9 +272,20 @@ def kmeans_cluster(
     salt: str = "kmeans",
 ) -> DataFrame:
     """Fit + final assignment: (id_col, cluster_id, dist_micro2), one row
-    per input vector."""
-    cent = kmeans_fit(embeddings, k, iters, id_col, vec_col, salt)
-    vm = embeddings.select(F.col(id_col), vec_micro(F.col(vec_col)).alias("vm"))
-    return kmeans_assign(vm, cent, id_col=id_col, vec_col="vm").select(
-        id_col, "cluster_id", "dist_micro2"
+    per input vector. The final assignment reuses the fit's
+    checkpointed micro vectors (the source scan runs once, not twice)."""
+    cent_rows, vm = _kmeans_fit_rows(embeddings, k, iters, id_col, vec_col, salt)
+    if not cent_rows:
+        return vm.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("long").alias("dist_micro2"),
+        )
+    # two-step select: the argmin fold is interpreted (HOF) and consumed
+    # by two fields — aliasing it once keeps it evaluated once per row
+    best = _assign_best_expr(cent_rows, "vm")
+    return vm.select(F.col(id_col), best.alias("__best")).select(
+        id_col,
+        F.col("__best.cluster_id").alias("cluster_id"),
+        F.col("__best.dist_micro2").alias("dist_micro2"),
     )
