@@ -333,6 +333,10 @@ def config_fingerprint(config: "PipelineConfig", backend) -> str:
         # checkpoint must not silently mix them; rule set matters too
         "integrity_gate": config.integrity_gate,
         "integrity_rules": list(config.integrity_rules),
+        # grounding flags change the checkpointed s3_triples contents
+        # (ADVICE r5): resuming after toggling either must not silently
+        # return stale (un)grounded triples
+        "ground": [config.ground_pronouns, config.ground_second_person],
     }
     # a PromptedApiBackend with a changed model/temperature/template produces
     # different extractions — the class name alone must not pass the resume
@@ -431,6 +435,13 @@ def run_pipeline(
     backend: Optional[ExtractorBackend] = None,
 ) -> PipelineResult:
     config = config or PipelineConfig()
+    if config.ground_second_person and not config.ground_pronouns:
+        # (ADVICE r5): the second-person pass rides the grounding stage;
+        # without it the flag silently no-ops, which reads as "grounded"
+        raise ValueError(
+            "ground_second_person requires ground_pronouns=True "
+            "(second-person grounding rides the pronoun-grounding stage)"
+        )
     spec = spec_from_dict(config.schema_cfg)
     backend = backend or RuleTripleExtractor(spec)
     runner = StageRunner(
