@@ -272,6 +272,36 @@ def _udf_only_backend(inner):
     )
 
 
+def test_driver_cache_row_ceiling_refuses(spark, tmp_path):
+    """The driver-resident cache backends must refuse (with remediation
+    text) when the distinct-miss count exceeds the configured ceiling —
+    a first run's misses are corpus-sized and would otherwise OOM the
+    driver mid-collect (VERDICT r5 #3)."""
+    from delm_spark.data.synthetic import TRIPLE_SCHEMA_CFG
+    from delm_spark.extraction.backend import RuleTripleExtractor
+    from delm_spark.extraction.extract import extract_chunks
+    from delm_spark.extraction.sqlite_cache import SqliteSemanticCache
+    from delm_spark.schemas.spec import spec_from_dict
+
+    spec = spec_from_dict(TRIPLE_SCHEMA_CFG)
+    cache = SqliteSemanticCache(str(tmp_path / "cache.db"))
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(5)],
+        "chunk_id long, delm_text_chunk string",
+    )
+    with pytest.raises(RuntimeError, match="driver_cache_max_rows"):
+        extract_chunks(
+            df, spec, RuleTripleExtractor(spec),
+            driver_cache=cache, driver_cache_max_rows=2,
+        )
+    # under the ceiling: unchanged behavior
+    out = extract_chunks(
+        df, spec, RuleTripleExtractor(spec),
+        driver_cache=cache, driver_cache_max_rows=100,
+    )
+    assert out.count() == 5
+
+
 def test_entity_ranks_two_phase_matches_global_window(spark):
     """The range-partitioned two-phase rank must equal the old global
     row_number dense rank on a vocabulary large enough to span many
