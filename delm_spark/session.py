@@ -44,6 +44,19 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # InferFiltersFromGenerate injects `size(e) > 0` below explodes,
+        # DUPLICATING the generator's input expression into a Filter. In
+        # this engine every explode sits directly on the projection that
+        # builds its (expensive) array — n-gram chains, the native
+        # extraction — so the inferred filter re-evaluates that whole
+        # expression per row for zero pruning benefit (the adjacent
+        # Generate skips empties just as fast). Measured 13.3 s -> 7.6 s
+        # on the KG pipeline at sf1.0; scale-independent (plan shape, not
+        # a local[32] constant).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # explicit (it is the Spark default): Python workers persist across
         # tasks — worker startup is part of the measured unparallelized
         # residual (BENCH/BASELINE.md), so never let this regress silently
