@@ -30,16 +30,33 @@ def exact_dedup(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
     """Keep one row per distinct normalized text: the row with the smallest
-    id (deterministic). Single shuffle on the content hash."""
-    keyed = df.withColumn("__k", F.sha2(normalize_text(F.col(text_col)), 256))
-    from pyspark.sql import Window
+    id (deterministic). Single shuffle on the content hash.
 
-    w = Window.partitionBy("__k").orderBy(F.col(id_col).asc())
-    return (
-        keyed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__k", "__rn")
+    min(struct(id, rest...)) aggregation (r6, guide §2.3 "aggregate before
+    you shuffle") instead of a sort+row_number window: ids are unique, so
+    the struct minimum IS the smallest-id row, the hash aggregate gets
+    map-side partial combine (duplicate texts collapse before the
+    exchange — the window form shipped every row), and no per-group sort
+    runs. Row-identical for orderable columns; frames carrying an
+    unorderable column (MapType) fall back to the window form."""
+    from pyspark.sql.types import MapType
+
+    keyed = df.withColumn("__k", F.sha2(normalize_text(F.col(text_col)), 256))
+    if any(isinstance(f.dataType, MapType) for f in df.schema.fields):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__k").orderBy(F.col(id_col).asc())
+        return (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__k", "__rn")
+        )
+    cols = df.columns
+    rest = [c for c in cols if c != id_col]
+    agg = keyed.groupBy("__k").agg(
+        F.min(F.struct(F.col(id_col), *[F.col(c) for c in rest])).alias("__r")
     )
+    return agg.select(*[F.col(f"__r.{c}").alias(c) for c in cols])
 
 
 def word_ngrams(col: Column, n: int, distinct: bool = False) -> Column:
